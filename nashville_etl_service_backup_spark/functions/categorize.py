@@ -1,0 +1,105 @@
+"""Keyword categorization — reference categorizer.py:1-32 and the
+trusted-source gate transformer.py:17-25 (F7/F8/F9 in SURVEY §2.8).
+
+Pure `when`-cascade Column expressions; branch ORDER is semantic (first
+match wins, both across categories and across genres) and is preserved
+exactly, including the space-padded ' rap ' / ' trap ' keywords.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# reference categorizer.py:5-13 — category → keyword list, ordered
+CATEGORY_KEYWORDS: list[tuple[str, list[str]]] = [
+    ("festival", ["fest", "festival"]),
+    ("comedy", ["comedy", "comedian", "stand-up", "standup"]),
+    ("theater", ["theater", "theatre", "play", "musical", "broadway"]),
+    ("sports", ["game", "match", "tournament", "sports"]),
+]
+
+# reference categorizer.py:18-28 — genre → keywords, insertion order matters
+GENRE_KEYWORDS: list[tuple[str, list[str]]] = [
+    ("country", ["country", "honky tonk", "twang", "bluegrass", "americana"]),
+    ("rock", ["rock", "punk", "metal", "alternative", "indie rock"]),
+    ("jazz", ["jazz", "swing", "bebop"]),
+    ("blues", ["blues", "rhythm and blues", "r&b"]),
+    ("electronic", ["electronic", "edm", "house", "techno", "dubstep"]),
+    ("hip-hop", ["hip hop", "hip-hop", " rap ", " trap "]),
+    ("folk", ["folk", "acoustic", "singer-songwriter"]),
+    ("pop", ["pop", "top 40"]),
+    ("classical", ["classical", "orchestra", "symphony"]),
+]
+
+# genre is only attached for festival/music (categorizer.py:6-14)
+_GENRE_CATEGORIES = {"festival", "music"}
+
+
+def _combined(name: Column, description: Column, venue: Column) -> Column:
+    """lower(name) + ' ' + lower(desc) + ' ' + lower(venue), nulls → ''
+    (reference categorizer.py:2-4: f-string over lowered-or-empty parts)."""
+    parts = [F.coalesce(F.lower(c), F.lit("")) for c in (name, description, venue)]
+    return F.concat_ws(" ", *parts)
+
+
+def _any_contains(text: Column, keywords: list[str]) -> Column:
+    cond = F.lit(False)
+    for kw in keywords:
+        cond = cond | text.contains(kw)
+    return cond
+
+
+def detect_genre(text: Column) -> Column:
+    """First-match genre over an already-combined lowered text
+    (categorizer.py:17-32); 'general' fallback."""
+    expr = F.lit("general")
+    for genre, kws in reversed(GENRE_KEYWORDS):
+        expr = F.when(_any_contains(text, kws), F.lit(genre)).otherwise(expr)
+    return expr
+
+
+def categorize_event(
+    name: Column, description: Column | None = None, venue: Column | None = None
+) -> tuple[Column, Column]:
+    """Returns (category, genre) Columns (categorizer.py:1-14).
+
+    genre is NULL for comedy/theater/sports, detect_genre(...) for
+    festival/music — exactly the reference's tuple contract.
+    """
+    description = description if description is not None else F.lit(None)
+    venue = venue if venue is not None else F.lit(None)
+    combined = _combined(name, description, venue)
+
+    category = F.lit("music")
+    for cat, kws in reversed(CATEGORY_KEYWORDS):
+        category = F.when(_any_contains(combined, kws), F.lit(cat)).otherwise(category)
+
+    genre = F.when(category.isin(*_GENRE_CATEGORIES), detect_genre(combined)).otherwise(
+        F.lit(None).cast("string")
+    )
+    return category, genre
+
+
+# reference transformer.py:20 — sources whose category is authoritative
+TRUSTED_SOURCES = ("nashville_arcgis", "ticketmaster", "yelp", "google_places")
+
+
+def categorize_with_trust_gate(
+    source: Column,
+    existing_category: Column,
+    existing_genre: Column,
+    name: Column,
+    description: Column | None = None,
+    venue: Column | None = None,
+) -> tuple[Column, Column]:
+    """F9 (transformer.py:17-25): recategorize unless the source is trusted
+    AND a category is already present ('' counts as absent)."""
+    cat, gen = categorize_event(name, description, venue)
+    keep = source.isin(*TRUSTED_SOURCES) & existing_category.isNotNull() & (
+        existing_category != F.lit("")
+    )
+    return (
+        F.when(keep, existing_category).otherwise(cat),
+        F.when(keep, existing_genre).otherwise(gen),
+    )

@@ -1,0 +1,223 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All are pure DataFrame compositions (no Python row loops, no collect):
+
+- exact:        fingerprint (md5 of normalized content / bag-of-words)
+                → groupBy → keep representative. One shuffle on the hash.
+- MinHash+LSH:  shingle → k min-hashes → band buckets → equi-join on
+                band bucket → verify candidate pairs with exact Jaccard.
+                Candidate generation is an equi-join on band hash, so at
+                100 TB it shuffles only (band_hash, doc_id) pairs — never
+                the corpus cross product; the verify join fetches shingle
+                sets for the (small) candidate set only.
+- SimHash:      64-bit signed-bit-accumulation signature; near-dups are
+                pairs within Hamming distance d — bucketed by 4 16-bit
+                chunks (pigeonhole: d≤3 ⟹ some chunk equal).
+
+MinHash uses md5-hex min (lexicographic) rather than integer hashing:
+deterministic, engine-portable (the DuckDB oracle computes the identical
+signature), and uniform enough for banding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nashville_etl_service_backup_spark.functions.text import search_tokens, tokenize
+
+
+def shingles(tokens: Column, n: int = 2) -> Column:
+    """Distinct word n-grams from an ordered token array — pure
+    higher-order functions, no explode."""
+    if n == 1:
+        return F.array_distinct(tokens)
+    grams = F.transform(
+        F.slice(tokens, 1, F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", *([x] + [F.get(tokens, i + j) for j in range(1, n)])
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash(shingle_set: Column, seed: int) -> Column:
+    """One MinHash value: lexicographic min of seeded md5 over the set."""
+    return F.array_min(
+        F.transform(shingle_set, lambda t: F.md5(F.concat(F.lit(f"{seed}:"), t)))
+    )
+
+
+def minhash_signature(shingle_set: Column, num_hashes: int = 4) -> list[Column]:
+    return [minhash(shingle_set, k) for k in range(num_hashes)]
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, fingerprint: Column
+) -> DataFrame:
+    """Exact-duplicate groups: fingerprint → (fp, n_docs, min id).
+    Callers pick md5(text) for byte-exact or md5(sorted bag) for
+    order-insensitive duplicates."""
+    return (
+        df.select(F.col(id_col), fingerprint.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias(f"min_{id_col}"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, fingerprint: Column) -> DataFrame:
+    """Keep one representative (min id) per fingerprint — the scalable
+    dropDuplicates: one shuffle on the hash, map-side combinable."""
+    w_id = F.col(id_col)
+    return (
+        df.withColumn("_fp", fingerprint)
+        .withColumn(
+            "_keep",
+            F.min(w_id).over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "_fp"
+                )
+            ),
+        )
+        .filter(w_id == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    num_hashes: int = 4,
+    bands: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact Jaccard.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    toks = tokenize(F.col(text_col))
+    sh = shingles(toks, shingle_n)
+    sig = minhash_signature(sh, num_hashes)
+    band_cols = [
+        F.md5(F.concat_ws("|", *sig[b * rows_per_band : (b + 1) * rows_per_band]))
+        for b in range(bands)
+    ]
+    base = df.select(
+        F.col(id_col).alias("doc_id"), sh.alias("sh"), F.array(*band_cols).alias("bands")
+    )
+    # candidate generation: explode bands, equi-join on (band_idx, hash)
+    b = base.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verification: fetch both shingle sets, exact Jaccard
+    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash from token md5s: for each bit position, sum ±1 votes
+    over tokens; bit set iff the vote sum is positive. Returned as a
+    64-char '0'/'1' string (exact, portable).
+
+    Bit i of a token's hash lives in hex digit i//4 of its md5 (4 bits
+    per nibble) — all arithmetic on ints < 16, exact. Higher-order
+    functions only: distributed, no UDF, no explode.
+    """
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+
+    def tok_bit(t: Column, i: Column) -> Column:
+        nibble = F.conv(F.substring(F.md5(t), (i / 4).cast("int") + 1, 1), 16, 10)
+        shift = F.lit(3) - (i % 4)
+        return (
+            (nibble.cast("int") / F.pow(F.lit(2), shift.cast("double")))
+            .cast("int") % 2
+        )
+
+    votes = F.transform(
+        bit_idx,
+        lambda i: F.aggregate(
+            tokens,
+            F.lit(0),
+            lambda acc, t: acc + F.when(tok_bit(t, i) == 1, 1).otherwise(-1),
+        ),
+    )
+    bits = F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat_ws("", bits)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup: bucket by 4 16-bit chunks (pigeonhole for
+    hamming ≤ 3), verify with exact bit-difference count."""
+    sig = simhash64(search_tokens(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    chunks = base.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(*[F.substring("sig", 1 + 16 * i, 16) for i in range(4)])
+        ).alias("chunk_idx", "chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("sig_a", ""),
+                F.split("sig_b", ""),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,39 @@
+"""Deterministic LIMIT/OFFSET pagination — O3 (db_extractor.py:18,53-57).
+
+`row_number` over an explicit total ordering (caller MUST include a unique
+tiebreak column) then a range filter. At scale this is a global sort — fine
+for a serving query that pages the first few thousand rows; Spark's
+TakeOrderedAndProject handles small page*per_page efficiently without a
+full sort materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+PER_PAGE = 25  # app.py:10; db_extractor.py:6
+
+
+def paginate(
+    df: DataFrame,
+    order_by: list[Column],
+    page: int = 1,
+    per_page: int = PER_PAGE,
+    keep_row_number: bool = False,
+) -> DataFrame:
+    w = Window.orderBy(*order_by)
+    lo = (page - 1) * per_page
+    hi = page * per_page
+    out = df.withColumn("_rn", F.row_number().over(w)).filter(
+        (F.col("_rn") > lo) & (F.col("_rn") <= hi)
+    )
+    if keep_row_number:
+        return out.withColumnRenamed("_rn", "row_num")
+    return out.drop("_rn")
+
+
+def page_count(total: Column, per_page: int = PER_PAGE) -> Column:
+    """A5 (db_extractor.py:50): ceil(total/per_page)."""
+    return F.ceil(total / F.lit(per_page)).cast("long")

@@ -1,0 +1,116 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure built-in expressions (JVM-side); the heuristics are deliberately
+simple-but-deterministic so the DuckDB oracle can compute the identical
+values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from nashville_etl_service_backup_spark.functions.text import (
+    normalize_text,
+    search_tokens,
+    tokenize,
+)
+
+# stopword lists per language for the n-gram-free language-ID heuristic;
+# ordered — first language reaching max hits wins (ties → earlier entry).
+LANG_STOPWORDS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "and", "of", "to", "in", "is"]),
+    ("es", ["el", "la", "de", "que", "y", "los"]),
+    ("de", ["der", "die", "das", "und", "ist", "nicht"]),
+    ("fr", ["le", "la", "les", "de", "et", "est"]),
+]
+
+QUALITY_STOPWORDS = ["the", "a", "and", "of", "to"]
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count (after normalization)."""
+    return F.size(tokenize(text)).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish regex token count over the lowercased raw text."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0)).cast(
+        "long"
+    )
+
+
+def stopword_count(tokens: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or QUALITY_STOPWORDS
+    return F.size(F.filter(tokens, lambda t: t.isin(*sw))).cast("long")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality features + composite score ∈ [0,1]:
+    0.5·uniq_ratio + 0.3·(1−stop_ratio) + 0.2·min(n_tokens/300, 1)."""
+    toks = tokenize(text)
+    n_tokens = F.size(toks).cast("long")
+    n_unique = F.size(F.array_distinct(toks)).cast("long")
+    nt_d = n_tokens.cast("double")
+    stop_ratio = F.when(
+        n_tokens > 0, stopword_count(toks).cast("double") / nt_d
+    ).otherwise(F.lit(0.0))
+    uniq_ratio = F.when(n_tokens > 0, n_unique.cast("double") / nt_d).otherwise(
+        F.lit(0.0)
+    )
+    quality = F.round(
+        F.lit(0.5) * uniq_ratio
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * F.least(nt_d / F.lit(300.0), F.lit(1.0)),
+        6,
+    )
+    return {
+        "n_tokens": n_tokens,
+        "n_unique": n_unique,
+        "stop_ratio": F.round(stop_ratio, 6),
+        "uniq_ratio": F.round(uniq_ratio, 6),
+        "quality": quality,
+    }
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-hit language ID: language with the most distinct stopword
+    hits; ties resolved by list order; zero hits → 'und'."""
+    toks = search_tokens(text)
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in LANG_STOPWORDS
+    }
+    best = F.greatest(*hits.values()) if len(hits) > 1 else list(hits.values())[0]
+    pred = F.lit("und")
+    for lang, _ in reversed(LANG_STOPWORDS):
+        pred = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            pred
+        )
+    return pred
+
+
+def content_fingerprint(text: Column) -> Column:
+    """md5 of the normalized text — byte-level (order-sensitive) dup key."""
+    return F.md5(normalize_text(text))
+
+
+def bag_fingerprint(text: Column) -> Column:
+    """md5 of the sorted distinct token set — order-insensitive dup key."""
+    return F.md5(F.array_join(F.array_sort(search_tokens(text)), " "))
+
+
+def rolling_hash(text: Column, mod: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling hash over the normalized text's characters —
+    the classic Rabin-Karp document fingerprint, as a higher-order fold
+    (exact int arithmetic via pmod at every step, no overflow)."""
+    chars = F.split(normalize_text(text), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * base + F.coalesce(F.ascii(c), F.lit(0)), F.lit(mod)),
+    )

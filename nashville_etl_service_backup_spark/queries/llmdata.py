@@ -1,0 +1,308 @@
+"""Training-data-pipeline extension queries (BASELINE.json north star):
+deduplication, similarity search, text analysis — each over the driver's
+`documents` / `embeddings` tables with a value-identical DuckDB oracle
+(except the ANN variant, which is rows-only by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nashville_etl_service_backup_spark.functions.text import tokenize
+from nashville_etl_service_backup_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_near_dup_pairs,
+    minhash_signature,
+    shingles,
+)
+from nashville_etl_service_backup_spark.operators.similarity import (
+    as_double,
+    cosine_topk,
+    lsh_bucket_topk,
+)
+from nashville_etl_service_backup_spark.operators.text_analysis import (
+    bag_fingerprint,
+    bpe_token_count,
+    content_fingerprint,
+    language_id,
+    quality_features,
+    ws_token_count,
+)
+from nashville_etl_service_backup_spark.queries._util import (
+    DUCK_TOKENS_DISTINCT,
+    DUCK_TOKENS_ORDERED,
+    dsum,
+)
+from nashville_etl_service_backup_spark.tables import load
+
+
+def dedup_exact_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (bag-of-words) duplicate groups over documents."""
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", bag_fingerprint(F.col("text")))
+
+
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 4-hash MinHash signature (the LSH building block)."""
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signature(tokenize(F.col("text")), num_hashes=4)
+    return docs.select(
+        "doc_id", *[s.alias(f"minhash_{k}") for k, s in enumerate(sig)]
+    )
+
+
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (bigram shingles, 4 hashes,
+    2 bands, Jaccard ≥ 0.6) with exact-Jaccard verification."""
+    docs = load(spark, sf_dir, "documents")
+    return lsh_near_dup_pairs(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=4, bands=2, threshold=0.6
+    )
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0 — the ANN baseline."""
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), query, k=10)
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via sign-random-projection buckets (rows-only check:
+    bucket membership is engine-internal; quality asserted in tests
+    against the brute-force baseline)."""
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    return lsh_bucket_topk(
+        emb.filter(F.col("vec_id") != 0), query, k=10, n_planes=4
+    )
+
+
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring aggregated per language."""
+    docs = load(spark, sf_dir, "documents")
+    qf = quality_features(F.col("text"))
+    per_doc = docs.select("lang", qf["quality"].alias("quality"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(dsum(F.col("quality"), scale=6) / F.count(F.lit(1)), 6).alias(
+            "avg_quality"
+        ),
+    )
+
+
+def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (the row-level scoring table)."""
+    docs = load(spark, sf_dir, "documents")
+    qf = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        qf["n_tokens"].alias("n_tokens"),
+        qf["n_unique"].alias("n_unique"),
+        qf["stop_ratio"].alias("stop_ratio"),
+        qf["uniq_ratio"].alias("uniq_ratio"),
+        qf["quality"].alias("quality"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs. the labeled lang column (confusion counts)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", language_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting aggregated per source."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        ws_token_count(F.col("text")).alias("ws"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("total_ws_tokens"),
+        F.sum("bpe").alias("total_bpe_tokens"),
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content (order-sensitive) + bag (order-insensitive) fingerprints."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        content_fingerprint(F.col("text")).alias("content_fp"),
+        bag_fingerprint(F.col("text")).alias("bag_fp"),
+    )
+
+
+QUERIES = {
+    "dedup_exact_bow": dedup_exact_bow,
+    "dedup_minhash_sig": dedup_minhash_sig,
+    "dedup_lsh_pairs": dedup_lsh_pairs,
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_ann_lsh": sim_ann_lsh,
+    "text_quality_by_lang": text_quality_by_lang,
+    "text_quality_docs": text_quality_docs,
+    "text_lang_id": text_lang_id,
+    "text_token_counts": text_token_counts,
+    "doc_fingerprints": doc_fingerprints,
+}
+
+_TOKS_D = DUCK_TOKENS_DISTINCT.format(col="text")
+_TOKS_O = DUCK_TOKENS_ORDERED.format(col="text")
+
+# bigram shingles over ordered tokens, then distinct
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))"
+)
+
+_MINHASH = "list_min(list_transform({s}, t -> md5('{k}:' || t)))"
+
+ORACLES = {
+    "dedup_exact_bow": f"""
+SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM (SELECT doc_id,
+        md5(array_to_string(list_sort({_TOKS_D}), ' ')) AS fp
+      FROM documents)
+GROUP BY fp
+HAVING COUNT(*) > 1
+""",
+    "dedup_minhash_sig": f"""
+SELECT doc_id,
+  {_MINHASH.format(s='tk', k=0)} AS minhash_0,
+  {_MINHASH.format(s='tk', k=1)} AS minhash_1,
+  {_MINHASH.format(s='tk', k=2)} AS minhash_2,
+  {_MINHASH.format(s='tk', k=3)} AS minhash_3
+FROM (SELECT doc_id, {_TOKS_O} AS tk FROM documents)
+""",
+    "dedup_lsh_pairs": f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_O} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, {_SHINGLES} AS s FROM tok),
+sig AS (
+  SELECT doc_id, s,
+    md5({_MINHASH.format(s='s', k=0)} || '|' || {_MINHASH.format(s='s', k=1)}) AS b0,
+    md5({_MINHASH.format(s='s', k=2)} || '|' || {_MINHASH.format(s='s', k=3)}) AS b1
+  FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1))
+SELECT doc_a, doc_b,
+  ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.6
+""",
+    "sim_topk_bruteforce": """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> 0),
+scored AS (
+  SELECT vec_id, label,
+    list_sum(list_transform(range(1, len(v)+1), i -> v[i] * qv[i]))
+      / (sqrt(list_sum(list_transform(v, x -> x*x)))
+         * sqrt(list_sum(list_transform(qv, x -> x*x)))) AS c
+  FROM s, q)
+SELECT vec_id, label, ROUND(c, 4) AS cosine
+FROM scored
+ORDER BY c DESC, vec_id ASC
+LIMIT 10
+""",
+    # sim_ann_lsh: intentionally no oracle (rows-only) — bucket membership
+    # depends on engine-side hyperplane evaluation.
+    "text_quality_by_lang": f"""
+WITH t AS (
+  SELECT lang, {_TOKS_O} AS tk FROM documents),
+f AS (
+  SELECT lang,
+    len(tk) AS n_tokens,
+    len(list_distinct(tk)) AS n_unique,
+    CASE WHEN len(tk) > 0
+         THEN CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to')))
+                   AS DOUBLE)/len(tk) ELSE 0.0 END AS stop_ratio,
+    CASE WHEN len(tk) > 0
+         THEN CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk) ELSE 0.0 END
+      AS uniq_ratio
+  FROM t)
+SELECT lang, COUNT(*) AS n_docs,
+  ROUND(CAST(SUM(CAST(
+    ROUND(0.5*uniq_ratio + 0.3*(1.0-stop_ratio)
+          + 0.2*LEAST(n_tokens/300.0, 1.0), 6)
+  AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*), 6) AS avg_quality
+FROM f
+GROUP BY lang
+""",
+    "text_quality_docs": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_O} AS tk FROM documents)
+SELECT doc_id,
+  CAST(len(tk) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(tk)) AS BIGINT) AS n_unique,
+  ROUND(CASE WHEN len(tk) > 0
+        THEN CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to')))
+                  AS DOUBLE)/len(tk) ELSE 0.0 END, 6) AS stop_ratio,
+  ROUND(CASE WHEN len(tk) > 0
+        THEN CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk) ELSE 0.0 END, 6)
+    AS uniq_ratio,
+  ROUND(0.5*(CASE WHEN len(tk) > 0
+             THEN CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk) ELSE 0.0 END)
+      + 0.3*(1.0 - CASE WHEN len(tk) > 0
+             THEN CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to')))
+                       AS DOUBLE)/len(tk) ELSE 0.0 END)
+      + 0.2*LEAST(len(tk)/300.0, 1.0), 6) AS quality
+FROM t
+""",
+    "text_lang_id": f"""
+WITH t AS (
+  SELECT lang, {_TOKS_D} AS tk FROM documents),
+h AS (
+  SELECT lang,
+    len(list_intersect(tk, ['the','a','and','of','to','in','is'])) AS h_en,
+    len(list_intersect(tk, ['el','la','de','que','y','los'])) AS h_es,
+    len(list_intersect(tk, ['der','die','das','und','ist','nicht'])) AS h_de,
+    len(list_intersect(tk, ['le','la','les','de','et','est'])) AS h_fr
+  FROM t)
+SELECT lang,
+  CASE
+    WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+    WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+    WHEN h_de > 0 AND h_de >= h_fr THEN 'de'
+    WHEN h_fr > 0 THEN 'fr'
+    ELSE 'und'
+  END AS predicted,
+  COUNT(*) AS n
+FROM h
+GROUP BY 1, 2
+""",
+    "text_token_counts": f"""
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(len({_TOKS_O})) AS BIGINT) AS total_ws_tokens,
+  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')))
+       AS BIGINT) AS total_bpe_tokens
+FROM documents
+GROUP BY source
+""",
+    "doc_fingerprints": f"""
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_fp,
+  md5(array_to_string(list_sort({_TOKS_D}), ' ')) AS bag_fp
+FROM documents
+""",
+}

@@ -1,0 +1,237 @@
+"""Serving-query surface (reference §3.3: app.py → db_extractor.py) and
+event-stream analytics re-expressed over the driver testdata.
+
+Maps SURVEY §2 operators: P5 (dynamic filters), F14/F15 (tsvector/ts_rank
+analog), O1–O3 (order + paginate), A1/A2 (count, distinct dims), U1/F22
+(JSON roundtrip), §2.10 windowed aggregation (tumbling + sliding), pivot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nashville_etl_service_backup_spark.functions.text import (
+    query_tokens,
+    search_tokens,
+    text_match,
+    text_rank,
+)
+from nashville_etl_service_backup_spark.operators.pagination import paginate
+from nashville_etl_service_backup_spark.queries._util import (
+    DUCK_TOKENS_DISTINCT,
+    dsum,
+    fmt_ts,
+)
+from nashville_etl_service_backup_spark.tables import load
+
+SEARCH_QUERY = "spark join window"  # all three tokens in the corpus vocab
+
+
+def q_doc_search_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/F15/O2: full-text AND-match + relevance rank + top-20
+    (db_extractor.py:44-51 analog over `documents`)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = search_tokens(F.col("text"))
+    q = query_tokens(SEARCH_QUERY)
+    scored = (
+        docs.withColumn("_toks", toks)
+        .filter(text_match(F.col("_toks"), q))
+        .withColumn("score", F.round(text_rank(F.col("_toks"), q), 6))
+    )
+    return (
+        scored.select("doc_id", "lang", "source", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q_paginate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O3: deterministic browse-order pagination, page 3 of 25
+    (db_extractor.py:51-57)."""
+    ev = load(spark, sf_dir, "events")
+    page = paginate(ev, [F.asc("ts"), F.asc("event_id")], page=3, per_page=25)
+    return page.select(
+        "event_id", fmt_ts(F.col("ts")).alias("ts_str"), "event_type", "value"
+    )
+
+
+def q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (db_extractor.py:28-32): dropdown dimension values."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("event_type")
+        .where(F.col("event_type").isNotNull())
+        .distinct()
+        .orderBy("event_type")
+    )
+
+
+def q_count_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/P5: filtered count + sum (serving pagination math input)."""
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 50.0)
+    )
+    return ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value"), scale=6).alias("total_value"),
+    )
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: tumbling 1-hour window aggregation (batch form of the
+    streaming window — same plan shape as readStream + window())."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), scale=6).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: sliding 2h/1h window — each event lands in two windows."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22/S18: to_json → raw zone string → from_json → project → agg;
+    the bronze-zone parse path (pipelines.py:15 / transform_data.py:59)
+    over the events table. The oracle is the algebraic identity."""
+    ev = load(spark, sf_dir, "events")
+    raw = ev.select(
+        F.to_json(F.struct("event_id", "event_type", "value")).alias("raw_json")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    parsed = raw.select(F.from_json("raw_json", schema).alias("r")).select("r.*")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value"), scale=6).alias("total_value"),
+    )
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (conditional aggregation): daily counts per event type."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = ev.select(day, "event_type").groupBy("day").pivot("event_type", types).count()
+    return p.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+QUERIES = {
+    "q_doc_search_rank": q_doc_search_rank,
+    "q_paginate_events": q_paginate_events,
+    "q_distinct_event_types": q_distinct_event_types,
+    "q_count_purchases": q_count_purchases,
+    "q_tumbling_window": q_tumbling_window,
+    "q_sliding_window": q_sliding_window,
+    "q_json_roundtrip": q_json_roundtrip,
+    "q_events_pivot": q_events_pivot,
+}
+
+_TOKS = DUCK_TOKENS_DISTINCT.format(col="text")
+
+ORACLES = {
+    "q_doc_search_rank": f"""
+WITH t AS (
+  SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents)
+SELECT doc_id, lang, source,
+  ROUND(CAST(len(list_intersect(toks, ['join','spark','window'])) AS DOUBLE)
+        / len(toks), 6) AS score
+FROM t
+WHERE len(list_intersect(toks, ['join','spark','window'])) = 3
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+""",
+    "q_paginate_events": """
+SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       event_type, value
+FROM events
+ORDER BY ts, event_id
+LIMIT 25 OFFSET 50
+""",
+    "q_distinct_event_types": """
+SELECT DISTINCT event_type FROM events
+WHERE event_type IS NOT NULL
+ORDER BY event_type
+""",
+    "q_count_purchases": """
+SELECT COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type = 'purchase' AND value > 50.0
+""",
+    "q_tumbling_window": """
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    "q_sliding_window": """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users
+FROM (
+  SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR])
+           AS ws,
+         user_id
+  FROM events)
+GROUP BY 1
+""",
+    "q_json_roundtrip": """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    "q_events_pivot": """
+SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+  COUNT(*) FILTER (event_type = 'click')    AS click,
+  COUNT(*) FILTER (event_type = 'error')    AS error,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (event_type = 'signup')   AS signup,
+  COUNT(*) FILTER (event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+""",
+}
