@@ -52,6 +52,20 @@ def minhash_signature(shingle_set: Column, num_hashes: int = 4) -> list[Column]:
     return [minhash(shingle_set, k) for k in range(num_hashes)]
 
 
+def minhash_signature_sliced(shingle_set: Column, num_hashes: int = 4) -> list[Column]:
+    """MinHash signature from ONE md5 per shingle: non-overlapping
+    8-hex-char slices of the digest are independent uniform 32-bit
+    hashes. 4× cheaper than seeded re-hashing; md5's 32 hex chars cap
+    num_hashes at 4."""
+    if num_hashes > 4:
+        raise ValueError("sliced signature supports at most 4 hashes")
+    hashed = F.transform(shingle_set, lambda t: F.md5(t))
+    return [
+        F.array_min(F.transform(hashed, lambda h: F.substring(h, 1 + 8 * k, 8)))
+        for k in range(num_hashes)
+    ]
+
+
 def exact_dedup_groups(
     df: DataFrame, id_col: str, fingerprint: Column
 ) -> DataFrame:
@@ -104,14 +118,27 @@ def lsh_near_dup_pairs(
     rows_per_band = num_hashes // bands
     toks = tokenize(F.col(text_col))
     sh = shingles(toks, shingle_n)
-    sig = minhash_signature(sh, num_hashes)
+    # Build stepwise through named columns so the tokenize→shingle→md5
+    # pipeline is computed ONCE, not re-derived per minhash column
+    # (expression-level reuse is not guaranteed across array lambdas).
+    hashed = df.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).withColumn(
+        "_hs", F.transform("sh", F.md5)
+    )
+    sig = [
+        F.array_min(F.transform("_hs", lambda h: F.substring(h, 1 + 8 * k, 8)))
+        for k in range(num_hashes)
+    ]
     band_cols = [
-        F.md5(F.concat_ws("|", *sig[b * rows_per_band : (b + 1) * rows_per_band]))
+        F.concat_ws("|", *sig[b * rows_per_band : (b + 1) * rows_per_band])
         for b in range(bands)
     ]
-    base = df.select(
-        F.col(id_col).alias("doc_id"), sh.alias("sh"), F.array(*band_cols).alias("bands")
-    )
+    # The signature frame feeds three plan branches (band explode + both
+    # sides of the verify join): persist it so the signature pipeline
+    # runs once, not 4×. At 100 TB this is the standard "materialize
+    # signatures" stage of an LSH dedup (disk-backed, partitioned).
+    base = hashed.select(
+        "doc_id", "sh", F.array(*band_cols).alias("bands")
+    ).persist()
     # candidate generation: explode bands, equi-join on (band_idx, hash)
     b = base.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")

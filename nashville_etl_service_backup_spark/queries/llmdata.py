@@ -167,6 +167,8 @@ _SHINGLES = (
 )
 
 _MINHASH = "list_min(list_transform({s}, t -> md5('{k}:' || t)))"
+# sliced variant: one md5 per shingle, 8-hex-char slice per hash index
+_MINHASH_SLICE = "list_min(list_transform({s}, t -> substr(md5(t), {off}, 8)))"
 
 ORACLES = {
     "dedup_exact_bow": f"""
@@ -192,8 +194,8 @@ sh AS (
   SELECT doc_id, {_SHINGLES} AS s FROM tok),
 sig AS (
   SELECT doc_id, s,
-    md5({_MINHASH.format(s='s', k=0)} || '|' || {_MINHASH.format(s='s', k=1)}) AS b0,
-    md5({_MINHASH.format(s='s', k=2)} || '|' || {_MINHASH.format(s='s', k=3)}) AS b1
+    {_MINHASH_SLICE.format(s='s', off=1)} || '|' || {_MINHASH_SLICE.format(s='s', off=9)} AS b0,
+    {_MINHASH_SLICE.format(s='s', off=17)} || '|' || {_MINHASH_SLICE.format(s='s', off=25)} AS b1
   FROM sh),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
