@@ -17,7 +17,9 @@ def safe_double(c: Column) -> Column:
     ' 36.1 ' parses like Python float() would.
     """
     trimmed = F.trim(c.cast("string"))
-    return F.when(trimmed == "", F.lit(None)).otherwise(trimmed).cast("double")
+    # try_cast, not cast: ANSI mode (Spark 4 default) makes cast throw on
+    # malformed input; the reference's semantics are null-on-failure.
+    return F.when(trimmed == "", F.lit(None)).otherwise(trimmed).try_cast("double")
 
 
 def standardize_venue_name(name: Column) -> Column:

@@ -77,8 +77,10 @@ def _underdog_branch(raw: Column) -> Column:
     """F3 (standardizer.py:27-46): 'Month D, YYYY | H:MMPM TZ'; tz token
     CDT/CST→Chicago, EDT/EST→New_York, default Chicago; unparseable → NULL
     (the reference's except path returns None)."""
-    date_part = F.trim(F.split(raw, r"\|").getItem(0))
-    time_part = F.trim(F.split(raw, r"\|").getItem(1))
+    # F.get, not getItem: null-safe when the '|' is absent (ANSI mode
+    # throws on out-of-bounds getItem); reference's except path → NULL.
+    date_part = F.trim(F.get(F.split(raw, r"\|"), 0))
+    time_part = F.trim(F.get(F.split(raw, r"\|"), 1))
     tz_token = F.regexp_extract(time_part, r"(CDT|CST|EDT|EST)", 1)
     tz = F.when(tz_token.isin("EDT", "EST"), F.lit("America/New_York")).otherwise(
         F.lit("America/Chicago")

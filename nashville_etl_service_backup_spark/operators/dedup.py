@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nashville_etl_service_backup_spark.functions.text import search_tokens, tokenize
+from nashville_etl_service_backup_spark.functions.text import tokenize
 
 
 def shingles(tokens: Column, n: int = 2) -> Column:
@@ -208,7 +208,9 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash near-dup: bucket by 4 16-bit chunks (pigeonhole for
     hamming ≤ 3), verify with exact bit-difference count."""
-    sig = simhash64(search_tokens(F.col(text_col)))
+    # tokenize (duplicates kept), not search_tokens: frequency-weighted
+    # votes are the standard SimHash and keep near-identical docs close.
+    sig = simhash64(tokenize(F.col(text_col)))
     base = df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
     chunks = base.select(
         "doc_id",

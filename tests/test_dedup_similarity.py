@@ -1,0 +1,135 @@
+"""Dedup + similarity operators: exact groups, shingles, MinHash-LSH on a
+planted near-duplicate, SimHash hamming, brute-force vs ANN top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nashville_etl_service_backup_spark.functions.text import tokenize
+from nashville_etl_service_backup_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    lsh_near_dup_pairs,
+    shingles,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+from nashville_etl_service_backup_spark.operators.similarity import (
+    as_double,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucket_topk,
+)
+from nashville_etl_service_backup_spark.operators.text_analysis import (
+    bag_fingerprint,
+    rolling_hash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays "
+    "loud rock music on the main stage tonight under bright lights"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one token differs
+FAR = "completely different text about databases and query optimization engines"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)],  # 4 = exact dup of 1
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_groups_and_keep(spark):
+    docs = _docs(spark)
+    groups = exact_dedup_groups(docs, "doc_id", bag_fingerprint(F.col("text")))
+    g = groups.collect()
+    assert len(g) == 1 and g[0].n_docs == 2 and g[0].min_doc_id == 1
+    kept = exact_dedup(docs, "doc_id", bag_fingerprint(F.col("text")))
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 3]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    row = df.select(shingles(tokenize(F.col("t")), 2).alias("s")).collect()[0]
+    assert row.s == ["a b", "b c", "c d"]
+    row3 = df.select(shingles(tokenize(F.col("t")), 3).alias("s")).collect()[0]
+    assert row3.s == ["a b c", "b c d"]
+
+
+def test_lsh_finds_planted_near_dup(spark):
+    pairs = lsh_near_dup_pairs(_docs(spark), "doc_id", "text", threshold=0.5)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    assert (1, 4) in got and got[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in got and 0.5 <= got[(1, 2)] < 1.0  # planted near-dup
+    assert not any(3 in p for p in got)  # unrelated doc never pairs
+
+
+def test_simhash_near_dup(spark):
+    docs = _docs(spark)
+    sig = docs.select(simhash64(tokenize(F.col("text"))).alias("s")).collect()
+    assert all(len(r.s) == 64 and set(r.s) <= {"0", "1"} for r in sig)
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=10)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 4)] == 0  # identical text → identical signature
+    assert (1, 2) in got  # near-dup within hamming 10
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def _emb(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        # ring of unit vectors in 2D padded to 8 dims; vec 1 closest to vec 0
+        ang = i * 0.12
+        rows.append((i, [math.cos(ang), math.sin(ang)] + [0.0] * 6))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    top = cosine_topk(
+        emb.filter(F.col("vec_id") != 0), q, k=3, extra_cols=()
+    ).collect()
+    assert [r.vec_id for r in top] == [1, 2, 3]  # angular order
+    assert top[0].cosine > top[1].cosine > top[2].cosine
+
+
+def test_ann_lsh_contains_true_neighbor(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    ann = lsh_bucket_topk(
+        emb.filter(F.col("vec_id") != 0), q, k=5, dim=8, n_planes=2, extra_cols=()
+    ).collect()
+    assert len(ann) >= 1
+    # every ANN hit must be a genuinely close vector (cosine sanity)
+    assert all(r.cosine > 0.5 for r in ann)
+
+
+def test_embedding_near_dup_pairs(spark):
+    import math
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup_pairs(emb, dim=4, n_planes=4, threshold=0.99)
+    got = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert got == [(1, 2)]
+
+
+def test_rolling_hash_deterministic(spark):
+    df = spark.createDataFrame([("abc",), ("abc",), ("abd",)], "t string")
+    vals = [r.v for r in df.select(rolling_hash(F.col("t")).alias("v")).collect()]
+    assert vals[0] == vals[1] != vals[2]
+    # matches the closed form ((a*31+b)*31+c) mod p
+    a, b, c = ord("a"), ord("b"), ord("c")
+    assert vals[0] == ((a * 31 + b) * 31 + c) % 1_000_000_007

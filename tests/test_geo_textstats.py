@@ -1,0 +1,81 @@
+"""Geo helpers (centroid, range validation, CRS approx) and text-analysis
+operators (lang id, quality, token counts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nashville_etl_service_backup_spark.functions.geo import (
+    ring_centroid,
+    state_plane_to_wgs84_approx,
+    validate_coords,
+)
+from nashville_etl_service_backup_spark.operators.text_analysis import (
+    bpe_token_count,
+    language_id,
+    quality_features,
+    ws_token_count,
+)
+
+
+def test_ring_centroid(spark):
+    df = spark.createDataFrame(
+        [([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]],)],
+        "ring array<array<double>>",
+    )
+    c = df.select(ring_centroid(F.col("ring")).alias("c")).collect()[0].c
+    assert (c.x, c.y) == (1.0, 1.0)
+
+
+def test_validate_coords(spark):
+    df = spark.createDataFrame(
+        [(36.16, -86.78), (40.0, -86.78), (36.16, -80.0)], "lat double, lng double"
+    )
+    la, ln = validate_coords(F.col("lat"), F.col("lng"))
+    got = df.select(la.alias("a"), ln.alias("b")).collect()
+    assert (got[0].a, got[0].b) == (36.16, -86.78)
+    assert got[1].a is None and got[1].b is None  # lat out of range
+    assert got[2].a is None and got[2].b is None  # lng out of range
+
+
+def test_state_plane_approx_near_nashville(spark):
+    # downtown Nashville is ~ (1.74e6, 6.66e5) ft in EPSG:2274
+    df = spark.createDataFrame([(1738000.0, 665000.0)], "x double, y double")
+    lat, lng = state_plane_to_wgs84_approx(F.col("x"), F.col("y"))
+    r = df.select(lat.alias("lat"), lng.alias("lng")).collect()[0]
+    assert 35.0 < r.lat < 37.0 and -88.0 < r.lng < -85.0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog in a house",),
+         ("el perro y la casa de los gatos",),
+         ("zzz qqq xxx",)],
+        "text string",
+    )
+    got = [r.p for r in df.select(language_id(F.col("text")).alias("p")).collect()]
+    assert got == ["en", "es", "und"]
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([("the the the",), ("alpha beta gamma",)], "text string")
+    qf = quality_features(F.col("text"))
+    rows = df.select(
+        qf["n_tokens"].alias("n"), qf["n_unique"].alias("u"),
+        qf["stop_ratio"].alias("s"), qf["quality"].alias("q"),
+    ).collect()
+    assert (rows[0].n, rows[0].u, rows[0].s) == (3, 1, 1.0)
+    assert (rows[1].n, rows[1].u, rows[1].s) == (3, 3, 0.0)
+    assert rows[1].q > rows[0].q  # diverse, stopword-free text scores higher
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello world, it's 2024!",)], "text string")
+    r = df.select(
+        ws_token_count(F.col("text")).alias("ws"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+    ).collect()[0]
+    # ws: hello world it s 2024 → 5
+    assert r.ws == 5
+    # bpe: hello, world, ',', it, ''', s, 2024, '!' → 8
+    assert r.bpe == 8
