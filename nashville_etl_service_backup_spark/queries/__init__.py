@@ -19,20 +19,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nashville_etl_service_backup_spark.queries import llmdata, serving_q, tpch
+from nashville_etl_service_backup_spark.queries import (
+    etl_e2e,
+    llmdata,
+    serving_q,
+    tpch,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
-    for mod in (tpch, serving_q, llmdata):
+    for mod in (tpch, serving_q, llmdata, etl_e2e):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (tpch, serving_q, llmdata):
+    for mod in (tpch, serving_q, llmdata, etl_e2e):
         out.update(mod.ORACLES)
     return out

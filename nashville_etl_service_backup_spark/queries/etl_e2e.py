@@ -1,0 +1,156 @@
+"""End-to-end ETL pipeline query — the reference's §3.1 flagship flow
+(raw zone → dispatch → per-source canonicalization → union → standardize
+→ dedup) run as ONE oracle-checked query.
+
+The raw zone is constructed deterministically from the `events` table:
+every field is a pure function of pair_id = event_id div 2, so the two
+rows sharing a url are byte-identical and the dedup result is
+well-defined in both engines. The Spark side round-trips through
+to_json/from_json (F22) and the real dispatch/union plan; the DuckDB
+oracle computes the final table directly (the algebraic result of the
+same per-source semantics).
+
+Covers in one hash-checked query: P1–P4, U1, K2 (within-batch), F1/F3
+(date branches incl. tz offset), F5, F6, F7/F8/F9 (categorize + trust
+gate), F10, F22.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nashville_etl_service_backup_spark.plans.canonicalize import run_pipeline
+from nashville_etl_service_backup_spark.tables import load
+
+
+def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pair = F.expr("event_id div 2")
+    ps = pair.cast("string")
+    idx = pair % 6
+    spider = (
+        F.when(idx == 0, "ticketmaster")
+        .when(idx == 1, "seatgeek")
+        .when(idx == 2, "yelp")
+        .when(idx == 3, "google_places")
+        .when(idx == 4, "nashville_arcgis")
+        .otherwise("underdog")
+    )
+    day = pair % 28 + 1
+    dd = F.lpad(day.cast("string"), 2, "0")
+    hh = F.lpad((pair % 24).cast("string"), 2, "0")
+    iso_date = F.concat(F.lit("2025-06-"), dd, F.lit(" "), hh, F.lit(":30:00"))
+    ud_date = F.concat(F.lit("June "), day.cast("string"), F.lit(", 2025 | 7:30PM CDT"))
+    date_raw = (
+        F.when(spider.isin("ticketmaster", "seatgeek"), iso_date)
+        .when(spider == "underdog", ud_date)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    catv = pair % 4
+    cat_raw = (
+        F.when(catv == 1, "rock concert")
+        .when(catv == 2, "food fair")
+        .when(catv == 3, "family fun")
+    )  # catv==0 → NULL → per-source default
+    descv = pair % 5
+    desc = (
+        F.when(descv == 0, "rock fest tonight")
+        .when(descv == 1, "comedy showcase")
+        .when(descv == 2, "broadway play")
+        .when(descv == 3, "big game day")
+        .otherwise("quiet evening jazz")
+    )
+    venue = F.when(pair % 7 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("Venue "), (pair % 50).cast("string"))
+    )
+    latv = pair % 5
+    lat_raw = F.when(latv == 0, "not-a-number").otherwise(
+        F.concat(F.lit("36."), (pair % 9 + 1).cast("string"))
+    )
+    lng_raw = F.when(latv == 0, "").otherwise(
+        F.concat(F.lit("-86."), (pair % 9 + 1).cast("string"))
+    )
+    pricev = pair % 4
+    price_raw = (
+        F.when(pricev == 0, "FREE").when(pricev == 1, "$15").when(pricev == 2, "20.5")
+    )  # pricev==3 → NULL
+
+    item = F.struct(
+        F.concat(F.lit("Event "), ps).alias("name"),
+        F.concat(F.lit("https://ex.com/e/"), ps).alias("url"),
+        desc.alias("description"),
+        venue.alias("venue_name"),
+        date_raw.alias("event_date"),
+        cat_raw.alias("category"),
+        lat_raw.alias("latitude"),
+        lng_raw.alias("longitude"),
+        price_raw.alias("price"),
+    )
+    raw = ev.select(
+        F.col("event_id").alias("id"),
+        spider.alias("source_spider"),
+        F.to_json(item).alias("raw_json"),
+    )
+    out = run_pipeline(raw, now_year=2025)
+    return out.select(
+        "url", "name", "source", "category", "genre", "event_date",
+        "venue_name", "price", "latitude", "longitude",
+    )
+
+
+QUERIES = {"q_etl_pipeline": q_etl_pipeline}
+
+ORACLES = {
+    "q_etl_pipeline": """
+WITH p AS (SELECT DISTINCT event_id // 2 AS pair FROM events),
+d AS (
+  SELECT pair,
+    pair % 6  AS idx,
+    pair % 28 + 1 AS day,
+    lpad(CAST(pair % 28 + 1 AS VARCHAR), 2, '0') AS dd,
+    lpad(CAST(pair % 24 AS VARCHAR), 2, '0') AS hh,
+    pair % 4 AS catv,
+    pair % 5 AS descv,
+    pair % 4 AS pricev,
+    pair % 5 AS latv
+  FROM p)
+SELECT
+  'https://ex.com/e/' || pair AS url,
+  'Event ' || pair AS name,
+  CASE idx WHEN 0 THEN 'Ticketmaster' WHEN 1 THEN 'SeatGeek'
+           WHEN 2 THEN 'Yelp' WHEN 3 THEN 'Google Places'
+           WHEN 4 THEN 'Nashville ArcGIS' ELSE 'Underdog Venue' END AS source,
+  CASE WHEN idx IN (0,2,3,4) THEN
+    -- trusted sources: canonicalized category kept (defaults title-cased)
+    CASE WHEN catv = 1 THEN 'Rock Concert'
+         WHEN catv = 2 THEN 'Food Fair'
+         WHEN catv = 3 THEN 'Family Fun'
+         ELSE CASE idx WHEN 0 THEN 'Event' WHEN 2 THEN 'Business'
+                       WHEN 3 THEN 'Attraction' ELSE 'Civic Facility' END END
+  ELSE
+    -- seatgeek/underdog: recategorized from name+desc+venue keywords
+    CASE descv WHEN 0 THEN 'festival' WHEN 1 THEN 'comedy'
+               WHEN 2 THEN 'theater' WHEN 3 THEN 'sports' ELSE 'music' END
+  END AS category,
+  CASE WHEN idx IN (0,2,3,4) THEN NULL
+       WHEN descv = 0 THEN 'rock'
+       WHEN descv = 4 THEN 'jazz'
+       ELSE NULL END AS genre,
+  CASE WHEN idx IN (0,1) THEN '2025-06-' || dd || 'T' || hh || ':30:00'
+       WHEN idx = 5 THEN '2025-06-' || dd || 'T19:30:00-05:00'
+       ELSE NULL END AS event_date,
+  CASE WHEN idx IN (2,3) THEN 'Event ' || pair
+       WHEN idx = 4 THEN 'Event ' || pair
+       WHEN pair % 7 = 0 THEN NULL
+       ELSE 'Venue ' || (pair % 50) END AS venue_name,
+  CASE pricev WHEN 0 THEN 0.0 WHEN 1 THEN 15.0 WHEN 2 THEN 20.5
+       ELSE NULL END AS price,
+  CASE WHEN latv = 0 THEN NULL
+       ELSE CAST('36.' || (pair % 9 + 1) AS DOUBLE) END AS latitude,
+  CASE WHEN latv = 0 THEN NULL
+       ELSE CAST('-86.' || (pair % 9 + 1) AS DOUBLE) END AS longitude
+FROM d
+WHERE NOT (idx IN (0,1) AND pair % 7 = 0)
+""",
+}

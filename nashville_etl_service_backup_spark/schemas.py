@@ -101,14 +101,10 @@ SYNONYM_TO_CANONICAL: dict[str, str] = {
     syn: canon for canon, syns in COLUMN_MAPPINGS.items() for syn in syns
 }
 
-# Source-spider → display label (transform_data.py:159-165), passthrough default
-SOURCE_DISPLAY: dict[str, str] = {
-    "nashville_arcgis": "Nashville Open Data",
-    "ticketmaster": "Ticketmaster",
-    "yelp": "Yelp",
-    "google_places": "Google Places",
-    "seatgeek": "SeatGeek",
+# Generic-spider source_spider → display label (transform_data.py:162-166),
+# passthrough default
+GENERIC_SOURCE_DISPLAY: dict[str, str] = {
+    "nashville.com-events": "Nashville Events",
+    "nashville.com-hotels": "Nashville Hotels",
     "underdog": "Underdog Venue",
-    "nashville.com-events": "Nashville.com",
-    "nashville.com-hotels": "Nashville.com",
 }

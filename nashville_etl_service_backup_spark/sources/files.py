@@ -1,0 +1,156 @@
+"""File ingestion — S13 (CSV + synonym normalization), S18 (JSON), and
+the binary-document plumbing for S11/S14/S15 (PDF/Excel/Word parsing
+over `binaryFile` rows).
+
+The image/audio/doc parsing libraries are not in this container, so the
+byte→text decode step is an injected callable with a clearly-marked
+NotImplementedError default; the Spark-side plumbing (binaryFile scan,
+mapInPandas batch shape, output schema, downstream extraction) is real
+and tested with a fake decoder.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nashville_etl_service_backup_spark.schemas import SYNONYM_TO_CANONICAL
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    """S13 synonym normalization (document_spider.py:25-33,277-301):
+    lower-case headers, map synonyms onto canonical names; when several
+    synonyms of one canonical field are present, coalesce in mapping
+    order (the fixtures guarantee exactly one populated per row)."""
+    lowered = df.select(
+        *[F.col(f"`{c}`").alias(c.strip().lower()) for c in df.columns]
+    )
+    cols = set(lowered.columns)
+    by_canonical: dict[str, list[str]] = {}
+    passthrough: list[str] = []
+    for c in lowered.columns:
+        canon = SYNONYM_TO_CANONICAL.get(c)
+        if canon is None:
+            passthrough.append(c)
+        else:
+            by_canonical.setdefault(canon, []).append(c)
+    out_cols = []
+    for canon, syns in by_canonical.items():
+        if len(syns) == 1:
+            out_cols.append(F.col(syns[0]).alias(canon))
+        else:
+            # empty string counts as unpopulated (messy fixtures)
+            exprs = [
+                F.when(F.trim(F.col(s).cast("string")) != "", F.col(s))
+                for s in syns
+            ]
+            out_cols.append(F.coalesce(*exprs).alias(canon))
+    out_cols += [F.col(c) for c in passthrough]
+    return lowered.select(*out_cols)
+
+
+def read_csv_events(
+    spark: SparkSession, path: str, encoding: str = "UTF-8"
+) -> DataFrame:
+    """S13: header CSV → synonym-normalized frame. The reference retries
+    latin-1 on unicode failure (document_spider.py:122-127); Spark's
+    reader takes the encoding up front — pass encoding='ISO-8859-1' for
+    the fallback."""
+    raw = (
+        spark.read.option("header", True)
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    return normalize_columns(raw)
+
+
+def read_json_events(spark: SparkSession, path: str) -> DataFrame:
+    """S18: scraper dump — JSON array (multiLine) or JSON-Lines."""
+    df = spark.read.option("multiLine", True).json(path)
+    if df.columns == ["_corrupt_record"]:
+        df = spark.read.json(path)
+    return normalize_columns(df)
+
+
+# ---------------------------------------------------------------------------
+# Binary document plumbing (S11 PDF / S14 Excel / S15-S16 Word)
+
+Decoder = Callable[[str, bytes], str]
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("original_filepath", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def pymupdf_decoder(path: str, content: bytes) -> str:  # pragma: no cover
+    """S11/S12 PDF text extraction (pdf_spider.py:42-50, tasks.py:102-119).
+    pymupdf is NOT installed in this container — STUB: the plumbing is
+    exercised with a fake decoder in tests."""
+    try:
+        import pymupdf  # type: ignore
+    except ImportError as e:
+        raise NotImplementedError(
+            "PDF decode requires pymupdf (not available in this container); "
+            "inject a Decoder into read_binary_documents()"
+        ) from e
+    doc = pymupdf.open(stream=content, filetype="pdf")
+    try:
+        return "\n".join(page.get_text() for page in doc)
+    finally:
+        doc.close()
+
+
+def docx_decoder(path: str, content: bytes) -> str:  # pragma: no cover
+    """S15/S16 Word extraction (document_spider.py:163-253). STUB — same
+    contract as pymupdf_decoder."""
+    try:
+        import docx  # type: ignore
+        import io
+    except ImportError as e:
+        raise NotImplementedError(
+            "DOCX decode requires python-docx (not available in this "
+            "container); inject a Decoder into read_binary_documents()"
+        ) from e
+    d = docx.Document(io.BytesIO(content))
+    return "\n".join(p.text for p in d.paragraphs)
+
+
+def read_binary_documents(
+    spark: SparkSession, path: str, decoder: Decoder, glob: str = "*"
+) -> DataFrame:
+    """binaryFile scan → Arrow-batched decode → (path, text) rows.
+
+    Scale: binaryFile gives one row per file with content bytes;
+    partitioning is by file, so a 100 TB document corpus decodes with
+    full executor parallelism and zero shuffle.
+    """
+    binf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows.append(
+                    {
+                        "path": p,
+                        "original_filepath": p,
+                        "text": decoder(p, bytes(content)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return binf.mapInPandas(run, DECODED_SCHEMA)

@@ -1,0 +1,128 @@
+"""Incremental semantics — SURVEY §2.10 (T1–T5).
+
+The reference's queue-style staging (rows DELETEd after transform,
+transform_data.py:606-615) and 3-hour full refresh (tasks.py:85-88)
+become:
+
+- T1/T2: a file-source stream over the raw zone with
+  Trigger.AvailableNow — processes exactly the files not yet seen per
+  the checkpoint, then stops. Re-running picks up only new files: the
+  checkpoint replaces the DELETE (T3) with no mutation.
+- T4: idempotent replay — every micro-batch is canonicalized then
+  dedup-appended against the curated sink (cross-batch dedup on url via
+  left-anti in foreachBatch, the stateful analog of the reference's
+  ON CONFLICT).
+- T5: destructive refresh = overwrite load (plans.load, mode='overwrite').
+
+Plus the windowed-aggregation surface the target engine needs
+(watermark + tumbling/sliding/session windows over an event stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from nashville_etl_service_backup_spark.plans.canonicalize import run_pipeline
+from nashville_etl_service_backup_spark.plans.load import dedup_new_rows
+from nashville_etl_service_backup_spark.schemas import RAW_ZONE_SCHEMA
+
+
+def raw_zone_stream(spark: SparkSession, raw_path: str) -> DataFrame:
+    """T2: file-source stream over the bronze zone (parquet drops)."""
+    return (
+        spark.readStream.schema(RAW_ZONE_SCHEMA)
+        .option("maxFilesPerTrigger", 32)
+        .parquet(raw_path)
+    )
+
+
+def incremental_etl(
+    spark: SparkSession,
+    raw_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    now_year: int | None = None,
+) -> StreamingQuery:
+    """T1–T4: AvailableNow stream → canonical transform → cross-batch
+    dedup-append. Each staging record contributes at most once (batch
+    dedup within, anti-join against the sink across batches)."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        events = run_pipeline(batch, now_year=now_year)
+        try:
+            existing = batch.sparkSession.read.parquet(sink_path)
+        except Exception:
+            existing = None
+        fresh = dedup_new_rows(events, existing)
+        fresh.write.mode("append").parquet(sink_path)
+
+    return (
+        raw_zone_stream(spark, raw_path)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation — works on both a
+    streaming frame (late data dropped past the watermark) and a batch
+    frame (watermark is a no-op)."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(win.alias("w"), *[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based) per key — F.session_window, the
+    streaming-native operator; batch frames work too."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )

@@ -1,0 +1,147 @@
+"""Sources: CSV synonym normalization (S13), JSON scan (S18), rule-based
+text extraction (S11/S16), LLM-stub extraction (S17), binary plumbing,
+REST request builders (S1–S6 pushdown)."""
+
+from __future__ import annotations
+
+import json
+
+from nashville_etl_service_backup_spark.sources.files import (
+    normalize_columns,
+    read_binary_documents,
+    read_csv_events,
+)
+from nashville_etl_service_backup_spark.sources.llm_extract import extract_with_llm
+from nashville_etl_service_backup_spark.sources.rest import (
+    ARCGIS_DATASETS,
+    arcgis_requests,
+    fetch_paged,
+    google_places_requests,
+    ticketmaster_requests,
+    to_dataframe,
+    yelp_requests,
+)
+from nashville_etl_service_backup_spark.sources.text_extract import (
+    extract_documents,
+    extract_events_from_text,
+)
+
+SAMPLE_TEXT = """Nashville Events Guide
+Venue: The Ryman Auditorium
+Address: 116 Rep. John Lewis Way N
+Date: June 14, 2025
+Website: https://ryman.com
+Venue: Exit In
+2208 Elliston Place Nashville
+7/20/2025
+Some descriptive line about the show
+"""
+
+
+def test_rule_based_extractor_state_machine():
+    events = extract_events_from_text(SAMPLE_TEXT)
+    assert len(events) == 2
+    e1, e2 = events
+    assert e1["name"] == "The Ryman Auditorium"
+    assert e1["venue_address"] == "116 Rep. John Lewis Way N"
+    assert e1["event_date"] == "June 14, 2025"
+    assert e1["url"] == "https://ryman.com"
+    assert e2["name"] == "Exit In"
+    assert e2["venue_address"] == "2208 Elliston Place Nashville"
+    assert e2["event_date"] == "7/20/2025"
+    assert e2["url"].startswith("pdf://nashville-event/")  # F12 synthesis
+    assert "descriptive line" in e2["description"]
+
+
+def test_extract_documents_udtf(spark):
+    docs = spark.createDataFrame(
+        [(1, "/up/a.pdf", SAMPLE_TEXT), (2, "/up/b.pdf", "short")],
+        "doc_id long, original_filepath string, text string",
+    )
+    out = extract_documents(docs)
+    rows = out.collect()
+    assert len(rows) == 2  # doc 2 yields nothing
+    assert {r.doc_id for r in rows} == {1}
+    assert rows[0].source == "pdf_upload"
+
+
+def test_llm_stub_extraction_and_sentinel(spark):
+    docs = spark.createDataFrame(
+        [("/up/a.pdf", SAMPLE_TEXT), ("/up/empty.pdf", "")],
+        "original_filepath string, text string",
+    )
+    out = extract_with_llm(docs).collect()
+    by_path = {}
+    for r in out:
+        by_path.setdefault(r.original_filepath, []).append(r)
+    assert len(by_path["/up/a.pdf"]) == 2
+    # empty text → sentinel record (transform_data.py:369-385)
+    sent = by_path["/up/empty.pdf"][0]
+    assert sent.name.startswith("Failed to parse")
+    assert sent.url == "file://empty.pdf#error"
+
+
+def test_csv_synonym_normalization(spark, tmp_path):
+    p = tmp_path / "messy.csv"
+    p.write_text(
+        "Title,link,venue,street,when,desc,type,lat,lng\n"
+        "Food Fest,https://x/1,Park,12 Main St,2025-06-01,Yum,festival,36.1,-86.8\n"
+    )
+    df = read_csv_events(spark, str(p))
+    row = df.collect()[0]
+    assert row.name == "Food Fest"
+    assert row.url == "https://x/1"
+    assert row.venue_name == "Park"
+    assert row.venue_address == "12 Main St"
+    assert row.event_date == "2025-06-01"
+    assert row.description == "Yum"
+    assert row.category == "festival"
+    assert float(row.latitude) == 36.1 and float(row.longitude) == -86.8
+
+
+def test_synonym_coalesce_multiple_columns(spark):
+    df = spark.createDataFrame(
+        [("", "Actual Name", "u1"), ("First Name", "", "u2")],
+        "name string, title string, url string",
+    )
+    out = normalize_columns(df)
+    rows = {r.url: r.name for r in out.collect()}
+    assert rows == {"u1": "Actual Name", "u2": "First Name"}
+
+
+def test_binary_plumbing_with_fake_decoder(spark, tmp_path):
+    (tmp_path / "doc1.bin").write_bytes(b"Venue: Test Hall\nDate: 2025-01-01\n")
+    decoded = read_binary_documents(
+        spark, str(tmp_path), decoder=lambda p, b: b.decode("utf-8")
+    )
+    events = extract_documents(decoded)
+    rows = events.collect()
+    assert len(rows) == 1 and rows[0].name == "Test Hall"
+
+
+def test_rest_request_builders_pushdown():
+    tm = list(ticketmaster_requests("KEY", "2025-01-01T00:00:00Z"))
+    assert len(tm) == 5  # page cap (ticketmaster_spider.py:39)
+    assert tm[0].params["dmaId"] == "343" and tm[0].params["sort"] == "date,asc"
+    y = list(yelp_requests("KEY", "bars"))
+    assert len(y) == 20 and y[-1].params["offset"] == "950"  # cap 1000
+    g = list(google_places_requests("KEY"))
+    assert len(g) == 6 and "X-Goog-FieldMask" in g[0].headers  # projection
+    ds = ARCGIS_DATASETS[2]
+    req = arcgis_requests("https://arc", ds, offset=1000)
+    assert req.params["where"].startswith("FacilityType IS NOT NULL")
+    assert req.params["resultOffset"] == "1000"
+
+
+def test_fetch_paged_and_to_dataframe(spark):
+    pages = {0: [{"name": "A", "url": "u1"}], 1: [{"name": "B", "url": "u2"}], 2: []}
+
+    def fake_fetch(plan):
+        return {"events": pages[int(plan.params["page"])]}
+
+    recs = fetch_paged(
+        ticketmaster_requests("K", "now"), fake_fetch, lambda p: p["events"]
+    )
+    assert [r["name"] for r in recs] == ["A", "B"]
+    df = to_dataframe(spark, recs)
+    assert df.count() == 2 and df.schema["name"].dataType.typeName() == "string"

@@ -1,0 +1,110 @@
+"""Streaming/incremental semantics (T1–T5): AvailableNow raw-zone ETL
+with checkpoint-based exactly-once, cross-batch dedup, windowed aggs."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from nashville_etl_service_backup_spark.streaming.pipeline import (
+    incremental_etl,
+    session_windows,
+    windowed_counts,
+)
+
+
+def _write_raw(spark, path, rows, start_id=0):
+    data = [
+        (start_id + i, s, json.dumps(p)) for i, (s, p) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "id long, source_spider string, raw_json string")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.mark.slow
+def test_incremental_etl_exactly_once(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    sink = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_raw(spark, raw, [
+        ("ticketmaster", {"name": "A", "url": "u1", "venue_name": "V"}),
+        ("yelp", {"name": "B", "url": "u2"}),
+    ])
+    q = incremental_etl(spark, raw, sink, ckpt, now_year=2025)
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 2
+
+    # second drop: one new record + one replayed url (T4 dedup) — and the
+    # first file is NOT reprocessed (checkpoint = T3 queue semantics)
+    _write_raw(spark, raw, [
+        ("yelp", {"name": "B again", "url": "u2"}),
+        ("seatgeek", {"name": "C", "url": "u3", "venue_name": "W"}),
+    ], start_id=100)
+    q2 = incremental_etl(spark, raw, sink, ckpt, now_year=2025)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == 3
+    assert sorted(r.url for r in out.select("url").collect()) == ["u1", "u2", "u3"]
+
+
+def test_windowed_counts_batch_parity(spark):
+    rows = [
+        ("2024-01-01 10:05:00", "click", 1.0, 1),
+        ("2024-01-01 10:55:00", "click", 2.0, 1),
+        ("2024-01-01 11:05:00", "view", 3.0, 2),
+    ]
+    ev = spark.createDataFrame(rows, "t string, event_type string, value double, user_id long") \
+        .withColumn("ts", F.to_timestamp("t"))
+    out = windowed_counts(ev, "1 hour").collect()
+    got = {(str(r.window_start), r.event_type): r.n for r in out}
+    assert got[("2024-01-01 10:00:00", "click")] == 2
+    assert got[("2024-01-01 11:00:00", "view")] == 1
+
+
+def test_session_windows_gap(spark):
+    rows = [
+        ("2024-01-01 10:00:00", 1), ("2024-01-01 10:05:00", 1),  # session 1
+        ("2024-01-01 10:30:00", 1),                              # session 2
+        ("2024-01-01 10:00:00", 2),                              # other user
+    ]
+    ev = spark.createDataFrame(rows, "t string, user_id long").withColumn(
+        "ts", F.to_timestamp("t")
+    )
+    out = session_windows(ev, gap="10 minutes").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+@pytest.mark.slow
+def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
+    """Real readStream: rate-limited file source + watermarked tumbling
+    window, AvailableNow to completion."""
+    src = str(tmp_path / "stream_src")
+    rows = [("2024-01-01 10:05:00", "click", 1.0), ("2024-01-01 10:55:00", "click", 2.0)]
+    df = spark.createDataFrame(rows, "t string, event_type string, value double") \
+        .select(F.to_timestamp("t").alias("ts"), "event_type", "value")
+    df.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema).parquet(src)
+    )
+    agg = windowed_counts(stream, "1 hour", watermark="2 hours")
+    out_path = str(tmp_path / "out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows past the watermark; with AvailableNow
+    # over a finite source the final watermark closes... verify no crash and
+    # checkpoint exists (emission semantics asserted in batch parity test)
+    assert (tmp_path / "wckpt").exists()
