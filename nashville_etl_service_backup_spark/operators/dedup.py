@@ -172,6 +172,57 @@ def lsh_near_dup_pairs(
     return verified
 
 
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of lowercased, punctuation-collapsed
+    text — pure higher-order functions, no explode."""
+    s = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(s) - (n - 1)),
+        lambda i: s.substr(i, F.lit(n)),
+    )
+    return F.when(F.length(s) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-duplicates with single-MinHash
+    blocking: two docs are candidates iff they share the lexicographic
+    min md5 over their n-gram sets (collision probability = their
+    Jaccard — honest 1-hash LSH), then exact Jaccard ≥ threshold on the
+    candidate set. The self-join shuffles only (block_key, id, grams);
+    never the corpus cross product."""
+    grams = char_ngrams(F.col(text_col), n)
+    base = df.select(F.col(id_col).alias("doc_id"), grams.alias("g")).withColumn(
+        "blk", F.array_min(F.transform("g", F.md5))
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("l.g", "r.g")).cast("double")
+            / F.size(F.array_union("l.g", "r.g")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
 def simhash64(tokens: Column) -> Column:
     """64-bit SimHash from token md5s: for each bit position, sum ±1 votes
     over tokens; bit set iff the vote sum is positive. Returned as a

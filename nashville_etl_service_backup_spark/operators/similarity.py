@@ -116,35 +116,88 @@ def lsh_bucket_topk(
     )
 
 
+def pm_plane_bits(seed: int, dim: int) -> str:
+    """Deterministic ±1 (Rademacher) hyperplane as a '1'/'0' bit string
+    derived from md5 bytes — shared verbatim by the Spark plan and the
+    DuckDB oracle generator so both engines compute identical buckets."""
+    bits: list[str] = []
+    i = 0
+    while len(bits) < dim:
+        h = hashlib.md5(f"pmplane:{seed}:{i}".encode()).digest()
+        for byte in h:
+            for k in range(8):
+                bits.append("1" if (byte >> (7 - k)) & 1 else "0")
+                if len(bits) == dim:
+                    return "".join(bits)
+        i += 1
+    return "".join(bits)
+
+
+def pm_signs(bits: str) -> list[float]:
+    return [1.0 if c == "1" else -1.0 for c in bits]
+
+
+def banded_srp_buckets(
+    vec: Column, planes: list[list[float]], bands: int, planes_per_band: int
+) -> Column:
+    """OR-amplified SRP: one bit per plane, grouped into `bands` bucket
+    strings — candidates collide on ANY band (MinHash-banding analog for
+    cosine space)."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(s) for s in p])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in planes
+    ]
+    return F.array(
+        *[
+            F.concat(*bits[b * planes_per_band : (b + 1) * planes_per_band])
+            for b in range(bands)
+        ]
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 12,
-    threshold: float = 0.95,
+    bands: int = 4,
+    planes_per_band: int = 3,
+    threshold: float = 0.45,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates: SRP-bucket candidate generation
-    (equi-join on bucket), exact cosine verification ≥ threshold."""
-    planes = [_plane(1000 + s, dim) for s in range(n_planes)]
+    """Embedding-cosine near-duplicates: banded ±1-sign-projection
+    candidate generation (equi-join on (band_idx, bucket) — at 100 TB
+    this shuffles only (bucket, id) pairs, never the vector cross
+    product), then exact cosine verification ≥ threshold on the small
+    candidate set."""
+    planes = [
+        pm_signs(pm_plane_bits(s, dim)) for s in range(bands * planes_per_band)
+    ]
     v = as_double(F.col(vec_col))
-    b = emb.select(
+    base = emb.select(
         F.col(id_col).alias("doc_id"),
         v.alias("v"),
-        srp_bucket(v, planes).alias("bucket"),
-    )
+        banded_srp_buckets(v, planes, bands, planes_per_band).alias("bk"),
+    ).persist()
+    b = base.select("doc_id", F.posexplode("bk").alias("band_idx", "bucket"))
     l, r = b.alias("l"), b.alias("r")
-    return (
+    cand = (
         l.join(
             r,
-            (F.col("l.bucket") == F.col("r.bucket"))
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .withColumn("cosine", cosine(F.col("l.v"), F.col("r.v")))
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("doc_id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("doc_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("l.doc_id").alias("id_a"),
-            F.col("r.doc_id").alias("id_b"),
-            F.round("cosine", 4).alias("cosine"),
-        )
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -14,12 +14,21 @@ from nashville_etl_service_backup_spark.operators.dedup import (
     exact_dedup_groups,
     lsh_near_dup_pairs,
     minhash_signature,
+    ngram_jaccard_pairs,
     shingles,
+    simhash_near_dup_pairs,
 )
 from nashville_etl_service_backup_spark.operators.similarity import (
     as_double,
     cosine_topk,
+    embedding_near_dup_pairs,
     lsh_bucket_topk,
+    pm_plane_bits,
+)
+from nashville_etl_service_backup_spark.operators.multimodal import (
+    extract_image_features,
+    sample_frames,
+    synth_media,
 )
 from nashville_etl_service_backup_spark.operators.text_analysis import (
     bag_fingerprint,
@@ -58,6 +67,29 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return lsh_near_dup_pairs(
         docs, "doc_id", "text", shingle_n=2, num_hashes=4, bands=2, threshold=0.6
+    )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: 64-bit frequency-voted signature,
+    4×16-bit chunk bucketing (pigeonhole for hamming ≤ 3), exact
+    bit-difference verification."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram Jaccard near-dups, single-MinHash blocked."""
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dups: banded ±1-sign-projection candidates
+    (4 bands × 3 planes), exact cosine ≥ 0.45 verification."""
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, dim=64, bands=4, planes_per_band=3, threshold=0.45
     )
 
 
@@ -135,6 +167,31 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: Arrow-batched mapInPandas feature
+    extraction over image-modality media (stub decoder, real plan)."""
+    docs = load(spark, sf_dir, "documents")
+    media = synth_media(docs).filter(F.col("modality") == "image")
+    feats = extract_image_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "content_md5",
+        "width",
+        "height",
+        F.round(F.element_at("feat", 1), 6).alias("feat_0"),
+        F.round(F.element_at("feat", 8), 6).alias("feat_7"),
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped frame sampling over video-modality binary content:
+    every 4th 64-byte frame, one row per kept frame."""
+    docs = load(spark, sf_dir, "documents")
+    media = synth_media(docs).filter(F.col("modality") == "video")
+    return sample_frames(media, frame_bytes=64, every=4)
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content (order-sensitive) + bag (order-insensitive) fingerprints."""
     docs = load(spark, sf_dir, "documents")
@@ -149,6 +206,9 @@ QUERIES = {
     "dedup_exact_bow": dedup_exact_bow,
     "dedup_minhash_sig": dedup_minhash_sig,
     "dedup_lsh_pairs": dedup_lsh_pairs,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
     "text_quality_by_lang": text_quality_by_lang,
@@ -156,6 +216,8 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_token_counts": text_token_counts,
     "doc_fingerprints": doc_fingerprints,
+    "multimodal_image_features": multimodal_image_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 _TOKS_D = DUCK_TOKENS_DISTINCT.format(col="text")
@@ -169,6 +231,43 @@ _SHINGLES = (
 _MINHASH = "list_min(list_transform({s}, t -> md5('{k}:' || t)))"
 # sliced variant: one md5 per shingle, 8-hex-char slice per hash index
 _MINHASH_SLICE = "list_min(list_transform({s}, t -> substr(md5(t), {off}, 8)))"
+
+# ±1 plane sign literals for the embedding oracle — generated by the SAME
+# pm_plane_bits used in the Spark plan, so both engines bucket identically.
+def _pm_list(seed: int, dim: int = 64) -> str:
+    return "[" + ",".join(
+        "1.0" if c == "1" else "-1.0" for c in pm_plane_bits(seed, dim)
+    ) + "]"
+
+
+_EMB_PLANES = ",\n    ".join(f"{_pm_list(s)} AS s{s}" for s in range(12))
+_EMB_BANDS = ",\n    ".join(
+    " || ".join(
+        "(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * "
+        f"s{b * 3 + j}[i])) >= 0 THEN '1' ELSE '0' END)"
+        for j in range(3)
+    )
+    + f" AS b{b}"
+    for b in range(4)
+)
+
+# bit i of a token's md5 lives in hex digit i//4, nibble shift 3-i%4 —
+# identical derivation to operators.dedup.simhash64
+_SIMHASH_SIG = """array_to_string(list_transform(range(0, 64), i ->
+      CASE WHEN list_sum(list_transform(hs, hx ->
+        CASE WHEN CAST(floor((strpos('0123456789abcdef',
+                   substr(hx, CAST(i // 4 AS INT) + 1, 1)) - 1)
+                 / pow(2, 3 - i % 4)) AS INT) % 2 = 1
+        THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '')"""
+
+_HAMMING = (
+    "len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1)))"
+)
+
+_TRI_JACCARD = (
+    "CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)"
+    " / len(list_distinct(list_concat(a.g, b.g)))"
+)
 
 ORACLES = {
     "dedup_exact_bow": f"""
@@ -209,6 +308,65 @@ JOIN sh sa ON sa.doc_id = doc_a
 JOIN sh sb ON sb.doc_id = doc_b
 WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
       / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.6
+""",
+    "dedup_simhash_pairs": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_O} AS tk FROM documents),
+h AS (
+  SELECT doc_id, list_transform(tk, t -> md5(t)) AS hs FROM t),
+sig AS (
+  SELECT doc_id, {_SIMHASH_SIG} AS sig FROM h)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST({_HAMMING} AS BIGINT) AS hamming
+FROM sig a JOIN sig b
+  ON a.doc_id < b.doc_id
+ AND (substr(a.sig, 1, 16) = substr(b.sig, 1, 16)
+   OR substr(a.sig, 17, 16) = substr(b.sig, 17, 16)
+   OR substr(a.sig, 33, 16) = substr(b.sig, 33, 16)
+   OR substr(a.sig, 49, 16) = substr(b.sig, 49, 16))
+WHERE {_HAMMING} <= 3
+""",
+    "dedup_ngram_jaccard": """
+WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+  FROM documents),
+tri AS (
+  SELECT doc_id,
+    CASE WHEN len(s) >= 3
+      THEN list_distinct(list_transform(range(1, len(s) - 1),
+                                        i -> substr(s, i, 3)))
+      ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM n),
+blk AS (
+  SELECT doc_id, g, list_min(list_transform(g, t -> md5(t))) AS b FROM tri)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  ROUND({j}, 6) AS jaccard
+FROM blk a JOIN blk b ON a.b = b.b AND a.doc_id < b.doc_id
+WHERE {j} >= 0.7
+""".replace("{j}", _TRI_JACCARD),
+    "dedup_embedding_pairs": f"""
+WITH p AS (SELECT
+    {_EMB_PLANES}),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  SELECT vec_id, v,
+    {_EMB_BANDS}
+  FROM v, p),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM sig a JOIN sig b
+    ON a.vec_id < b.vec_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+scored AS (
+  SELECT id_a, id_b,
+    list_sum(list_transform(range(1, 65), i -> va[i] * vb[i]))
+      / (sqrt(list_sum(list_transform(va, x -> x*x)))
+         * sqrt(list_sum(list_transform(vb, x -> x*x)))) AS c
+  FROM cand)
+SELECT id_a, id_b, ROUND(c, 6) AS cosine
+FROM scored WHERE c >= 0.45
 """,
     "sim_topk_bruteforce": """
 WITH q AS (
@@ -306,5 +464,42 @@ SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_fp,
   md5(array_to_string(list_sort({_TOKS_D}), ' ')) AS bag_fp
 FROM documents
+""",
+    # hex-pair k of an md5 digest, parsed to its byte value 0..255
+    "multimodal_image_features": "\n".join(
+        [
+            "WITH m AS (SELECT doc_id AS media_id, text FROM documents"
+            " WHERE doc_id % 3 = 0),",
+            "h AS (SELECT media_id,"
+            " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
+            " md5(text) AS hx FROM m),",
+            "b AS (SELECT media_id, n_bytes, hx,",
+            ",\n".join(
+                f"  ((strpos('0123456789abcdef', substr(hx, {2 * k + 1}, 1)) - 1) * 16"
+                f" + strpos('0123456789abcdef', substr(hx, {2 * k + 2}, 1)) - 1)"
+                f" AS byte{k}"
+                for k in (0, 1, 7)
+            ),
+            "FROM h)",
+            "SELECT media_id, n_bytes, hx AS content_md5,",
+            "  CAST(16 + byte0 % 240 AS INT) AS width,",
+            "  CAST(16 + byte1 % 240 AS INT) AS height,",
+            "  ROUND(byte0 / 255.0, 6) AS feat_0,",
+            "  ROUND(byte7 / 255.0, 6) AS feat_7",
+            "FROM b",
+        ]
+    ),
+    "multimodal_frame_sample": """
+WITH m AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+f AS (
+  SELECT media_id, text,
+    CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
+  FROM m),
+u AS (
+  SELECT media_id, text, unnest(range(0, n_frames, 4)) AS idx FROM f)
+SELECT media_id, CAST(idx AS INT) AS frame_idx,
+  md5(substr(text, CAST(idx AS INT) * 64 + 1, 64)) AS frame_md5
+FROM u
 """,
 }

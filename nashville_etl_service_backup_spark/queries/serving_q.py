@@ -121,6 +121,28 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 gap: per-user sessionization with a 10-minute inactivity
+    gap — F.session_window (the batch form of the streaming stateful
+    operator; session end = last event + gap, end-exclusive merge)."""
+    ev = load(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), "10 minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), scale=6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            fmt_ts(F.col("session_window.start")).alias("session_start"),
+            fmt_ts(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F22/S18: to_json → raw zone string → from_json → project → agg;
     the bronze-zone parse path (pipelines.py:15 / transform_data.py:59)
@@ -161,6 +183,7 @@ QUERIES = {
     "q_count_purchases": q_count_purchases,
     "q_tumbling_window": q_tumbling_window,
     "q_sliding_window": q_sliding_window,
+    "q_session_window": q_session_window,
     "q_json_roundtrip": q_json_roundtrip,
     "q_events_pivot": q_events_pivot,
 }
@@ -217,6 +240,30 @@ FROM (
          user_id
   FROM events)
 GROUP BY 1
+""",
+    "q_session_window": """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+m AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (
+  SELECT user_id, ts, value,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  strftime(MAX(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
+    AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM g
+GROUP BY user_id, sess
 """,
     "q_json_roundtrip": """
 SELECT event_type, COUNT(*) AS n,

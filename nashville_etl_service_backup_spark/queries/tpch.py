@@ -194,10 +194,201 @@ def q_anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + pushed conjunctive predicate + single
+    aggregate — the whole query is one WholeStageCodegen span, no
+    shuffle beyond the final 1-row combine."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.03, 0.05)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=6).alias(
+            "revenue"
+        )
+    )
+
+
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation shipping volume by year. Both nation
+    lookups broadcast (aliased dim reuse); one fact co-shuffle on
+    orderkey, one groupBy exchange."""
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(dsum(volume).alias("revenue"))
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    join + agg + TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio (promo revenue share
+    for one month); part broadcast into the fact scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return j.agg(
+        F.round(
+            F.lit(100.0) * dsum(promo, scale=6) / dsum(rev, scale=6), 6
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp emulated via lineitem): distinct
+    supplier count per (brand, type) for mid-size parts."""
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").between(10, 30)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return j.groupBy("p_brand", "p_type").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact-side agg (orders with total
+    quantity > 300), then joins back to customer/orders. The agg runs
+    first so only the tiny qualifying set joins."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            fmt_date(F.col("o_orderdate")).alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate bands across the part join —
+    exercises disjunctive predicate pushdown/evaluation."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    band1 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(16, 30)
+        & F.col("l_quantity").between(10, 20)
+    )
+    band3 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(31, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(band1 | band2 | band3).agg(dsum(rev).alias("revenue"))
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global decimal-exact average
+    balance, broadcast as a 1-row frame) + anti join (no orders in the
+    final year) + agg per nation."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz")
+    )
+    nation = load(spark, sf_dir, "nation")
+    avg_bal = cust.agg(
+        (dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        idle.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
     "q05_local_supplier": q05_local_supplier,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q07_nation_volume": q07_nation_volume,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q16_supplier_count": q16_supplier_count,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_bands": q19_disjunctive_bands,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
     "q_top_parts_per_brand": q_top_parts_per_brand,
     "q_customer_order_stats": q_customer_order_stats,
     "q_rollup_order_priority": q_rollup_order_priority,
@@ -209,6 +400,108 @@ QUERIES = {
 _DSUM = "CAST(SUM(CAST({e} AS DECIMAL(18,4))) AS DOUBLE)"
 
 ORACLES = {
+    "q06_forecast_revenue": """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+  AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+""",
+    "q07_nation_volume": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INT) AS l_year,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+""",
+    "q10_returned_items": """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    "q14_promo_revenue": """
+SELECT ROUND(
+  100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice*(1-l_discount) ELSE 0.0 END
+               AS DECIMAL(18,6))) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+               AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+""",
+    "q16_supplier_count": """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 10 AND 30
+GROUP BY p_brand, p_type
+""",
+    "q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300)
+SELECT c_name, c_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+    "q19_disjunctive_bands": """
+SELECT CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+       AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 16 AND 30
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 31 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    "q22_idle_rich_customers": """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+    AS avg_bal
+  FROM customer),
+rich AS (
+  SELECT c_custkey, c_acctbal, c_nationkey
+  FROM customer, avg_bal
+  WHERE c_acctbal > avg_bal),
+idle AS (
+  SELECT * FROM rich
+  WHERE NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2001-01-01'))
+SELECT n_name, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM idle JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
     "q01_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -121,7 +121,9 @@ def test_embedding_near_dup_pairs(spark):
         (3, [0.0, 1.0, 0.0, 0.0]),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    pairs = embedding_near_dup_pairs(emb, dim=4, n_planes=4, threshold=0.99)
+    pairs = embedding_near_dup_pairs(
+        emb, dim=4, bands=2, planes_per_band=2, threshold=0.99
+    )
     got = [(r.id_a, r.id_b) for r in pairs.collect()]
     assert got == [(1, 2)]
 
