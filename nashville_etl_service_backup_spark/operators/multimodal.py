@@ -133,7 +133,9 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    return media.select("media_id", "content").mapInPandas(
+    from nashville_etl_service_backup_spark.operators import spread
+
+    return spread(media.select("media_id", "content")).mapInPandas(
         decode, schema=IMAGE_FEATURES_SCHEMA
     )
 
@@ -158,6 +160,8 @@ def sample_frames(
                     out.append((int(mid), idx, hashlib.md5(chunk).hexdigest()))
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_md5"])
 
-    return media.select("media_id", "content").mapInPandas(
+    from nashville_etl_service_backup_spark.operators import spread
+
+    return spread(media.select("media_id", "content")).mapInPandas(
         sample, schema=FRAME_SCHEMA
     )

@@ -163,18 +163,31 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     bands: int = 4,
-    planes_per_band: int = 3,
-    threshold: float = 0.45,
+    planes_per_band: int = 8,
+    threshold: float = 0.9,
+    top_k: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: banded ±1-sign-projection
     candidate generation (equi-join on (band_idx, bucket) — at 100 TB
     this shuffles only (bucket, id) pairs, never the vector cross
-    product), then exact cosine verification ≥ threshold on the small
-    candidate set."""
+    product), then exact cosine on the candidate set.
+
+    Band width matters: planes_per_band=8 → 256 buckets per band, so
+    random pairs rarely collide while true near-dups (cosine ≥ 0.9,
+    per-plane agreement ≈ 0.86) collide on some band with
+    1-(1-0.86⁸)⁴ ≈ 0.92 probability. Narrow bands (≤3 planes) put most
+    of the corpus in one bucket — O(n²) candidates.
+
+    Output: pairs with cosine ≥ threshold, or the top_k highest-cosine
+    candidate pairs when top_k is given (ranked mode for corpora with
+    no true duplicates)."""
     planes = [
         pm_signs(pm_plane_bits(s, dim)) for s in range(bands * planes_per_band)
     ]
     v = as_double(F.col(vec_col))
+    # No spread here: the SRP signature is ~dim×planes multiplies per
+    # row — far cheaper per byte than text hashing, so the scan
+    # parallelism is enough and an extra exchange would dominate.
     base = emb.select(
         F.col(id_col).alias("doc_id"),
         v.alias("v"),
@@ -194,10 +207,15 @@ def embedding_near_dup_pairs(
     )
     va = base.select(F.col("doc_id").alias("id_a"), F.col("v").alias("va"))
     vb = base.select(F.col("doc_id").alias("id_b"), F.col("v").alias("vb"))
-    return (
+    scored = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+    if top_k is not None:
+        scored = scored.orderBy(
+            F.desc("cosine"), F.asc("id_a"), F.asc("id_b")
+        ).limit(top_k)
+    else:
+        scored = scored.filter(F.col("cosine") >= threshold)
+    return scored.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

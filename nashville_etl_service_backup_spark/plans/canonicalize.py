@@ -53,11 +53,17 @@ def _nonempty(c: Column) -> Column:
 
 
 def _parsed(raw: DataFrame) -> DataFrame:
-    """Parse raw_json once; all source branches share this projection."""
+    """Parse raw_json once; all source branches share this projection.
+
+    Persisted because the 8 dispatch branches each re-read their input:
+    without the cache the raw construction + JSON parse would re-execute
+    per branch (8× the scan). Callers control input partitioning — pass
+    an already-spread raw frame so the parse and every branch run on all
+    cores (see operators.spread)."""
     return raw.select(
         "source_spider",
         F.from_json("raw_json", RAW_ITEM_SCHEMA).alias("r"),
-    )
+    ).persist()
 
 
 def _common(

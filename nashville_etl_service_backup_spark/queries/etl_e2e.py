@@ -20,12 +20,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nashville_etl_service_backup_spark.operators import spread
 from nashville_etl_service_backup_spark.plans.canonicalize import run_pipeline
 from nashville_etl_service_backup_spark.tables import load
 
 
 def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # spread before the raw build: JSON construction, parse, and all 8
+    # canonicalization branches are per-row CPU work that must not run
+    # on the scan's single input split
+    ev = spread(load(spark, sf_dir, "events"))
     pair = F.expr("event_id div 2")
     ps = pair.cast("string")
     idx = pair % 6

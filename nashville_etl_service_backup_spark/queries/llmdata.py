@@ -79,17 +79,20 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-trigram Jaccard near-dups, single-MinHash blocked."""
+    """Char-5-gram Jaccard near-dups, banded-MinHash blocked (3 bands × 5 hashes)."""
     docs = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=5, bands=3, hashes_per_band=5, threshold=0.7
+    )
 
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dups: banded ±1-sign-projection candidates
-    (4 bands × 3 planes), exact cosine ≥ 0.45 verification."""
+    (4 bands × 8 planes), top-20 candidate pairs by exact cosine
+    (ranked mode — this corpus plants no true embedding duplicates)."""
     emb = load(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
-        emb, dim=64, bands=4, planes_per_band=3, threshold=0.45
+        emb, dim=64, bands=4, planes_per_band=8, top_k=20
     )
 
 
@@ -240,12 +243,12 @@ def _pm_list(seed: int, dim: int = 64) -> str:
     ) + "]"
 
 
-_EMB_PLANES = ",\n    ".join(f"{_pm_list(s)} AS s{s}" for s in range(12))
+_EMB_PLANES = ",\n    ".join(f"{_pm_list(s)} AS s{s}" for s in range(32))
 _EMB_BANDS = ",\n    ".join(
     " || ".join(
         "(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * "
-        f"s{b * 3 + j}[i])) >= 0 THEN '1' ELSE '0' END)"
-        for j in range(3)
+        f"s{b * 8 + j}[i])) >= 0 THEN '1' ELSE '0' END)"
+        for j in range(8)
     )
     + f" AS b{b}"
     for b in range(4)
@@ -333,18 +336,33 @@ WITH n AS (
   FROM documents),
 tri AS (
   SELECT doc_id,
-    CASE WHEN len(s) >= 3
-      THEN list_distinct(list_transform(range(1, len(s) - 1),
-                                        i -> substr(s, i, 3)))
+    CASE WHEN len(s) >= 5
+      THEN list_distinct(list_transform(range(1, len(s) - 3),
+                                        i -> substr(s, i, 5)))
       ELSE CAST([] AS VARCHAR[]) END AS g
   FROM n),
 blk AS (
-  SELECT doc_id, g, list_min(list_transform(g, t -> md5(t))) AS b FROM tri)
+  SELECT doc_id, g,
+{bandkeys}
+  FROM tri)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   ROUND({j}, 6) AS jaccard
-FROM blk a JOIN blk b ON a.b = b.b AND a.doc_id < b.doc_id
+FROM blk a JOIN blk b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)
 WHERE {j} >= 0.7
-""".replace("{j}", _TRI_JACCARD),
+""".replace("{j}", _TRI_JACCARD).replace(
+        "{bandkeys}",
+        ",\n".join(
+            "    "
+            + " || '|' || ".join(
+                f"list_min(list_transform(g, t -> md5('{b * 5 + k}:' || t)))"
+                for k in range(5)
+            )
+            + f" AS b{b}"
+            for b in range(3)
+        ),
+    ),
     "dedup_embedding_pairs": f"""
 WITH p AS (SELECT
     {_EMB_PLANES}),
@@ -366,7 +384,9 @@ scored AS (
          * sqrt(list_sum(list_transform(vb, x -> x*x)))) AS c
   FROM cand)
 SELECT id_a, id_b, ROUND(c, 6) AS cosine
-FROM scored WHERE c >= 0.45
+FROM scored
+ORDER BY c DESC, id_a ASC, id_b ASC
+LIMIT 20
 """,
     "sim_topk_bruteforce": """
 WITH q AS (
