@@ -120,32 +120,48 @@ def lsh_near_dup_pairs(
     sh = shingles(toks, shingle_n)
     # Spread the RAW text before any per-token work (tokenize, shingle,
     # md5 are the CPU cost and must run on all cores even when the scan
-    # has a single input split), then build stepwise through named
-    # columns so the tokenize→shingle→md5 pipeline is computed ONCE, not
-    # re-derived per minhash column (expression-level reuse is not
-    # guaranteed across array lambdas).
+    # has a single input split).
     from nashville_etl_service_backup_spark.operators import spread
 
-    hashed = (
-        spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt")))
-        .select("doc_id", sh.alias("sh"))
-        .withColumn("_hs", F.transform("sh", F.md5))
+    shingled = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
+    ).select("doc_id", sh.alias("sh"))
+    # All num_hashes minhash slices in ONE aggregate fold (running mins):
+    # a per-hash array_min(transform(md5)) column set re-derives the
+    # md5 pipeline per column (CollapseProject inlines the shared
+    # subexpression), measured ~4× slower than this single pass.
+    init = F.array_repeat(F.lit("~"), num_hashes)  # '~' sorts above hex
+    ks = F.array(*[F.lit(k) for k in range(num_hashes)])
+    mins = F.aggregate(
+        F.col("sh"),
+        init,
+        lambda acc, t: F.zip_with(
+            acc, ks, lambda a, k: F.least(a, F.substring(F.md5(t), k * 8 + 1, 8))
+        ),
     )
-    sig = [
-        F.array_min(F.transform("_hs", lambda h: F.substring(h, 1 + 8 * k, 8)))
-        for k in range(num_hashes)
-    ]
     band_cols = [
-        F.concat_ws("|", *sig[b * rows_per_band : (b + 1) * rows_per_band])
+        F.concat_ws(
+            "|",
+            *[
+                F.element_at(F.col("_mins"), b * rows_per_band + j + 1)
+                for j in range(rows_per_band)
+            ],
+        )
         for b in range(bands)
     ]
     # The signature frame feeds three plan branches (band explode + both
     # sides of the verify join): persist it so the signature pipeline
     # runs once, not 4×. At 100 TB this is the standard "materialize
     # signatures" stage of an LSH dedup (disk-backed, partitioned).
-    base = hashed.select(
-        "doc_id", "sh", F.array(*band_cols).alias("bands")
-    ).persist()
+    base = (
+        shingled.withColumn("_mins", mins)
+        .select(
+            "doc_id",
+            "sh",
+            F.when(F.size("sh") > 0, F.array(*band_cols)).alias("bands"),
+        )
+        .persist()
+    )
     # candidate generation: explode bands, equi-join on (band_idx, hash)
     b = base.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
