@@ -157,6 +157,74 @@ def banded_srp_buckets(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cv",
+) -> DataFrame:
+    """IVF list assignment: each vector → its highest-cosine centroid
+    (ties → highest centroid id; deterministic). Centroids broadcast, so
+    assignment is one narrow pass over the corpus — at 100 TB the
+    assigned frame is then written bucketed by cent_id, making every
+    probe a partition-pruned scan."""
+    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "_c", cosine(F.col(vec_col), F.col(cent_vec))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("_c").alias("c"), F.col(cent_id).alias("cid"))).alias(
+            "_m"
+        )
+    )
+    return best.select(id_col, F.col("_m.cid").alias("cent_id"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """IVF approximate top-k: deterministic coarse quantizer (centroids =
+    the first ``n_centroids`` corpus vectors — swap in k-means for real
+    data), probe the query's ``n_probe`` nearest inverted lists, exact
+    cosine re-rank inside them.
+
+    The scale shape: centroids broadcast (tiny); assignment is a narrow
+    map; candidates are restricted to probed lists before any ranking,
+    so the re-rank touches ~n_probe/n_centroids of the corpus."""
+    v = as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col), *extra_cols, v.alias("v"))
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
+    )
+    assigned = ivf_assign(base, cents, id_col=id_col)
+    probes = (
+        query.crossJoin(F.broadcast(cents))
+        .withColumn("_c", cosine(F.col("qv"), F.col("cv")))
+        .orderBy(F.desc("_c"), F.desc("cent_id"))
+        .limit(n_probe)
+        .select("cent_id")
+    )
+    cand = (
+        base.join(assigned, id_col)
+        .join(F.broadcast(probes), "cent_id", "left_semi")
+        .crossJoin(F.broadcast(query))
+        .withColumn("_cos", cosine(F.col("v"), F.col("qv")))
+    )
+    return (
+        cand.orderBy(F.desc("_cos"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, *extra_cols, F.round("_cos", 4).alias("cosine"))
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -22,6 +22,7 @@ from nashville_etl_service_backup_spark.operators.similarity import (
     as_double,
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_bucket_topk,
     pm_plane_bits,
 )
@@ -115,6 +116,22 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lsh_bucket_topk(
         emb.filter(F.col("vec_id") != 0), query, k=10, n_planes=4
+    )
+
+
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 for vec_id=42: 16 deterministic centroids, probe
+    the 2 nearest inverted lists, exact re-rank inside them."""
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 42).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 42),
+        query,
+        k=10,
+        n_centroids=16,
+        n_probe=2,
     )
 
 
@@ -214,6 +231,7 @@ QUERIES = {
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_ivf": sim_ann_ivf,
     "text_quality_by_lang": text_quality_by_lang,
     "text_quality_docs": text_quality_docs,
     "text_lang_id": text_lang_id,
@@ -407,6 +425,47 @@ LIMIT 10
 """,
     # sim_ann_lsh: intentionally no oracle (rows-only) — bucket membership
     # depends on engine-side hyperplane evaluation.
+    "sim_ann_ivf": """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM v WHERE vec_id = 42),
+base AS (SELECT * FROM v WHERE vec_id <> 42),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id < 16),
+ac AS (
+  SELECT b.vec_id, c.cent_id,
+    list_sum(list_transform(range(1, 65), i -> b.v[i] * c.cv[i]))
+      / (sqrt(list_sum(list_transform(b.v, x -> x*x)))
+         * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS c
+  FROM base b, cents c),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY c DESC, cent_id DESC) AS rn
+    FROM ac) WHERE rn = 1),
+probes AS (
+  SELECT cent_id FROM (
+    SELECT c.cent_id,
+      list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i]))
+        / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+           * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS c
+    FROM cents c, q)
+  ORDER BY c DESC, cent_id DESC LIMIT 2),
+cand AS (
+  SELECT b.vec_id, b.label,
+    list_sum(list_transform(range(1, 65), i -> b.v[i] * q.qv[i]))
+      / (sqrt(list_sum(list_transform(b.v, x -> x*x)))
+         * sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS c
+  FROM base b
+  JOIN assign a ON b.vec_id = a.vec_id
+  JOIN probes p ON a.cent_id = p.cent_id
+  CROSS JOIN q)
+SELECT vec_id, label, ROUND(c, 4) AS cosine
+FROM cand
+ORDER BY c DESC, vec_id ASC
+LIMIT 10
+""",
     "text_quality_by_lang": f"""
 WITH t AS (
   SELECT lang, {_TOKS_O} AS tk FROM documents),
