@@ -24,6 +24,7 @@ from nashville_etl_service_backup_spark.queries import (
     llmdata,
     serving_q,
     tpch,
+    tpch2,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -31,13 +32,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
-    for mod in (tpch, serving_q, llmdata, etl_e2e):
+    for mod in (tpch, tpch2, serving_q, llmdata, etl_e2e):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (tpch, serving_q, llmdata, etl_e2e):
+    for mod in (tpch, tpch2, serving_q, llmdata, etl_e2e):
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,82 @@
+"""As-of and range join operators (operators/joins.py) — semantics
+pinned on hand-computed frames: backward-inclusive matching, left vs
+inner, determinism after right-side tie dedup, empty-band survival."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from nashville_etl_service_backup_spark.operators.joins import (
+    asof_join,
+    range_join_agg,
+)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 5, "b"), (2, 7, "c"), (3, 4, "d")],
+        "k int, t int, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 9, 101.0), (2, 8, 102.0)],
+        "k int, t int, px double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, ["k"], "t", "t", ["px"], how="left")
+    got = {(r.k, r.t): r.px for r in out.collect()}
+    assert got == {
+        (1, 10): 101.0,  # latest right t<=10 is 9
+        (1, 5): 100.0,  # inclusive: right at t=5 matches left t=5
+        (2, 7): None,  # right t=8 is in the future
+        (3, 4): None,  # no right rows for key 3
+    }
+    assert out.count() == left.count()
+
+
+def test_asof_inner_drops_unmatched(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, ["k"], "t", "t", ["px"], how="inner")
+    assert {(r.k, r.t) for r in out.collect()} == {(1, 10), (1, 5)}
+
+
+def test_asof_multi_payload_same_row(spark):
+    """Both payload columns must come from the SAME matched right row."""
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 3, 7.0, "x"), (1, 8, 9.0, "y")], "k int, t int, px double, tag string"
+    )
+    out = asof_join(left, right, ["k"], "t", "t", ["px", "tag"]).collect()[0]
+    assert (out.px, out.tag) == (9.0, "y")
+
+
+def test_range_join_agg_band_and_empty(spark):
+    purchases = spark.createDataFrame(
+        [(100, 1, 10), (200, 1, 3), (300, 2, 5)], "event_id int, k int, t int"
+    )
+    clicks = spark.createDataFrame(
+        [(1, 9, 1.0), (1, 10, 2.0), (1, 2, 4.0), (2, 6, 8.0)],
+        "k int, t int, v double",
+    )
+    out = range_join_agg(
+        purchases,
+        clicks,
+        keys=["k"],
+        left_ts="t",
+        right_ts="t",
+        lower=F.col("_rt") > F.col("_lt") - F.lit(5),
+        upper=F.col("_rt") <= F.col("_lt"),
+        aggs=[
+            F.count("v").alias("n"),
+            F.coalesce(F.sum("v"), F.lit(0.0)).alias("s"),
+        ],
+        group_cols=["event_id"],
+    )
+    got = {r.event_id: (r.n, r.s) for r in out.collect()}
+    # event 100 (k=1,t=10): clicks at t=9,10 in (5,10] → n=2, s=3
+    # event 200 (k=1,t=3): click at t=2 in (-2,3] → n=1, s=4
+    # event 300 (k=2,t=5): click at t=6 is future → survives with 0
+    assert got == {100: (2, 3.0), 200: (1, 4.0), 300: (0, 0.0)}
