@@ -2,11 +2,14 @@
 (transform_data.py:505-556) as ONE lazy DataFrame plan.
 
 The reference loops over every staging row in Python, dispatching to a
-per-source transformer function (transform_data.py:526-544). Here each
-source's projection is a `from_json` + `select` branch filtered by the
-same dispatch predicate (including the prefix/substring rules), unioned
-with `unionByName` — Catalyst fuses the branches into a single pass and
-the per-row Python loop becomes a distributed narrow map.
+per-source transformer function (transform_data.py:526-544). Here the
+dispatch is a single `when`-cascade projection over one `from_json`
+parse: every per-source difference (source label, venue/date defaults,
+category default, validity gate) is a conditional expression keyed on
+the dispatch predicate (including the prefix/substring rules). ONE
+narrow map over the raw zone — no per-branch re-scan, no union, no
+persist — which is the shape that survives 100 TB (a filter-per-branch
+union re-reads the staging zone 8× or pins it in cache).
 
 Per-source semantics ported exactly (defaults, title-casing, validity
 gates):
@@ -52,39 +55,94 @@ def _nonempty(c: Column) -> Column:
     return c.isNotNull() & (c != "")
 
 
-def _parsed(raw: DataFrame) -> DataFrame:
-    """Parse raw_json once; all source branches share this projection.
+def canonicalize(raw: DataFrame) -> DataFrame:
+    """Dispatch + project: transform_data.py:526-556 as one narrow pass.
 
-    Persisted because the 8 dispatch branches each re-read their input:
-    without the cache the raw construction + JSON parse would re-execute
-    per branch (8× the scan). Callers control input partitioning — pass
-    an already-spread raw frame so the parse and every branch run on all
-    cores (see operators.spread)."""
-    return raw.select(
+    Input: raw zone frame (source_spider string, raw_json string [, id]).
+    Output: canonical projection (pre-standardization) with price_raw.
+
+    Rows whose source_spider matches no dispatch rule are dropped
+    (the reference warns + skips, transform_data.py:542-544).
+    """
+    s = F.col("source_spider")
+    parsed = raw.select(
         "source_spider",
         F.from_json("raw_json", RAW_ITEM_SCHEMA).alias("r"),
-    ).persist()
-
-
-def _common(
-    parsed: DataFrame,
-    source: Column,
-    *,
-    venue_name: Column | None = None,
-    category_default: str,
-    category_underscores: bool = False,
-    event_date: Column | None = None,
-    require_venue: bool = False,
-    require_url: bool = False,
-) -> DataFrame:
+    )
     r = F.col("r")
-    cat_raw = F.coalesce(r["category"], F.lit(category_default))
-    if category_underscores:
-        cat_raw = F.regexp_replace(cat_raw, "_", " ")
-    venue = venue_name if venue_name is not None else r["venue_name"]
-    date = event_date if event_date is not None else r["event_date"]
-    out = parsed.select(
+
+    # Dispatch key — same predicates (incl. prefix/substring rules) as
+    # the reference's elif chain; pdf/manual_upload_* must win over the
+    # document substring rules ('manual_upload_csv' is a pdf-path name).
+    is_document = (s == "document") | (
+        s.contains("csv") | s.contains("xlsx") | s.contains("xls") | s.contains("docx")
+    )
+    key = (
+        F.when(s == "nashville_arcgis", "arcgis")
+        .when(s == "ticketmaster", "ticketmaster")
+        .when(s == "yelp", "yelp")
+        .when(s == "google_places", "google")
+        .when(s.isin("generic", *GENERIC_SOURCE_DISPLAY.keys()), "generic")
+        .when(s == "seatgeek", "seatgeek")
+        .when((s == "pdf") | s.startswith("manual_upload_"), "pdf")
+        .when(is_document, "document")
+    )
+
+    # generic spider: display source via map with passthrough default
+    # (transform_data.py:162-169)
+    display = s
+    for k, v in GENERIC_SOURCE_DISPLAY.items():
+        display = F.when(s == k, F.lit(v)).otherwise(display)
+    # document path: file type from spider name (transform_data.py:232-241)
+    file_type = (
+        F.when(s.contains("csv"), F.lit("CSV"))
+        .when(s.contains("xlsx") | s.contains("xls"), F.lit("EXCEL"))
+        .when(s.contains("docx"), F.lit("WORD"))
+        .otherwise(F.lit("UNKNOWN"))
+    )
+    source = (
+        F.when(F.col("_k") == "arcgis", F.lit("Nashville ArcGIS"))
+        .when(F.col("_k") == "ticketmaster", F.lit("Ticketmaster"))
+        .when(F.col("_k") == "yelp", F.lit("Yelp"))
+        .when(F.col("_k") == "google", F.lit("Google Places"))
+        .when(F.col("_k") == "generic", display)
+        .when(F.col("_k") == "seatgeek", F.lit("SeatGeek"))
+        .when(
+            F.col("_k") == "document",
+            F.concat(F.lit("Document Upload ("), file_type, F.lit(")")),
+        )
+        .otherwise(F.lit("PDF Upload (Structured)"))
+    )
+    # venue: arcgis/yelp/google use the name; document coalesces to it
+    venue = (
+        F.when(F.col("_k").isin("arcgis", "yelp", "google"), r["name"])
+        .when(F.col("_k") == "document", F.coalesce(r["venue_name"], r["name"]))
+        .otherwise(r["venue_name"])
+    )
+    # arcgis/yelp/google have no event date
+    date = F.when(
+        F.col("_k").isin("arcgis", "yelp", "google"),
+        F.lit(None).cast("string"),
+    ).otherwise(r["event_date"])
+    cat_default = (
+        F.when(F.col("_k") == "arcgis", "Civic Facility")
+        .when(F.col("_k").isin("ticketmaster", "seatgeek"), "Event")
+        .when(F.col("_k") == "yelp", "Business")
+        .when(F.col("_k") == "google", "Attraction")
+        .when(F.col("_k") == "generic", "General")
+        .when(F.col("_k") == "document", "Document Extracted")
+        .otherwise("Pdf Extracted")
+    )
+    cat_raw = F.coalesce(r["category"], cat_default)
+    # underscore cleanup only on the arcgis/document/pdf paths
+    cat_raw = F.when(
+        F.col("_k").isin("arcgis", "document", "pdf"),
+        F.regexp_replace(cat_raw, "_", " "),
+    ).otherwise(cat_raw)
+
+    out = parsed.withColumn("_k", key).filter(F.col("_k").isNotNull()).select(
         "source_spider",
+        "_k",
         r["name"].alias("name"),
         r["url"].alias("url"),
         date.alias("event_date"),
@@ -99,103 +157,17 @@ def _common(
         safe_double(r["longitude"]).alias("longitude"),
         r["price"].alias("price_raw"),
     )
-    cond = _nonempty(F.col("name"))
-    if require_venue:
-        cond = cond & _nonempty(F.col("venue_name"))
-    if require_url:
-        cond = cond & _nonempty(F.col("url"))
-    return out.filter(cond)
-
-
-def canonicalize(raw: DataFrame) -> DataFrame:
-    """Dispatch + project + union: transform_data.py:526-556 as one plan.
-
-    Input: raw zone frame (source_spider string, raw_json string [, id]).
-    Output: canonical projection (pre-standardization) with price_raw.
-    """
-    p = _parsed(raw)
-    s = F.col("source_spider")
-    r = F.col("r")
-
-    arcgis = _common(
-        p.filter(s == "nashville_arcgis"),
-        F.lit("Nashville ArcGIS"),
-        venue_name=r["name"],
-        category_default="Civic Facility",
-        category_underscores=True,
-        event_date=F.lit(None).cast("string"),
-        require_venue=True,
+    # validity gates: name always; venue for arcgis/tm/seatgeek; url for pdf
+    valid = (
+        _nonempty(F.col("name"))
+        & F.when(
+            F.col("_k").isin("arcgis", "ticketmaster", "seatgeek"),
+            _nonempty(F.col("venue_name")),
+        )
+        .when(F.col("_k") == "pdf", _nonempty(F.col("url")))
+        .otherwise(F.lit(True))
     )
-    ticketmaster = _common(
-        p.filter(s == "ticketmaster"),
-        F.lit("Ticketmaster"),
-        category_default="Event",
-        require_venue=True,
-    )
-    yelp = _common(
-        p.filter(s == "yelp"),
-        F.lit("Yelp"),
-        venue_name=r["name"],
-        category_default="Business",
-        event_date=F.lit(None).cast("string"),
-    )
-    google = _common(
-        p.filter(s == "google_places"),
-        F.lit("Google Places"),
-        venue_name=r["name"],
-        category_default="Attraction",
-        event_date=F.lit(None).cast("string"),
-    )
-    # generic spider: display source via map with passthrough default
-    # (transform_data.py:162-169)
-    display = s
-    for k, v in GENERIC_SOURCE_DISPLAY.items():
-        display = F.when(s == k, F.lit(v)).otherwise(display)
-    generic = _common(
-        p.filter(
-            s.isin("generic", *GENERIC_SOURCE_DISPLAY.keys())
-        ),
-        display,
-        category_default="General",
-    )
-    seatgeek = _common(
-        p.filter(s == "seatgeek"),
-        F.lit("SeatGeek"),
-        category_default="Event",
-        require_venue=True,
-    )
-    # document path: structured rows only (text payloads route to the
-    # extractor in sources.text_extract); file type from spider name
-    # (transform_data.py:232-241)
-    file_type = (
-        F.when(s.contains("csv"), F.lit("CSV"))
-        .when(s.contains("xlsx") | s.contains("xls"), F.lit("EXCEL"))
-        .when(s.contains("docx"), F.lit("WORD"))
-        .otherwise(F.lit("UNKNOWN"))
-    )
-    is_document = (s == "document") | (
-        s.contains("csv") | s.contains("xlsx") | s.contains("xls") | s.contains("docx")
-    )
-    document = _common(
-        p.filter(is_document & ~s.startswith("manual_upload_") & (s != "pdf")),
-        F.concat(F.lit("Document Upload ("), file_type, F.lit(")")),
-        venue_name=F.coalesce(r["venue_name"], r["name"]),
-        category_default="Document Extracted",
-        category_underscores=True,
-    )
-    pdf = _common(
-        p.filter((s == "pdf") | s.startswith("manual_upload_")),
-        F.lit("PDF Upload (Structured)"),
-        category_default="Pdf Extracted",
-        category_underscores=True,
-        require_url=True,
-    )
-
-    branches = [arcgis, ticketmaster, yelp, google, generic, seatgeek, document, pdf]
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+    return out.filter(valid).drop("_k")
 
 
 def standardize(canonical: DataFrame, now_year: int | None = None) -> DataFrame:

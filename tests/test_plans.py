@@ -80,7 +80,10 @@ def test_dedup_joins_are_equi_joins(spark):
 def test_etl_pipeline_single_pass(spark):
     plan = plan_of(spark, "q_etl_pipeline")
     assert "CartesianProduct" not in plan
-    assert "Union" in plan
+    # dispatch is a when-cascade projection, not a filter-per-branch
+    # union (which would re-scan the raw zone once per source)
+    assert "Union" not in plan
+    assert "InMemoryTableScan" not in plan
     # dedup = ONE exchange keyed on url (SortAggregate within partitions
     # afterwards is fine — it streams; a global sort would not be)
     assert "hashpartitioning(url" in plan
