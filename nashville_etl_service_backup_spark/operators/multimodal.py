@@ -140,6 +140,67 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("rms_lo", T.DoubleType(), True),
+        T.StructField("rms_hi", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio decode plumbing: duration from byte length / sample rate,
+    md5-derived stand-ins for band RMS. No rounding anywhere — every
+    output is an exact integer-derived double, so the DuckDB oracle
+    reproduces it bit-for-bit. A real decoder (librosa/soundfile) swaps
+    in for the inner function only."""
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, content, sr in zip(
+                pdf["media_id"], pdf["content"], pdf["sample_rate"]
+            ):
+                b = bytes(content)
+                dig = hashlib.md5(b).digest()
+                sr_i = int(sr)
+                rows.append(
+                    (
+                        int(mid),
+                        len(b),
+                        sr_i,
+                        len(b) / float(sr_i),
+                        dig[2] / 255.0,
+                        dig[3] / 255.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_bytes",
+                    "sample_rate",
+                    "duration_sec",
+                    "rms_lo",
+                    "rms_hi",
+                ],
+            )
+
+    from nashville_etl_service_backup_spark.operators import spread
+
+    return spread(
+        media.select(
+            "media_id", "content", F.col("meta.sample_rate").alias("sample_rate")
+        )
+    ).mapInPandas(decode, schema=AUDIO_FEATURES_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

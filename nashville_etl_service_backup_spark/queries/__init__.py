@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from nashville_etl_service_backup_spark.queries import (
+    analytics,
     etl_e2e,
     llmdata,
     serving_q,
@@ -32,13 +33,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
-    for mod in (tpch, tpch2, serving_q, llmdata, etl_e2e):
+    for mod in (tpch, tpch2, analytics, serving_q, llmdata, etl_e2e):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (tpch, tpch2, serving_q, llmdata, etl_e2e):
+    for mod in (tpch, tpch2, analytics, serving_q, llmdata, etl_e2e):
         out.update(mod.ORACLES)
     return out

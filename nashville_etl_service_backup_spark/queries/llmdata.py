@@ -27,6 +27,7 @@ from nashville_etl_service_backup_spark.operators.similarity import (
     pm_plane_bits,
 )
 from nashville_etl_service_backup_spark.operators.multimodal import (
+    extract_audio_features,
     extract_image_features,
     sample_frames,
     synth_media,
@@ -204,6 +205,14 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality decode plumbing: duration + stub band features over
+    binary content (Arrow-batched mapInPandas, no rounding — exact)."""
+    docs = load(spark, sf_dir, "documents")
+    media = synth_media(docs).filter(F.col("modality") == "audio")
+    return extract_audio_features(media)
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF-shaped frame sampling over video-modality binary content:
     every 4th 64-byte frame, one row per kept frame."""
@@ -238,6 +247,7 @@ QUERIES = {
     "text_token_counts": text_token_counts,
     "doc_fingerprints": doc_fingerprints,
     "multimodal_image_features": multimodal_image_features,
+    "multimodal_audio_features": multimodal_audio_features,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
@@ -565,6 +575,30 @@ FROM documents
             "  CAST(16 + byte1 % 240 AS INT) AS height,",
             "  ROUND(byte0 / 255.0, 6) AS feat_0,",
             "  ROUND(byte7 / 255.0, 6) AS feat_7",
+            "FROM b",
+        ]
+    ),
+    # audio stub: bytes 2 and 3 of md5(text) → rms stand-ins; duration =
+    # byte length / 16000 Hz, all exact (no rounding)
+    "multimodal_audio_features": "\n".join(
+        [
+            "WITH m AS (SELECT doc_id AS media_id, text FROM documents"
+            " WHERE doc_id % 3 = 1),",
+            "h AS (SELECT media_id,"
+            " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
+            " md5(text) AS hx FROM m),",
+            "b AS (SELECT media_id, n_bytes,",
+            ",\n".join(
+                f"  ((strpos('0123456789abcdef', substr(hx, {2 * k + 1}, 1)) - 1) * 16"
+                f" + strpos('0123456789abcdef', substr(hx, {2 * k + 2}, 1)) - 1)"
+                f" AS byte{k}"
+                for k in (2, 3)
+            ),
+            "FROM h)",
+            "SELECT media_id, n_bytes, CAST(16000 AS INT) AS sample_rate,",
+            "  n_bytes / 16000.0 AS duration_sec,",
+            "  byte2 / 255.0 AS rms_lo,",
+            "  byte3 / 255.0 AS rms_hi",
             "FROM b",
         ]
     ),

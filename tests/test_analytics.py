@@ -1,0 +1,56 @@
+"""Analytics wave: HLL accuracy (its oracle is intentionally rows-only)
+and audio feature plumbing invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from nashville_etl_service_backup_spark.queries.analytics import (
+    q_approx_distinct,
+)
+from nashville_etl_service_backup_spark.queries.llmdata import (
+    multimodal_audio_features,
+)
+from nashville_etl_service_backup_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_distinct_within_rsd(spark):
+    est = {
+        r.l_returnflag: r.approx_parts
+        for r in q_approx_distinct(spark, SF).collect()
+    }
+    li = load(spark, SF, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, e in exact.items():
+        # rsd=0.02 → generous 10% bound; catches gross sketch wiring bugs
+        assert abs(est[k] - e) / e < 0.10, (k, est[k], e)
+
+
+def test_audio_features_exact_semantics(spark):
+    import hashlib
+
+    out = multimodal_audio_features(spark, SF)
+    rows = {r.media_id: r for r in out.collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, SF, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .collect()
+    }
+    assert rows.keys() == docs.keys()
+    mid = next(iter(rows))
+    b = docs[mid].encode()
+    dig = hashlib.md5(b).digest()
+    r = rows[mid]
+    assert r.n_bytes == len(b)
+    assert r.sample_rate == 16000
+    assert r.duration_sec == len(b) / 16000.0
+    assert (r.rms_lo, r.rms_hi) == (dig[2] / 255.0, dig[3] / 255.0)
