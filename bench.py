@@ -27,18 +27,26 @@ HEADLINE = [
     "q05_local_supplier",
     "q06_forecast_revenue",
     "q07_nation_volume",
+    "q13_order_count_distribution",
     "q18_large_orders",
+    "q21_waiting_supplier",
     "q_running_total",
     "q_customer_order_stats",
+    "q_lag_lead",
+    "q_percentiles",
     "q_doc_search_rank",
     "q_tumbling_window",
     "q_session_window",
     "q_events_pivot",
+    "q_asof_join",
+    "q_range_join",
+    "q_etl_pipeline",
     "dedup_lsh_pairs",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_embedding_pairs",
     "sim_topk_bruteforce",
+    "sim_ann_ivf",
     "text_token_counts",
     "doc_fingerprints",
     "multimodal_image_features",
