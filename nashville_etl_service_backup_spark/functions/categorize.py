@@ -44,19 +44,22 @@ def _combined(name: Column, description: Column, venue: Column) -> Column:
 
 
 def _any_contains(text: Column, keywords: list[str]) -> Column:
-    cond = F.lit(False)
-    for kw in keywords:
+    cond = text.contains(keywords[0])
+    for kw in keywords[1:]:
         cond = cond | text.contains(kw)
     return cond
 
 
 def detect_genre(text: Column) -> Column:
     """First-match genre over an already-combined lowered text
-    (categorizer.py:17-32); 'general' fallback."""
-    expr = F.lit("general")
-    for genre, kws in reversed(GENRE_KEYWORDS):
-        expr = F.when(_any_contains(text, kws), F.lit(genre)).otherwise(expr)
-    return expr
+    (categorizer.py:17-32); 'general' fallback. Built as ONE flat
+    CaseWhen (not nested otherwise-chains) — nested CaseWhens blow up
+    whole-stage-codegen method size."""
+    expr = None
+    for genre, kws in GENRE_KEYWORDS:
+        cond = _any_contains(text, kws)
+        expr = F.when(cond, F.lit(genre)) if expr is None else expr.when(cond, F.lit(genre))
+    return expr.otherwise(F.lit("general"))
 
 
 def categorize_event(
@@ -65,17 +68,29 @@ def categorize_event(
     """Returns (category, genre) Columns (categorizer.py:1-14).
 
     genre is NULL for comedy/theater/sports, detect_genre(...) for
-    festival/music — exactly the reference's tuple contract.
+    festival/music — exactly the reference's tuple contract. The genre
+    gate is expressed directly on the keyword predicates (festival
+    matched, or nothing matched → category 'music') instead of
+    re-embedding the whole category cascade, keeping generated code
+    small.
     """
     description = description if description is not None else F.lit(None)
     venue = venue if venue is not None else F.lit(None)
     combined = _combined(name, description, venue)
 
-    category = F.lit("music")
-    for cat, kws in reversed(CATEGORY_KEYWORDS):
-        category = F.when(_any_contains(combined, kws), F.lit(cat)).otherwise(category)
+    conds = [(cat, _any_contains(combined, kws)) for cat, kws in CATEGORY_KEYWORDS]
+    category = None
+    for cat, cond in conds:
+        category = (
+            F.when(cond, F.lit(cat)) if category is None else category.when(cond, F.lit(cat))
+        )
+    category = category.otherwise(F.lit("music"))
 
-    genre = F.when(category.isin(*_GENRE_CATEGORIES), detect_genre(combined)).otherwise(
+    by_cat = dict(conds)
+    genre_on = by_cat["festival"] | ~(
+        by_cat["comedy"] | by_cat["theater"] | by_cat["sports"]
+    )
+    genre = F.when(genre_on, detect_genre(combined)).otherwise(
         F.lit(None).cast("string")
     )
     return category, genre

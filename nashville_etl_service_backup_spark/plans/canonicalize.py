@@ -195,7 +195,15 @@ def standardize(canonical: DataFrame, now_year: int | None = None) -> DataFrame:
 
 
 def run_pipeline(raw: DataFrame, now_year: int | None = None) -> DataFrame:
-    """Full §3.1 transform: canonicalize → standardize → within-batch
-    dedup on url (K2's ON CONFLICT analog; first writer wins like the
-    reference's insert order — we keep min name for determinism)."""
-    return standardize(canonicalize(raw), now_year).dropDuplicates(["url"])
+    """Full §3.1 transform: canonicalize → within-batch dedup on url
+    (K2's ON CONFLICT analog) → standardize.
+
+    Standardize runs AFTER the dedup exchange on purpose: (1) it only
+    touches surviving rows (strictly less work at scale), and (2) its
+    heavy scalar expressions land in a projection that consumes shuffle
+    output, where whole-stage codegen can split generated methods —
+    fused directly onto the scan they exceed the JVM's 64 KB method
+    limit and force an interpreted fallback. Standardize is
+    deterministic per row, so the result is identical either side of
+    the dedup."""
+    return standardize(canonicalize(raw).dropDuplicates(["url"]), now_year)
