@@ -82,6 +82,16 @@ def main() -> None:
             except Exception:
                 pass
         spark.catalog.clearCache()
+    # One untimed pass at the measured SF — same protocol as the DuckDB
+    # yardstick (tools/bench_duckdb.py: "warm run after one untimed
+    # pass"). Some JIT/spill paths only trigger at the measured data
+    # size, so sf0.001 warmup alone under-warms; no data is cached.
+    for name in HEADLINE:
+        try:
+            materialize(qs[name](spark, sf_dir))
+        except Exception:
+            pass
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
