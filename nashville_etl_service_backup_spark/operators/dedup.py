@@ -388,3 +388,81 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over an
+    undirected near-duplicate pair list via iterative min-label
+    propagation. Returns (node, component) for every node that appears
+    in a pair, where component = smallest node id in its cluster.
+
+    This is the step the pair-producing operators (LSH, SimHash, n-gram
+    Jaccard) feed at scale: pairs chain (A~B, B~C) and the dedup
+    decision needs the transitive closure, not the raw pairs.
+
+    Scale shape: each iteration shuffles only (node, label) pairs —
+    never document content — via one equi-join + one min-groupBy, both
+    map-side combinable. Label propagation converges in O(cluster
+    diameter) iterations; near-dup clusters are shallow (dozens of
+    docs), so 3-5 iterations in practice. `localCheckpoint` truncates
+    the growing lineage each round (on a real cluster, checkpoint to
+    durable storage instead). Driver participates only in the
+    convergence test (a scalar aggregate per round) — no row data ever
+    reaches the driver.
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    # labels are monotonically non-increasing, so sum(lbl) strictly
+    # decreases until the fixed point — a one-number convergence probe.
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+            .withColumnRenamed("dst", "node")
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def resolve_duplicates(
+    df: DataFrame, id_col: str, pairs: DataFrame,
+    a_col: str = "doc_a", b_col: str = "doc_b",
+) -> DataFrame:
+    """Corpus-level dedup decision: keep every doc that is either not in
+    any near-dup pair or is its cluster's representative (min id).
+    Returns the kept rows of `df`. One anti-join against the (tiny
+    relative to the corpus) set of non-representative cluster members."""
+    comp = connected_components(pairs, a_col, b_col)
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -114,3 +114,68 @@ def rolling_hash(text: Column, mod: int = 1_000_000_007, base: int = 31) -> Colu
         F.lit(0).cast("long"),
         lambda acc, c: F.pmod(acc * base + F.coalesce(F.ascii(c), F.lit(0)), F.lit(mod)),
     )
+
+
+def bm25_topk(
+    docs,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 ranking of the corpus against a fixed term list — the
+    classic relevance upgrade over the serving layer's token-overlap
+    score (F15). Returns the top-k (id, score) rows.
+
+    Scale shape: per-document term frequencies are higher-order-function
+    expressions over the token array (one narrow pass, no explode, no
+    UDF); the corpus statistics (N, avgdl, per-term document frequency)
+    reduce to ONE single-row aggregate that is broadcast back — so the
+    whole query is scan → agg(6 numbers) → broadcast-join → top-k, with
+    no shuffle proportional to corpus size. All inputs to the score are
+    integers (tf, df, dl, N), so the double math is bit-reproducible
+    across engines.
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokenize(F.col(text_col))
+
+    def _tf(term: str) -> Column:
+        # single-arg lambda: a second parameter would be read by the HOF
+        # machinery as the element-index argument
+        return F.size(F.filter(toks, lambda x: x == term))
+
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = per_doc.join(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df_t = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        )
+        part = idf * tf * F.lit(k1 + 1.0) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

@@ -85,8 +85,100 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((priority), (status), ()) — the third
+    grouping-set shape after CUBE/ROLLUP (§2.5 gap). One shuffle; Spark
+    expands the sets in a single Expand node, not one scan per set."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_total"),
+            F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders",
+            "sum_total",
+            "g_prio",
+            "g_status",
+        )
+    )
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient join: revenue per order priority via an explicitly
+    SALTED lineitem⋈orders equi-join. The big side carries a
+    deterministic salt (l_linenumber % 8); the small side is replicated
+    8× with `explode(sequence(...))`, and the join key becomes
+    (orderkey, salt) — so one hot orderkey spreads over 8 reducers
+    instead of one. Result is provably salt-invariant (the oracle is the
+    plain join). At 100 TB this is the manual fallback when AQE skew
+    splitting can't kick in (e.g. broadcast-ineligible aggregated
+    build side)."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "_salt", (F.col("l_linenumber") % 8).cast("int")
+    )
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(7)))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li["_salt"] == orders["_salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(revenue).alias("revenue"),
+        )
+    )
+
+
+def q_ring_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/A3/F21 as one oracle-checked query: polygon-ring centroid via
+    `aggregate` higher-order functions (no UDF, no explode), EPSG:2274→
+    WGS84 affine transform, and the reference's coordinate range gate
+    (out-of-range → both NULL). Ring vertices are synthesized
+    deterministically from event_id in exact integer feet."""
+    from nashville_etl_service_backup_spark.functions.geo import (
+        ring_centroid,
+        state_plane_to_wgs84_approx,
+        validate_coords,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    cx = (F.lit(1738000) + (F.col("event_id") % 3000 - 1500) * 400).cast("double")
+    cy = (F.lit(665000) + (F.col("event_id") % 2000 - 1000) * 800).cast("double")
+    ring = F.array(
+        F.array(cx - 30, cy - 15),
+        F.array(cx + 42, cy - 15),
+        F.array(cx, cy + 36),
+    )
+    c = ring_centroid(ring)
+    lat_r, lng_r = state_plane_to_wgs84_approx(c.getField("x"), c.getField("y"))
+    lat, lng = validate_coords(lat_r, lng_r)
+    return ev.select(
+        "event_id",
+        F.round(lat, 6).alias("lat"),
+        F.round(lng, 6).alias("lng"),
+    )
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
+    "q_grouping_sets": q_grouping_sets,
+    "q_skew_salted_join": q_skew_salted_join,
+    "q_ring_centroid": q_ring_centroid,
     "q_percentiles": q_percentiles,
     "q_cube_returns": q_cube_returns,
     "q_approx_distinct": q_approx_distinct,
@@ -120,6 +212,48 @@ SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
   CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "q_grouping_sets": """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total,
+  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
+    # the oracle is the UNSALTED join — proves the salted plan is
+    # result-invariant
+    "q_skew_salted_join": """
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+       AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    "q_ring_centroid": """
+WITH g AS (
+  SELECT event_id,
+    CAST(1738000 + (event_id % 3000 - 1500) * 400 AS DOUBLE) AS cx,
+    CAST(665000 + (event_id % 2000 - 1000) * 800 AS DOUBLE) AS cy
+  FROM events),
+c AS (
+  SELECT event_id,
+    (((0.0 + (cx - 30)) + (cx + 42)) + cx) / 3.0 AS x,
+    (((0.0 + (cy - 15)) + (cy - 15)) + (cy + 36)) / 3.0 AS y
+  FROM g),
+ll AS (
+  SELECT event_id,
+    36.1627 + (y - 665000.0) * (1.0 / 364000.0) AS lat,
+    -86.7816 + (x - 1738000.0) * (1.0 / (364000.0 * 0.80777)) AS lng
+  FROM c)
+SELECT event_id,
+  ROUND(CASE WHEN lat BETWEEN 35.0 AND 37.0
+              AND lng BETWEEN -88.0 AND -85.0 THEN lat END, 6) AS lat,
+  ROUND(CASE WHEN lat BETWEEN 35.0 AND 37.0
+              AND lng BETWEEN -88.0 AND -85.0 THEN lng END, 6) AS lng
+FROM ll
 """,
     # q_approx_distinct: intentionally no oracle (rows-only) — HLL
     # estimates are engine-internal; accuracy pinned in tests.

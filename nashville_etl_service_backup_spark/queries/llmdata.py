@@ -11,10 +11,12 @@ from pyspark.sql import functions as F
 
 from nashville_etl_service_backup_spark.functions.text import tokenize
 from nashville_etl_service_backup_spark.operators.dedup import (
+    connected_components,
     exact_dedup_groups,
     lsh_near_dup_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
+    resolve_duplicates,
     shingles,
     simhash_near_dup_pairs,
 )
@@ -34,6 +36,7 @@ from nashville_etl_service_backup_spark.operators.multimodal import (
 )
 from nashville_etl_service_backup_spark.operators.text_analysis import (
     bag_fingerprint,
+    bm25_topk,
     bpe_token_count,
     content_fingerprint,
     language_id,
@@ -70,6 +73,37 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(
         docs, "doc_id", "text", shingle_n=2, num_hashes=4, bands=2, threshold=0.6
     )
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return lsh_near_dup_pairs(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=4, bands=2, threshold=0.6
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components (iterative
+    min-label propagation) over the MinHash-LSH near-dup pairs —
+    (doc_id, component) for every doc in a cluster."""
+    comp = connected_components(_lsh_pairs(spark, sf_dir))
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup decision: the kept doc_ids after dropping every
+    cluster member except its representative (min doc_id)."""
+    docs = load(spark, sf_dir, "documents")
+    kept = resolve_duplicates(docs, "doc_id", _lsh_pairs(spark, sf_dir))
+    return kept.select("doc_id")
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 over documents for the fixed query
+    ['spark','window','vector'] — corpus stats via one broadcast-joined
+    single-row aggregate, term frequencies via HOFs (no explode)."""
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", ["spark", "window", "vector"], k=20)
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,6 +269,9 @@ QUERIES = {
     "dedup_exact_bow": dedup_exact_bow,
     "dedup_minhash_sig": dedup_minhash_sig,
     "dedup_lsh_pairs": dedup_lsh_pairs,
+    "dedup_clusters": dedup_clusters,
+    "dedup_resolve": dedup_resolve,
+    "text_bm25_topk": text_bm25_topk,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -300,6 +337,46 @@ _TRI_JACCARD = (
     " / len(list_distinct(list_concat(a.g, b.g)))"
 )
 
+# MinHash-LSH pair CTE chain, shared by dedup_lsh_pairs (pairs + jaccard)
+# and the cluster-resolution oracles (recursive closure over the pairs).
+_LSH_CTES = f"""tok AS (
+  SELECT doc_id, {_TOKS_O} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, {_SHINGLES} AS s FROM tok),
+sig AS (
+  SELECT doc_id, s,
+    {_MINHASH_SLICE.format(s='s', off=1)} || '|' || {_MINHASH_SLICE.format(s='s', off=9)} AS b0,
+    {_MINHASH_SLICE.format(s='s', off=17)} || '|' || {_MINHASH_SLICE.format(s='s', off=25)} AS b1
+  FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1)),
+lshp AS (
+  SELECT doc_a, doc_b,
+    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.s, sb.s))) AS j
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.6)"""
+
+# transitive closure over the symmetric pair graph: every (node,
+# reachable-node) label, min per node = component representative
+_CLUSTER_CTES = f"""{_LSH_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lshp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM lshp),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+comp AS (
+  SELECT node, MIN(lbl) AS component FROM walk GROUP BY node)"""
+
 ORACLES = {
     "dedup_exact_bow": f"""
 SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
@@ -318,27 +395,47 @@ SELECT doc_id,
 FROM (SELECT doc_id, {_TOKS_O} AS tk FROM documents)
 """,
     "dedup_lsh_pairs": f"""
-WITH tok AS (
+WITH {_LSH_CTES}
+SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM lshp
+""",
+    "dedup_clusters": f"""
+WITH RECURSIVE {_CLUSTER_CTES}
+SELECT node AS doc_id, component FROM comp
+""",
+    "dedup_resolve": f"""
+WITH RECURSIVE {_CLUSTER_CTES}
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+""",
+    "text_bm25_topk": f"""
+WITH t AS (
   SELECT doc_id, {_TOKS_O} AS tk FROM documents),
-sh AS (
-  SELECT doc_id, {_SHINGLES} AS s FROM tok),
-sig AS (
-  SELECT doc_id, s,
-    {_MINHASH_SLICE.format(s='s', off=1)} || '|' || {_MINHASH_SLICE.format(s='s', off=9)} AS b0,
-    {_MINHASH_SLICE.format(s='s', off=17)} || '|' || {_MINHASH_SLICE.format(s='s', off=25)} AS b1
-  FROM sh),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sig a JOIN sig b
-    ON a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1))
-SELECT doc_a, doc_b,
-  ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-        / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
-FROM cand
-JOIN sh sa ON sa.doc_id = doc_a
-JOIN sh sb ON sb.doc_id = doc_b
-WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.6
+d AS (
+  SELECT doc_id, len(tk) AS dl,
+    len(list_filter(tk, x -> x = 'spark'))  AS tf_0,
+    len(list_filter(tk, x -> x = 'window')) AS tf_1,
+    len(list_filter(tk, x -> x = 'vector')) AS tf_2
+  FROM t),
+s AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+    SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+    SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+    SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+  FROM d)
+SELECT doc_id, ROUND(
+    ln(1.0 + (n_docs - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5))
+      * CAST(tf_0 AS DOUBLE) * (1.2 + 1.0)
+      / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+  + ln(1.0 + (n_docs - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5))
+      * CAST(tf_1 AS DOUBLE) * (1.2 + 1.0)
+      / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+  + ln(1.0 + (n_docs - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5))
+      * CAST(tf_2 AS DOUBLE) * (1.2 + 1.0)
+      / (CAST(tf_2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+  , 6) AS bm25
+FROM d, s
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
 """,
     "dedup_simhash_pairs": f"""
 WITH t AS (

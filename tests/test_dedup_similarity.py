@@ -135,3 +135,66 @@ def test_rolling_hash_deterministic(spark):
     # matches the closed form ((a*31+b)*31+c) mod p
     a, b, c = ord("a"), ord("b"), ord("c")
     assert vals[0] == ((a * 31 + b) * 31 + c) % 1_000_000_007
+
+
+def test_connected_components_chains_pairs(spark):
+    from nashville_etl_service_backup_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # two clusters: {1,2,5} chained via (1,2),(2,5); {7,9} direct
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (7, 9)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (5, 1), (7, 7), (9, 7)}
+
+
+def test_resolve_duplicates_keeps_representatives(spark):
+    from nashville_etl_service_backup_spark.operators.dedup import (
+        resolve_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 11)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (7, 9)], "doc_a long, doc_b long"
+    )
+    kept = {r["doc_id"] for r in resolve_duplicates(docs, "doc_id", pairs).collect()}
+    # drop 2,5 (cluster rep 1) and 9 (cluster rep 7)
+    assert kept == {1, 3, 4, 6, 7, 8, 10}
+
+
+def test_connected_components_empty_pairs(spark):
+    from nashville_etl_service_backup_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_bm25_ranks_term_heavy_doc_first(spark):
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark runs fast"),
+            (2, "spark is a framework"),
+            (3, "ducks swim in the pond"),
+            (4, "window functions in spark spark"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, "doc_id", "text", ["spark"], k=4).collect()
+    assert rows[0]["doc_id"] == 1  # highest tf
+    assert rows[-1]["doc_id"] == 3  # no hit
+    assert rows[-1]["bm25"] == 0.0
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
