@@ -45,11 +45,18 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_embedding_pairs",
+    "dedup_clusters",
     "sim_topk_bruteforce",
     "sim_ann_ivf",
     "text_token_counts",
+    "text_bm25_topk",
+    "text_split_counts",
+    "text_zscore_by_lang",
     "doc_fingerprints",
     "multimodal_image_features",
+    "q_grouping_sets",
+    "q_skew_salted_join",
+    "q_ring_centroid",
 ]
 
 
@@ -93,13 +100,20 @@ def main() -> None:
             pass
     spark.catalog.clearCache()
 
+    # min-of-3 timed runs per query: single runs vary ±30% under GC /
+    # scheduler noise at these (sub-second .. few-second) durations;
+    # the min is the standard steady-state estimator and the DuckDB
+    # yardstick (tools/bench_duckdb.py) uses the identical protocol.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -253,9 +253,13 @@ def embedding_near_dup_pairs(
         pm_signs(pm_plane_bits(s, dim)) for s in range(bands * planes_per_band)
     ]
     v = as_double(F.col(vec_col))
-    # No spread here: the SRP signature is ~dim×planes multiplies per
-    # row — far cheaper per byte than text hashing, so the scan
-    # parallelism is enough and an extra exchange would dominate.
+    # spread before the signature: the embeddings scan is typically a
+    # handful of splits, and 32 interpreted HOF dot products per row on
+    # one core dominate the tiny (vec_id, 64-double) exchange (measured
+    # 1.6× on the signature stage at sf0.1)
+    from nashville_etl_service_backup_spark.operators import spread
+
+    emb = spread(emb)
     base = emb.select(
         F.col(id_col).alias("doc_id"),
         v.alias("v"),

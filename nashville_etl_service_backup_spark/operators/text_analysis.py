@@ -179,3 +179,66 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def hash_bucket(id_col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic, engine-portable bucket in [0, n_buckets): first 8
+    hex chars of md5(id) as an integer, mod n_buckets. Unlike
+    `df.sample`/`TABLESAMPLE` (engine-internal RNG), this is stable
+    across engines, runs, partitionings, and cluster sizes — the
+    property a training pipeline needs so a document's train/val/test
+    assignment never changes under re-partitioning or backfill."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % n_buckets
+
+
+def split_assign(
+    id_col: Column, train_pct: int = 90, val_pct: int = 5
+) -> Column:
+    """Stable train/val/test split label from the id hash bucket."""
+    b = hash_bucket(id_col, 100)
+    return (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
+def zscore_by_group(df, group_col: str, value_col: str, id_col: str):
+    """Per-group z-score normalization via grouped-map `applyInPandas`
+    (D1's grouped-map sibling: Arrow-batched pandas per group, schema
+    enforced by the output StructType).
+
+    Determinism for oracle parity: group sums are computed in exact
+    int64 (sum, sum-of-squares of an integer feature), so mean/variance
+    are identical regardless of row order or engine; the per-row z is
+    elementwise float math. Groups of size 1 or zero variance emit NULL.
+    At scale each group must fit one executor's memory — the standard
+    applyInPandas contract (documents-per-language easily does;
+    skew-prone groupings should pre-aggregate instead)."""
+    import pandas as pd
+
+    out_schema = f"{id_col} long, {group_col} string, z double"
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
+        v = pdf[value_col].astype("int64")
+        n = len(pdf)
+        s = int(v.sum())
+        ss = int((v * v).sum())
+        if n > 1:
+            mean = s / n
+            var = (ss - s * s / n) / (n - 1)
+        else:
+            var = 0.0
+        if var > 0:
+            z = (v - mean) / math.sqrt(var)
+        else:
+            z = pd.Series([None] * n, dtype="float64", index=v.index)
+        return pd.DataFrame(
+            {id_col: pdf[id_col], group_col: pdf[group_col], "z": z}
+        )
+
+    return df.groupBy(group_col).applyInPandas(fn, out_schema)

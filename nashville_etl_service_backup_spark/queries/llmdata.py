@@ -41,7 +41,9 @@ from nashville_etl_service_backup_spark.operators.text_analysis import (
     content_fingerprint,
     language_id,
     quality_features,
+    split_assign,
     ws_token_count,
+    zscore_by_group,
 )
 from nashville_etl_service_backup_spark.queries._util import (
     DUCK_TOKENS_DISTINCT,
@@ -104,6 +106,28 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row aggregate, term frequencies via HOFs (no explode)."""
     docs = load(spark, sf_dir, "documents")
     return bm25_topk(docs, "doc_id", "text", ["spark", "window", "vector"], k=20)
+
+
+def text_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test split (md5 hash-bucket of doc_id — identical
+    assignment in any engine, under any partitioning) tallied per split
+    × language."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(split_assign(F.col("doc_id")).alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of document token counts via grouped-map
+    applyInPandas (Arrow-batched pandas per group; exact-int group
+    moments for engine parity)."""
+    docs = load(spark, sf_dir, "documents")
+    feats = docs.select("doc_id", "lang", ws_token_count(F.col("text")).alias("nt"))
+    z = zscore_by_group(feats, "lang", "nt", "doc_id")
+    return z.select("doc_id", "lang", F.round("z", 6).alias("z"))
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,6 +296,8 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_resolve": dedup_resolve,
     "text_bm25_topk": text_bm25_topk,
+    "text_split_counts": text_split_counts,
+    "text_zscore_by_lang": text_zscore_by_lang,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -572,6 +598,36 @@ SELECT vec_id, label, ROUND(c, 4) AS cosine
 FROM cand
 ORDER BY c DESC, vec_id ASC
 LIMIT 10
+""",
+    # hex→int without from_hex: Σ nibble·16^k, exact in double (< 2^53)
+    "text_split_counts": """
+WITH b AS (
+  SELECT lang,
+    CAST(list_sum(list_transform(range(1, 9), i ->
+      (strpos('0123456789abcdef',
+              substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+      * pow(16, 8 - i))) AS BIGINT) % 100 AS bkt
+  FROM documents)
+SELECT CASE WHEN bkt < 90 THEN 'train'
+            WHEN bkt < 95 THEN 'val'
+            ELSE 'test' END AS split,
+  lang, COUNT(*) AS n_docs
+FROM b
+GROUP BY 1, 2
+""",
+    "text_zscore_by_lang": f"""
+WITH t AS (
+  SELECT doc_id, lang, len({_TOKS_O}) AS nt FROM documents),
+g AS (
+  SELECT lang, COUNT(*) AS n, SUM(nt) AS s, SUM(nt * nt) AS ss FROM t
+  GROUP BY lang)
+SELECT t.doc_id, t.lang,
+  CASE WHEN g.n > 1
+        AND (g.ss - g.s * g.s / CAST(g.n AS DOUBLE)) / (g.n - 1) > 0
+       THEN ROUND((t.nt - g.s / CAST(g.n AS DOUBLE))
+                  / sqrt((g.ss - g.s * g.s / CAST(g.n AS DOUBLE)) / (g.n - 1)), 6)
+       END AS z
+FROM t JOIN g ON t.lang = g.lang
 """,
     "text_quality_by_lang": f"""
 WITH t AS (

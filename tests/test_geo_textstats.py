@@ -79,3 +79,44 @@ def test_token_counts(spark):
     assert r.ws == 5
     # bpe: hello, world, ',', it, ''', s, 2024, '!' → 8
     assert r.bpe == 8
+
+
+def test_hash_bucket_stable_and_in_range(spark):
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        hash_bucket,
+        split_assign,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(F.col("id"))
+    b = df.select(hash_bucket(F.col("id")).alias("b"), split_assign(F.col("id")).alias("s"))
+    rows = b.collect()
+    assert all(0 <= r["b"] < 100 for r in rows)
+    # split fractions roughly 90/5/5
+    from collections import Counter
+
+    c = Counter(r["s"] for r in rows)
+    assert c["train"] > 800 and c["val"] > 10 and c["test"] > 10
+    # stability: same ids, different partitioning → same assignment
+    again = dict(
+        df.repartition(7)
+        .select("id", split_assign(F.col("id")).alias("s"))
+        .collect()
+    )
+    first = dict(df.select("id", split_assign(F.col("id")).alias("s")).collect())
+    assert first == again
+
+
+def test_zscore_by_group_moments(spark):
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        zscore_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 5)],
+        "doc_id long, lang string, nt long",
+    )
+    out = {r["doc_id"]: r["z"] for r in zscore_by_group(df, "lang", "nt", "doc_id").collect()}
+    assert out[2] == 0.0  # at the mean
+    assert abs(out[1] + 1.0) < 1e-9 and abs(out[3] - 1.0) < 1e-9  # ±1 sd
+    assert out[4] is None  # singleton group
