@@ -126,3 +126,68 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def stateful_dedup_stream(
+    events: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts_str",
+) -> DataFrame:
+    """Custom stateful operator (D-surface): cross-batch first-occurrence
+    dedup with EXPLICIT keyed state via `applyInPandasWithState` — the
+    stateful-streaming analog of K2/T4 (`ON CONFLICT (url) DO NOTHING`,
+    transform_data.py:566-600) that needs no sink anti-join: a key's
+    "seen" bit lives in the state store, so each micro-batch does one
+    shuffle on the key and O(new keys) state lookups.
+
+    Emits exactly one row per key over the stream's lifetime (the
+    lexicographically-first (ts, key) row within the first batch that
+    carries the key — deterministic under any partitioning). Unbounded
+    keyspace caveat: state grows with distinct keys; production would
+    add a timeout/TTL (GroupStateTimeout) or watermark-scoped
+    `dropDuplicatesWithinWatermark` when the dedup horizon is bounded.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField(ts_col, StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", IntegerType())])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            return iter(())
+        first = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values([ts_col, key_col]).iloc[0]
+            if first is None or (cand[ts_col], cand[key_col]) < (
+                first[ts_col],
+                first[key_col],
+            ):
+                first = cand
+        if first is None:
+            return iter(())
+        state.update((1,))
+        return iter(
+            (pd.DataFrame({key_col: [first[key_col]], ts_col: [first[ts_col]]}),)
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -108,3 +108,53 @@ def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
     # over a finite source the final watermark closes... verify no crash and
     # checkpoint exists (emission semantics asserted in batch parity test)
     assert (tmp_path / "wckpt").exists()
+
+
+@pytest.mark.slow
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    from nashville_etl_service_backup_spark.streaming.pipeline import (
+        stateful_dedup_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "sd_ckpt")
+    sink = str(tmp_path / "sd_sink")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "url string, ts_str string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run_available():
+        stream = (
+            spark.readStream.schema("url string, ts_str string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stateful_dedup_stream(stream, "url", "ts_str")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: a dup within the batch (keep earliest ts) + a unique key
+    write_batch([("u1", "2024-01-01 10:05"), ("u1", "2024-01-01 10:01"), ("u2", "2024-01-01 11:00")])
+    run_available()
+    # batch 2: u1 again (must NOT re-emit) + new u3
+    write_batch([("u1", "2024-01-02 09:00"), ("u3", "2024-01-02 10:00")])
+    run_available()
+
+    got = {
+        (r["url"], r["ts_str"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {
+        ("u1", "2024-01-01 10:01"),
+        ("u2", "2024-01-01 11:00"),
+        ("u3", "2024-01-02 10:00"),
+    }
