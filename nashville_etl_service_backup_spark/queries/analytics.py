@@ -174,11 +174,48 @@ def q_ring_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE window frame (trailing 1 hour of events per type) —
+    the frame-spec variant q_running_total's ROWS frame doesn't cover.
+    Ordered by exact integer epoch-microseconds; ties share the frame
+    (RANGE peers), so the result is partitioning-independent."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing_1h"),
+    )
+
+
+def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (wide→long reshape) of the four lineitem measures —
+    one narrow Expand pass, the inverse of q_events_pivot."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_grouping_sets": q_grouping_sets,
     "q_skew_salted_join": q_skew_salted_join,
     "q_ring_centroid": q_ring_centroid,
+    "q_range_frame": q_range_frame,
+    "q_unpivot_lineitem": q_unpivot_lineitem,
     "q_percentiles": q_percentiles,
     "q_cube_returns": q_cube_returns,
     "q_approx_distinct": q_approx_distinct,
@@ -254,6 +291,24 @@ SELECT event_id,
   ROUND(CASE WHEN lat BETWEEN 35.0 AND 37.0
               AND lng BETWEEN -88.0 AND -85.0 THEN lng END, 6) AS lng
 FROM ll
+""",
+    "q_range_frame": """
+SELECT event_id, event_type,
+  COUNT(*) OVER w AS n_trailing_1h,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    "q_unpivot_lineitem": """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 """,
     # q_approx_distinct: intentionally no oracle (rows-only) — HLL
     # estimates are engine-internal; accuracy pinned in tests.
