@@ -37,3 +37,25 @@ def paginate(
 def page_count(total: Column, per_page: int = PER_PAGE) -> Column:
     """A5 (db_extractor.py:50): ceil(total/per_page)."""
     return F.ceil(total / F.lit(per_page)).cast("long")
+
+
+def pagination_links(
+    current_page: Column, total_pages: Column, max_visible: int = 5
+) -> Column:
+    """F23 (app.py:35-50): the windowed page-link range with
+    first/last/ellipsis flags, as one struct-valued scalar expression
+    (`sequence` + `greatest`/`least` — a UI scalar demo, per SURVEY
+    §2.8)."""
+    start0 = F.greatest(F.lit(1), current_page - max_visible // 2)
+    end = F.least(total_pages, start0 + F.lit(max_visible - 1))
+    start = F.when(
+        end - start0 + 1 < max_visible,
+        F.greatest(F.lit(1), end - F.lit(max_visible - 1)),
+    ).otherwise(start0)
+    return F.struct(
+        (start > 1).alias("show_first"),
+        (end < total_pages).alias("show_last"),
+        (start > 2).alias("show_left_ellipsis"),
+        (end < total_pages - 1).alias("show_right_ellipsis"),
+        F.sequence(start.cast("int"), end.cast("int")).alias("pages"),
+    )

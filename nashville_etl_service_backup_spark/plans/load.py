@@ -73,3 +73,11 @@ def _sink_exists(spark: SparkSession, path: str) -> bool:
 
 def _count_parquet(spark: SparkSession, path: str) -> int:
     return spark.read.parquet(path).count()
+
+
+def export_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K5 (test_transform_all.py:59-62): JSON export of a transformed
+    batch — `scrapy crawl -o X.json` / transformed_{source}.json analog.
+    Distributed JSON-lines write (one file per partition; coalesce
+    upstream if a single file is required)."""
+    df.write.mode(mode).json(path)
