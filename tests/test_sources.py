@@ -145,3 +145,64 @@ def test_fetch_paged_and_to_dataframe(spark):
     assert [r["name"] for r in recs] == ["A", "B"]
     df = to_dataframe(spark, recs)
     assert df.count() == 2 and df.schema["name"].dataType.typeName() == "string"
+
+
+def test_generic_site_config_semantics(spark):
+    from nashville_etl_service_backup_spark.sources.generic import (
+        apply_site_config,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("Show A", "/events/a", ""),        # relative url, empty venue → default
+            ("Buy Tickets Show B", "/events/b", "The Spot"),  # filtered out
+            (None, "https://x.com/c", "Hall"),  # null name passes filter
+        ],
+        "name string, url string, venue_name string",
+    )
+    out = apply_site_config(
+        df,
+        source="underdog",
+        category="event",
+        defaults={"venue_name": "The Underdog", "neighborhood": "East Nashville"},
+        name_filter_out="Buy Tickets",
+        base_url="https://theunderdognashville.com",
+    )
+    rows = {r["url"]: r for r in out.collect()}
+    assert len(rows) == 2  # 'Buy Tickets Show B' excluded
+    a = rows["https://theunderdognashville.com/events/a"]
+    assert a["venue_name"] == "The Underdog"  # empty → default
+    assert a["neighborhood"] == "East Nashville"  # absent column → default
+    assert a["source"] == "underdog" and a["category"] == "event"
+    c = rows["https://x.com/c"]
+    assert c["venue_name"] == "Hall"  # extracted value wins over default
+
+
+def test_detail_enrichment_join_overwrites(spark):
+    from nashville_etl_service_backup_spark.sources.generic import (
+        enrich_with_details,
+    )
+
+    lst = spark.createDataFrame(
+        [
+            ("A", "https://s/a", "list-venue"),
+            ("B", "https://s/b", "list-venue-b"),
+        ],
+        "name string, url string, venue_name string",
+    )
+    details = spark.createDataFrame(
+        [("https://s/a", None, "2025-01-01 19:00")],
+        "url string, venue_name string, event_date string",
+    )
+    out = {
+        r["name"]: r
+        for r in enrich_with_details(
+            lst, details, ["venue_name", "event_date"]
+        ).collect()
+    }
+    # matched: detail overwrites BOTH fields — venue_name with NULL
+    assert out["A"]["venue_name"] is None
+    assert out["A"]["event_date"] == "2025-01-01 19:00"
+    # unmatched: list values survive, absent detail field stays NULL
+    assert out["B"]["venue_name"] == "list-venue-b"
+    assert out["B"]["event_date"] is None
