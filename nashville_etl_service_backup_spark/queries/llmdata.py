@@ -246,6 +246,29 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy-hitters: top-10 terms per language by corpus
+    frequency (ties → lexicographic). The classic vocab-build shape:
+    explode → map-side-combinable count → per-group top-k window. At
+    100 TB the count shuffle carries only (lang, term) partials; the
+    top-k is a per-group sort of the (small) distinct-term aggregate."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    counts = (
+        docs.select("lang", F.explode(toks).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "term", "n", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: Arrow-batched mapInPandas feature
     extraction over image-modality media (stub decoder, real plan)."""
@@ -298,6 +321,7 @@ QUERIES = {
     "text_bm25_topk": text_bm25_topk,
     "text_split_counts": text_split_counts,
     "text_zscore_by_lang": text_zscore_by_lang,
+    "text_top_terms": text_top_terms,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -628,6 +652,17 @@ SELECT t.doc_id, t.lang,
                   / sqrt((g.ss - g.s * g.s / CAST(g.n AS DOUBLE)) / (g.n - 1)), 6)
        END AS z
 FROM t JOIN g ON t.lang = g.lang
+""",
+    "text_top_terms": f"""
+WITH tok AS (
+  SELECT lang, unnest({_TOKS_O}) AS term FROM documents),
+c AS (
+  SELECT lang, term, COUNT(*) AS n FROM tok GROUP BY lang, term),
+r AS (
+  SELECT lang, term, n,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rank
+  FROM c)
+SELECT lang, term, n, rank FROM r WHERE rank <= 10
 """,
     "text_quality_by_lang": f"""
 WITH t AS (
