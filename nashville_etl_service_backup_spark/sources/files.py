@@ -154,3 +154,124 @@ def read_binary_documents(
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
 
     return binf.mapInPandas(run, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Structured document extraction: Excel sheets (S14/U2), Word tables (S15)
+
+# canonical item columns emitted by the structured-document paths
+ITEM_COLUMNS = [
+    "name", "url", "event_date", "venue_name", "venue_address",
+    "description", "category",
+]
+
+ITEM_SCHEMA = T.StructType(
+    [T.StructField("path", T.StringType())]
+    + [T.StructField(c, T.StringType()) for c in ITEM_COLUMNS]
+)
+
+# S14: loader(bytes) -> ordered list of (sheet_name, pandas DataFrame)
+WorkbookLoader = Callable[[bytes], list]
+# S15: loader(bytes) -> list of tables, each a list of rows (row 0 = header)
+TablesLoader = Callable[[bytes], list]
+
+
+def name_quality_ok(name: object) -> bool:
+    """P6 (document_spider.py:430-448): ≥3 chars and at least one
+    alphabetic character."""
+    s = "" if name is None else str(name).strip()
+    return len(s) >= 3 and any(c.isalpha() for c in s)
+
+
+def _frame_to_items(pdf: "pd.DataFrame") -> list[dict]:
+    """document_spider.py:277-301,383-448 in pandas form: lower-case
+    headers, synonym-map to canonical names (first non-empty synonym in
+    mapping order wins), stringify+strip values, drop NaN/empty, keep
+    rows passing the P6 name gate."""
+    from nashville_etl_service_backup_spark.schemas import COLUMN_MAPPINGS
+
+    cols = {str(c).strip().lower(): c for c in pdf.columns}
+    items = []
+    for _, row in pdf.iterrows():
+        item: dict = {}
+        for canon, syns in COLUMN_MAPPINGS.items():
+            for syn in syns:
+                if syn in cols:
+                    v = row[cols[syn]]
+                    if v is not None and not pd.isna(v):
+                        s = str(v).strip()
+                        if s:
+                            item[canon] = s
+                            break
+        if name_quality_ok(item.get("name")):
+            items.append(item)
+    return items
+
+
+def _emit_items(path: str, items: list[dict]) -> "pd.DataFrame":
+    return pd.DataFrame(
+        [
+            {"path": path, **{c: it.get(c) for c in ITEM_COLUMNS}}
+            for it in items
+        ],
+        columns=["path"] + ITEM_COLUMNS,
+    )
+
+
+def read_excel_events(
+    spark: SparkSession, path: str, loader: WorkbookLoader, glob: str = "*"
+) -> DataFrame:
+    """S14 (document_spider.py:136-161): sheet 0 first; if it yields no
+    valid items, fall back to the union of ALL sheets (U2). The workbook
+    parse is an injected loader (openpyxl is not in this container);
+    the Spark side — binaryFile scan, Arrow-batched per-file extraction,
+    schema — is real."""
+    binf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for p, content in zip(b["path"], b["content"]):
+                sheets = loader(bytes(content))
+                items = _frame_to_items(sheets[0][1]) if sheets else []
+                if not items:  # U2: union across every sheet
+                    items = [
+                        it
+                        for _, frame in sheets
+                        for it in _frame_to_items(frame)
+                    ]
+                yield _emit_items(p, items)
+
+    return binf.mapInPandas(run, ITEM_SCHEMA)
+
+
+def read_word_tables(
+    spark: SparkSession, path: str, loader: TablesLoader, glob: str = "*"
+) -> DataFrame:
+    """S15 (document_spider.py:186-215): every docx table → header row +
+    data rows → synonym-normalized items, unioned across tables. Table
+    parse injected (python-docx not in this container); Spark plumbing
+    real."""
+    binf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for p, content in zip(b["path"], b["content"]):
+                items: list[dict] = []
+                for table in loader(bytes(content)):
+                    if len(table) < 2:
+                        continue
+                    frame = pd.DataFrame(table[1:], columns=table[0])
+                    items.extend(_frame_to_items(frame))
+                yield _emit_items(p, items)
+
+    return binf.mapInPandas(run, ITEM_SCHEMA)

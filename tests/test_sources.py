@@ -206,3 +206,66 @@ def test_detail_enrichment_join_overwrites(spark):
     # unmatched: list values survive, absent detail field stays NULL
     assert out["B"]["venue_name"] == "list-venue-b"
     assert out["B"]["event_date"] is None
+
+
+def test_excel_sheet_fallback_union(spark, tmp_path):
+    import pandas as pd
+    from nashville_etl_service_backup_spark.sources.files import (
+        read_excel_events,
+    )
+
+    f = tmp_path / "wb.xlsx"
+    f.write_bytes(b"fake-workbook-bytes")
+
+    sheet0 = pd.DataFrame({"Notes": ["junk"], "Misc": ["x"]})  # no name col
+    sheet1 = pd.DataFrame({"Event_Name": ["Spring Gala"], "venue": ["Hall A"]})
+    sheet2 = pd.DataFrame({"title": ["12"], "venue": ["B"]})  # name too short
+
+    def loader(content):
+        assert content == b"fake-workbook-bytes"
+        return [("Sheet1", sheet0), ("Sheet2", sheet1), ("Sheet3", sheet2)]
+
+    rows = read_excel_events(spark, str(tmp_path), loader, glob="*.xlsx").collect()
+    # sheet0 yields nothing → fallback unions all sheets; only the valid
+    # name survives P6
+    assert len(rows) == 1
+    assert rows[0]["name"] == "Spring Gala"
+    assert rows[0]["venue_name"] == "Hall A"
+
+
+def test_excel_first_sheet_wins_when_valid(spark, tmp_path):
+    import pandas as pd
+    from nashville_etl_service_backup_spark.sources.files import (
+        read_excel_events,
+    )
+
+    f = tmp_path / "wb2.xlsx"
+    f.write_bytes(b"wb2")
+    s0 = pd.DataFrame({"name": ["First Sheet Event"]})
+    s1 = pd.DataFrame({"name": ["Should Not Appear"]})
+    rows = read_excel_events(
+        spark, str(tmp_path), lambda c: [("a", s0), ("b", s1)], glob="*.xlsx"
+    ).collect()
+    assert [r["name"] for r in rows] == ["First Sheet Event"]
+
+
+def test_word_tables_to_items(spark, tmp_path):
+    from nashville_etl_service_backup_spark.sources.files import (
+        read_word_tables,
+    )
+
+    (tmp_path / "doc.docx").write_bytes(b"fake-docx")
+
+    def loader(content):
+        return [
+            [["Event", "Location"], ["Art Walk", "5th Ave"], ["99", "x"]],
+            [["header-only"]],
+            [["title", "address"], ["Food Fest", "Main St"]],
+        ]
+
+    rows = read_word_tables(spark, str(tmp_path), loader, glob="*.docx").collect()
+    got = {r["name"]: r for r in rows}
+    # '99' fails the has-alpha gate; header-only table skipped
+    assert set(got) == {"Art Walk", "Food Fest"}
+    assert got["Art Walk"]["venue_name"] == "5th Ave"  # 'location' synonym
+    assert got["Food Fest"]["venue_address"] == "Main St"  # 'address' synonym
