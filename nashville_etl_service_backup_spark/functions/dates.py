@@ -145,3 +145,40 @@ def season_label(ts: Column) -> Column:
         .otherwise(F.lit("Fall"))
     )
     return F.concat_ws(" ", season, F.year(ts).cast("string"))
+
+
+def parse_dates_pandas_udf(formats: tuple[str, ...] = (
+    "%Y-%m-%dT%H:%M:%S%z",
+    "%Y-%m-%d %H:%M:%S",
+    "%B %d %Y %I:%M %p",
+    "%m/%d/%Y",
+)):
+    """D3 (standardizer.py:4-49): the pandas-UDF fallback for exotic
+    date formats the native expressions don't cover — Arrow-batched,
+    first-matching-format wins, NULL on total failure (the reference's
+    try/except passthrough). Prefer the native `standardize_date`
+    branches; reach for this only when a new source ships formats
+    Spark's `to_timestamp` patterns can't express."""
+    import pandas as pd
+    from datetime import datetime
+    from pyspark.sql.functions import pandas_udf
+
+    def _parse(raw):
+        def one(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            s = str(v).strip()
+            for fmt in formats:
+                try:
+                    return datetime.strptime(s, fmt).isoformat()
+                except ValueError:
+                    continue
+            return None
+
+        return raw.map(one)
+
+    # real type objects (not strings): this module uses
+    # `from __future__ import annotations`, which would stringify inline
+    # hints and break pandas_udf's type-hint inference
+    _parse.__annotations__ = {"raw": pd.Series, "return": pd.Series}
+    return pandas_udf(_parse, "string")

@@ -95,3 +95,25 @@ def test_season_label(spark):
         season_label(F.to_timestamp("t")).alias("s")
     ).collect()[0].s
     assert got == "Fall 2025"
+
+
+def test_pandas_udf_date_fallback(spark):
+    from nashville_etl_service_backup_spark.functions.dates import (
+        parse_dates_pandas_udf,
+    )
+    from pyspark.sql import functions as F
+
+    udf = parse_dates_pandas_udf()
+    df = spark.createDataFrame(
+        [("2025-06-01 19:30:00",), ("June 01 2025 07:30 PM",), ("03/15/2025",),
+         ("not a date",), (None,)],
+        "raw string",
+    )
+    got = [r["iso"] for r in df.select(udf(F.col("raw")).alias("iso")).collect()]
+    assert got == [
+        "2025-06-01T19:30:00",
+        "2025-06-01T19:30:00",
+        "2025-03-15T00:00:00",
+        None,
+        None,
+    ]
