@@ -81,3 +81,34 @@ def export_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     Distributed JSON-lines write (one file per partition; coalesce
     upstream if a single file is required)."""
     df.write.mode(mode).json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table write — the 100 TB co-location technique:
+    both sides of a recurring equi-join written with the same
+    (bucket_col, n_buckets) join WITHOUT an Exchange (shuffle happens
+    once at write time, then every downstream join/aggregation on the
+    bucket key is shuffle-free). The reference has no analog (Postgres
+    btree serves this role, init.sql:22-23); at Spark scale this is the
+    replacement for its serving indexes."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet write: equality/IN predicates on
+    the partition columns prune entire directories at plan time
+    (PartitionFilters), the Spark replacement for the reference's
+    `(source, event_date, name)` btree-assisted scans."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
