@@ -116,18 +116,18 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient join: revenue per order priority via an explicitly
     SALTED lineitem⋈orders equi-join. The big side carries a
-    deterministic salt (l_linenumber % 8); the small side is replicated
-    8× with `explode(sequence(...))`, and the join key becomes
-    (orderkey, salt) — so one hot orderkey spreads over 8 reducers
+    deterministic salt (l_linenumber % 4); the small side is replicated
+    4× with `explode(sequence(...))`, and the join key becomes
+    (orderkey, salt) — so one hot orderkey spreads over 4 reducers
     instead of one. Result is provably salt-invariant (the oracle is the
     plain join). At 100 TB this is the manual fallback when AQE skew
     splitting can't kick in (e.g. broadcast-ineligible aggregated
     build side)."""
     li = load(spark, sf_dir, "lineitem").withColumn(
-        "_salt", (F.col("l_linenumber") % 8).cast("int")
+        "_salt", (F.col("l_linenumber") % 4).cast("int")
     )
     orders = load(spark, sf_dir, "orders").withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(7)))
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(3)))
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (

@@ -191,3 +191,78 @@ def stateful_dedup_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    events_path: str,
+    rollup_path: str,
+    checkpoint_path: str,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> StreamingQuery:
+    """Incrementally-maintained hourly rollup (hypertable-style
+    continuous aggregate): each micro-batch's partial (window, key,
+    n, total) merges into the stored rollup by SUMMING with existing
+    partials — valid because count/sum are commutative monoids, so
+    batch boundaries never change the result.
+
+    Scale shape: the per-batch aggregate is map-side combinable and
+    tiny (one row per touched window×key); the merge rewrites only the
+    union of old+new partials, never the raw events. Exactly-once comes
+    from the checkpoint (each file contributes to exactly one batch).
+    Late data simply lands in its (old) window's partial — no watermark
+    needed in AvailableNow mode; a continuous deployment would add
+    `withWatermark` to bound state."""
+    from pyspark.sql import functions as SF
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        part = (
+            batch.groupBy(
+                SF.window(SF.col(ts_col), window).alias("w"), SF.col(key_col)
+            )
+            .agg(
+                SF.count(SF.lit(1)).alias("n"),
+                SF.sum(SF.col("value").cast("decimal(18,6)")).alias("total"),
+            )
+            .select(
+                SF.col("w.start").alias("window_start"),
+                key_col,
+                "n",
+                "total",
+            )
+        )
+        sess = batch.sparkSession
+        try:
+            existing = sess.read.parquet(rollup_path)
+        except Exception:
+            existing = None
+        if existing is not None:
+            merged = (
+                existing.unionByName(part)
+                .groupBy("window_start", key_col)
+                .agg(
+                    SF.sum("n").alias("n"),
+                    SF.sum("total").alias("total"),
+                )
+            )
+        else:
+            merged = part
+        # rewrite via a temp location: the merge reads the same path it
+        # replaces (overwrite-while-reading corrupts)
+        tmp = rollup_path.rstrip("/") + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        sess.read.parquet(tmp).write.mode("overwrite").parquet(rollup_path)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(events_path)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -158,3 +158,49 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
         ("u2", "2024-01-01 11:00"),
         ("u3", "2024-01-02 10:00"),
     }
+
+
+@pytest.mark.slow
+def test_incremental_rollup_equals_batch_recompute(spark, tmp_path):
+    from datetime import datetime
+
+    from nashville_etl_service_backup_spark.streaming.pipeline import (
+        incremental_rollup,
+    )
+
+    src = str(tmp_path / "ev")
+    roll = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "r_ckpt")
+
+    def write(rows, ids):
+        spark.createDataFrame(
+            [
+                (i, datetime.fromisoformat(ts), et, v)
+                for i, (ts, et, v) in zip(ids, rows)
+            ],
+            "event_id long, ts timestamp, event_type string, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    b1 = [
+        ("2024-01-01T10:05:00", "click", 1.5),
+        ("2024-01-01T10:40:00", "click", 2.0),
+        ("2024-01-01T11:10:00", "view", 4.0),
+    ]
+    b2 = [
+        ("2024-01-01T10:59:00", "click", 0.5),   # same window as batch 1
+        ("2024-01-01T09:30:00", "view", 3.25),   # late: older window
+    ]
+    write(b1, [1, 2, 3])
+    incremental_rollup(spark, src, roll, ckpt).awaitTermination(120)
+    write(b2, [4, 5])
+    incremental_rollup(spark, src, roll, ckpt).awaitTermination(120)
+
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], float(r["total"]))
+        for r in spark.read.parquet(roll).collect()
+    }
+    assert got == {
+        ("2024-01-01 10:00:00", "click"): (3, 4.0),
+        ("2024-01-01 11:00:00", "view"): (1, 4.0),
+        ("2024-01-01 09:00:00", "view"): (1, 3.25),
+    }
