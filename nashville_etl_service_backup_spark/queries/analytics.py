@@ -85,6 +85,23 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per priority (rows-only by design, like
+    q_approx_distinct: the sketch estimate is engine-internal; accuracy
+    vs the exact interpolated percentile is pinned in tests). The
+    100 TB shape: fixed-size sketch per group, map-side mergeable — no
+    per-group sort, unlike the exact path."""
+    orders = load(spark, sf_dir, "orders")
+    pct = F.approx_percentile(
+        "o_totalprice", F.lit([0.25, 0.5, 0.95]), F.lit(10000)
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.element_at(pct, 1), 2).alias("ap25"),
+        F.round(F.element_at(pct, 2), 2).alias("ap50"),
+        F.round(F.element_at(pct, 3), 2).alias("ap95"),
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS ((priority), (status), ()) — the third
     grouping-set shape after CUBE/ROLLUP (§2.5 gap). One shuffle; Spark
@@ -219,6 +236,7 @@ QUERIES = {
     "q_percentiles": q_percentiles,
     "q_cube_returns": q_cube_returns,
     "q_approx_distinct": q_approx_distinct,
+    "q_approx_percentiles": q_approx_percentiles,
 }
 
 ORACLES = {
@@ -310,6 +328,7 @@ SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 """,
-    # q_approx_distinct: intentionally no oracle (rows-only) — HLL
-    # estimates are engine-internal; accuracy pinned in tests.
+    # q_approx_distinct / q_approx_percentiles: intentionally no oracle
+    # (rows-only) — sketch estimates are engine-internal; accuracy pinned
+    # in tests.
 }

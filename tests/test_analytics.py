@@ -54,3 +54,21 @@ def test_audio_features_exact_semantics(spark):
     assert r.sample_rate == 16000
     assert r.duration_sec == len(b) / 16000.0
     assert (r.rms_lo, r.rms_hi) == (dig[2] / 255.0, dig[3] / 255.0)
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    from nashville_etl_service_backup_spark.queries.analytics import (
+        q_approx_percentiles,
+        q_percentiles,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["o_orderpriority"]: r for r in q_percentiles(spark, sf).collect()}
+    approx = {
+        r["o_orderpriority"]: r for r in q_approx_percentiles(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        for e_col, a_col in [("p25", "ap25"), ("p50", "ap50"), ("p95", "ap95")]:
+            e, a = exact[k][e_col], approx[k][a_col]
+            assert abs(a - e) / e < 0.02, (k, e_col, e, a)
