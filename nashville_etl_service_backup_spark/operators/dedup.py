@@ -234,9 +234,42 @@ def ngram_jaccard_pairs(
     # are the CPU cost and must run on all cores even when the scan has
     # a single input split
     grams = char_ngrams(F.col("_txt"), n)
+    # All band-key minhashes from ONE md5 per (gram, band): the digest's
+    # 32 hex chars yield hashes_per_band (≤5) independent 6-hex-char
+    # slices, folded into running mins in a single aggregate pass —
+    # bands·r seeded re-hashes (15 md5/gram) drop to `bands` (3), the
+    # same slicing trick as minhash_signature_sliced.
+    if hashes_per_band > 5:
+        raise ValueError("sliced band keys support at most 5 hashes per band")
+    hpb = hashes_per_band
+    per_gram = F.transform(
+        F.col("g"),
+        lambda t: F.array(
+            *[F.md5(F.concat(F.lit(f"{b}:"), t)) for b in range(bands)]
+        ),
+    )
+    init = F.array_repeat(F.lit("~"), bands * hpb)
+    idx = F.array(*[F.lit(i) for i in range(bands * hpb)])
+    mins = F.aggregate(
+        per_gram,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            idx,
+            lambda a, i: F.least(
+                a,
+                F.substring(
+                    F.element_at(x, (i / hpb).cast("int") + 1),
+                    (i % hpb) * 6 + 1,
+                    F.lit(6),
+                ),
+            ),
+        ),
+    )
     base = (
         spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt")))
         .select("doc_id", grams.alias("g"))
+        .withColumn("_mins", mins)
         .withColumn(
             "bk",
             F.array(
@@ -244,14 +277,15 @@ def ngram_jaccard_pairs(
                     F.concat_ws(
                         "|",
                         *[
-                            minhash(F.col("g"), b * hashes_per_band + k)
-                            for k in range(hashes_per_band)
+                            F.element_at(F.col("_mins"), b * hpb + k + 1)
+                            for k in range(hpb)
                         ],
                     )
                     for b in range(bands)
                 ]
             ),
         )
+        .drop("_mins")
         .persist()
     )
     bx = base.select("doc_id", F.posexplode("bk").alias("band_idx", "band_key"))

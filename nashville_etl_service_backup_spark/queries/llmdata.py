@@ -528,10 +528,12 @@ FROM blk a JOIN blk b
 WHERE {j} >= 0.7
 """.replace("{j}", _TRI_JACCARD).replace(
         "{bandkeys}",
+        # sliced band keys: one md5 per (gram, band), 6-hex-char slices —
+        # mirrors operators.dedup.ngram_jaccard_pairs exactly
         ",\n".join(
             "    "
             + " || '|' || ".join(
-                f"list_min(list_transform(g, t -> md5('{b * 5 + k}:' || t)))"
+                f"list_min(list_transform(g, t -> substr(md5('{b}:' || t), {k * 6 + 1}, 6)))"
                 for k in range(5)
             )
             + f" AS b{b}"
