@@ -68,20 +68,17 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs (bigram shingles, 4 hashes,
-    2 bands, Jaccard ≥ 0.6) with exact-Jaccard verification."""
-    docs = load(spark, sf_dir, "documents")
-    return lsh_near_dup_pairs(
-        docs, "doc_id", "text", shingle_n=2, num_hashes=4, bands=2, threshold=0.6
-    )
-
-
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return lsh_near_dup_pairs(
         docs, "doc_id", "text", shingle_n=2, num_hashes=4, bands=2, threshold=0.6
     )
+
+
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (bigram shingles, 4 hashes,
+    2 bands, Jaccard ≥ 0.6) with exact-Jaccard verification."""
+    return _lsh_pairs(spark, sf_dir)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,6 +243,24 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted dataset mixture: keep src0 documents at
+    100%, every other source at 30%, via a salted md5 hash bucket —
+    the engine-portable, partitioning-invariant way to mix corpora at
+    fixed ratios (df.sample's RNG is none of those). Output is the kept
+    (doc_id, source) set."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        hash_bucket,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    b = hash_bucket(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string")), 100
+    )
+    keep = (F.col("source") == "src0") | (b < 30)
+    return docs.filter(keep).select("doc_id", "source")
+
+
 def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy-hitters: top-10 terms per language by corpus
     frequency (ties → lexicographic). The classic vocab-build shape:
@@ -322,6 +337,7 @@ QUERIES = {
     "text_split_counts": text_split_counts,
     "text_zscore_by_lang": text_zscore_by_lang,
     "text_top_terms": text_top_terms,
+    "text_mixture_sample": text_mixture_sample,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -654,6 +670,14 @@ SELECT t.doc_id, t.lang,
                   / sqrt((g.ss - g.s * g.s / CAST(g.n AS DOUBLE)) / (g.n - 1)), 6)
        END AS z
 FROM t JOIN g ON t.lang = g.lang
+""",
+    "text_mixture_sample": """
+SELECT doc_id, source FROM documents
+WHERE source = 'src0'
+   OR CAST(list_sum(list_transform(range(1, 9), i ->
+        (strpos('0123456789abcdef',
+                substr(md5('mix:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        * pow(16, 8 - i))) AS BIGINT) % 100 < 30
 """,
     "text_top_terms": f"""
 WITH tok AS (

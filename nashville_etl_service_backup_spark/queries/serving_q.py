@@ -143,6 +143,42 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: per event_type, EVERY hour
+    between the type's first and last event — missing hours zero-filled.
+    The bucket spine is `sequence(min_hour, max_hour, 1h)` + explode
+    (one row per type, exploded to its own hours — never a global
+    cross join); observed counts left-join onto the spine. DuckDB's
+    generate_series is the oracle twin."""
+    ev = load(spark, sf_dir, "events")
+    hours = ev.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    counts = hours.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value"), scale=6).alias("total_value"),
+    )
+    spine = (
+        hours.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    return (
+        spine.join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F22/S18: to_json → raw zone string → from_json → project → agg;
     the bronze-zone parse path (pipelines.py:15 / transform_data.py:59)
@@ -184,6 +220,7 @@ QUERIES = {
     "q_tumbling_window": q_tumbling_window,
     "q_sliding_window": q_sliding_window,
     "q_session_window": q_session_window,
+    "q_resample_gapfill": q_resample_gapfill,
     "q_json_roundtrip": q_json_roundtrip,
     "q_events_pivot": q_events_pivot,
 }
@@ -264,6 +301,24 @@ SELECT user_id,
   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM g
 GROUP BY user_id, sess
+""",
+    "q_resample_gapfill": """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
+c AS (
+  SELECT event_type, h, COUNT(*) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  FROM h GROUP BY event_type, h),
+b AS (
+  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM h GROUP BY event_type),
+spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM b)
+SELECT s.event_type,
+  strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+  COALESCE(c.n, 0) AS n,
+  COALESCE(c.total_value, 0.0) AS total_value
+FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.h = c.h
 """,
     "q_json_roundtrip": """
 SELECT event_type, COUNT(*) AS n,
