@@ -145,11 +145,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dups: banded ±1-sign-projection candidates
-    (4 bands × 8 planes), top-20 candidate pairs by exact cosine
+    (4 bands × 10 planes → 1024 buckets/band: ~4× fewer random
+    collisions than 8-plane bands, so the exact-cosine verify touches a
+    far smaller candidate set), top-20 candidate pairs by exact cosine
     (ranked mode — this corpus plants no true embedding duplicates)."""
     emb = load(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
-        emb, dim=64, bands=4, planes_per_band=8, top_k=20
+        emb, dim=64, bands=4, planes_per_band=10, top_k=20
     )
 
 
@@ -374,12 +376,12 @@ def _pm_list(seed: int, dim: int = 64) -> str:
     ) + "]"
 
 
-_EMB_PLANES = ",\n    ".join(f"{_pm_list(s)} AS s{s}" for s in range(32))
+_EMB_PLANES = ",\n    ".join(f"{_pm_list(s)} AS s{s}" for s in range(40))
 _EMB_BANDS = ",\n    ".join(
     " || ".join(
         "(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * "
-        f"s{b * 8 + j}[i])) >= 0 THEN '1' ELSE '0' END)"
-        for j in range(8)
+        f"s{b * 10 + j}[i])) >= 0 THEN '1' ELSE '0' END)"
+        for j in range(10)
     )
     + f" AS b{b}"
     for b in range(4)
