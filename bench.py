@@ -57,6 +57,8 @@ HEADLINE = [
     "q_grouping_sets",
     "q_skew_salted_join",
     "q_ring_centroid",
+    "q_funnel",
+    "q_cohort_retention",
 ]
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from nashville_etl_service_backup_spark.queries import (
     analytics,
+    behavioral,
     etl_e2e,
     llmdata,
     serving_q,
@@ -33,13 +34,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
-    for mod in (tpch, tpch2, analytics, serving_q, llmdata, etl_e2e):
+    for mod in (tpch, tpch2, analytics, behavioral, serving_q, llmdata, etl_e2e):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (tpch, tpch2, analytics, serving_q, llmdata, etl_e2e):
+    for mod in (tpch, tpch2, analytics, behavioral, serving_q, llmdata, etl_e2e):
         out.update(mod.ORACLES)
     return out

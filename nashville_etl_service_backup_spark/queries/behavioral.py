@@ -1,0 +1,235 @@
+"""Behavioral / product-analytics shapes over the `events` stream table:
+ordered conversion funnel, weekly cohort retention, value histogram, and
+statistical aggregates. These extend SURVEY §2.5's aggregation surface
+(the reference only counts and DISTINCTs — db_extractor.py:28-50) with
+the event-analytics queries a serving layer over the same data would
+grow next, each designed for 100 TB operation:
+
+- the funnel never materializes per-user event lists: each stage is a
+  filtered scan (event_type predicate pushed to parquet) joined to the
+  previous stage's one-row-per-user frame on user_id — frames shrink
+  monotonically down the funnel, and the join key is the natural
+  partitioning for the whole chain (one co-partitioned shuffle reused);
+- cohort retention shuffles only (user_id, day) pairs after an early
+  per-partition DISTINCT, never raw events;
+- the histogram is a pure map-side-combinable groupBy on a computed
+  bucket key (no sort, no window);
+- stats aggregates (stddev/var/corr/covar) are single-pass
+  moment-based and map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nashville_etl_service_backup_spark.queries._util import dsum
+from nashville_etl_service_backup_spark.tables import load
+
+# Ordered funnel: each later stage must happen strictly after the
+# user's earliest qualifying event of the previous stage.
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup→view→click→purchase.
+
+    Stage k keeps users whose earliest stage-k event is strictly after
+    their stage-(k-1) timestamp (sequential conditional aggregation —
+    the standard distributed funnel; no per-user arrays, no windows
+    over the full event stream)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    cur = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    per_stage = []
+    for i, stage in enumerate(FUNNEL_STAGES):
+        if i:
+            cur = (
+                ev.filter(F.col("event_type") == stage)
+                .join(
+                    cur.select("user_id", F.col("t").alias("prev_t")),
+                    "user_id",
+                )
+                .filter(F.col("ts") > F.col("prev_t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        per_stage.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+    out = per_stage[0]
+    for f in per_stage[1:]:
+        out = out.unionByName(f)
+    w = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return out.withColumn(
+        "pct_of_top",
+        F.round(F.col("n_users") / F.first("n_users").over(w), 6),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users cohorted by first-active day;
+    n_active = distinct users of that cohort active in week-offset k
+    (floor(days-since-cohort-day / 7) — explicit math, no engine week
+    conventions); retention = n_active / cohort size (offset-0 row is
+    guaranteed: every user is active on their own first day)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = ev.distinct()
+    ret = (
+        act.join(first, "user_id")
+        .select(
+            "user_id",
+            "d0",
+            F.floor(F.datediff(F.col("d"), F.col("d0")) / 7).alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("d0", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    w = Window.partitionBy("d0").orderBy("week_offset")
+    return ret.select(
+        F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+        "week_offset",
+        "n_active",
+        F.round(
+            F.col("n_active") / F.first("n_active").over(w), 6
+        ).alias("retention"),
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event value per type: 20 buckets of
+    width 25 over [0, 500), top bucket clamps the tail. Explicit floor
+    math (identical expression in the oracle) rather than width_bucket —
+    portable and a pure map-side-combinable groupBy."""
+    ev = load(spark, sf_dir, "events")
+    b = F.greatest(
+        F.least(F.floor(F.col("value") / F.lit(25.0)), F.lit(19)), F.lit(0)
+    )
+    return (
+        ev.groupBy("event_type", b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), scale=6).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 25.0).alias("bucket_lo"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per lineitem group: sample stddev/variance,
+    Pearson correlation, sample covariance — single-pass moment-based
+    aggregates, rounded so Spark's and DuckDB's (both numerically
+    stable, different update orders) last-ulp drift cannot surface."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias(
+                "covar_qty_price"
+            ),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+QUERIES = {
+    "q_funnel": q_funnel,
+    "q_cohort_retention": q_cohort_retention,
+    "q_value_histogram": q_value_histogram,
+    "q_stats_agg": q_stats_agg,
+}
+
+ORACLES = {
+    "q_funnel": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id),
+c AS (
+  SELECT 1 AS stage_idx, 'signup' AS stage, count(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'view', count(*) FROM s2
+  UNION ALL SELECT 3, 'click', count(*) FROM s3
+  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+SELECT stage_idx, stage, n_users,
+  ROUND(CAST(n_users AS DOUBLE)
+        / first_value(n_users) OVER (ORDER BY stage_idx), 6) AS pct_of_top
+FROM c
+""",
+    "q_cohort_retention": """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+r AS (
+  SELECT f.d0,
+         CAST(floor(date_diff('day', f.d0, a.d) / 7.0) AS BIGINT)
+           AS week_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM a JOIN f ON a.user_id = f.user_id
+  GROUP BY 1, 2)
+SELECT strftime(d0, '%Y-%m-%d') AS cohort_day, week_offset, n_active,
+  ROUND(CAST(n_active AS DOUBLE)
+        / first_value(n_active)
+            OVER (PARTITION BY d0 ORDER BY week_offset), 6) AS retention
+FROM r
+""",
+    "q_value_histogram": """
+SELECT event_type,
+  GREATEST(LEAST(CAST(floor(value / 25.0) AS BIGINT), 19), 0) AS bucket,
+  GREATEST(LEAST(CAST(floor(value / 25.0) AS BIGINT), 19), 0) * 25.0
+    AS bucket_lo,
+  count(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    "q_stats_agg": """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+  ROUND(stddev_samp(l_quantity), 6) AS std_qty,
+  ROUND(var_samp(l_quantity), 6) AS var_qty,
+  ROUND(stddev_samp(l_extendedprice), 4) AS std_price,
+  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  ROUND(covar_samp(l_quantity, l_extendedprice), 3) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+}
