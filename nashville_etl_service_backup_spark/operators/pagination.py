@@ -1,10 +1,17 @@
 """Deterministic LIMIT/OFFSET pagination — O3 (db_extractor.py:18,53-57).
 
-`row_number` over an explicit total ordering (caller MUST include a unique
-tiebreak column) then a range filter. At scale this is a global sort — fine
-for a serving query that pages the first few thousand rows; Spark's
-TakeOrderedAndProject handles small page*per_page efficiently without a
-full sort materialization.
+Top-k first, number second: `orderBy(...).limit(page*per_page)` plans as
+TakeOrderedAndProject — a per-partition heap of at most page*per_page rows
+merged on the driver side of the exchange, never a global sort — and only
+then `row_number` over the (≤ page*per_page row) survivors to apply the
+OFFSET. The caller MUST include a unique tiebreak column in `order_by` so
+the total order (and therefore the page contents) is deterministic.
+
+At 100 TB the pre-limit window variant is the classic scale-killer (every
+surviving row moves to ONE task to be numbered); this shape touches only
+k rows past the scan. Deep OFFSETs still pay O(page*per_page) — for a
+true deep-paging API use key-set pagination (filter on last-seen key)
+instead.
 """
 
 from __future__ import annotations
@@ -23,12 +30,14 @@ def paginate(
     per_page: int = PER_PAGE,
     keep_row_number: bool = False,
 ) -> DataFrame:
-    w = Window.orderBy(*order_by)
     lo = (page - 1) * per_page
     hi = page * per_page
-    out = df.withColumn("_rn", F.row_number().over(w)).filter(
-        (F.col("_rn") > lo) & (F.col("_rn") <= hi)
-    )
+    # TakeOrderedAndProject: per-partition top-hi heaps, no global sort.
+    top = df.orderBy(*order_by).limit(hi)
+    # Numbering runs over ≤ hi rows — the single-partition window is on a
+    # page-sized frame, not the table.
+    w = Window.orderBy(*order_by)
+    out = top.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > lo)
     if keep_row_number:
         return out.withColumnRenamed("_rn", "row_num")
     return out.drop("_rn")

@@ -31,16 +31,93 @@ from nashville_etl_service_backup_spark.queries import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+_MODULES = (llmdata, etl_e2e, serving_q, behavioral, analytics, tpch, tpch2)
 
-def all_queries() -> dict[str, QueryFn]:
-    out: dict[str, QueryFn] = {}
-    for mod in (tpch, tpch2, analytics, behavioral, serving_q, llmdata, etl_e2e):
-        out.update(mod.QUERIES)
+# Registry order is load-bearing: the driver's correctness gate records the
+# first 50 entries in insertion order.  Lead with the flagship LLM-data
+# pipeline (dedup / similarity / text / multimodal), the end-to-end ETL
+# query, the serving surface, and one query per distinct operator family
+# (as-of join, range join, anti join, ...); the redundant TPC-H shape
+# variants and the two sketch queries that have no exact oracle come last.
+_PRIORITY = [
+    # -- LLM-data pipeline (dedup, similarity, text analysis, multimodal) --
+    "dedup_exact_bow",
+    "dedup_minhash_sig",
+    "dedup_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_pairs",
+    "dedup_clusters",
+    "dedup_resolve",
+    "doc_fingerprints",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "text_bm25_topk",
+    "text_token_counts",
+    "text_quality_docs",
+    "text_quality_by_lang",
+    "text_lang_id",
+    "text_split_counts",
+    "text_mixture_sample",
+    "text_zscore_by_lang",
+    "text_top_terms",
+    "multimodal_image_features",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    # -- end-to-end ETL pipeline (the reference's whole job as one query) --
+    "q_etl_pipeline",
+    # -- serving surface (search, pagination, windows, JSON) --
+    "q_doc_search_rank",
+    "q_paginate_events",
+    "q_distinct_event_types",
+    "q_count_purchases",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_session_window",
+    "q_resample_gapfill",
+    "q_json_roundtrip",
+    "q_events_pivot",
+    # -- behavioral analytics --
+    "q_funnel",
+    "q_cohort_retention",
+    "q_value_histogram",
+    "q_stats_agg",
+    # -- one query per distinct operator family --
+    "q_lag_lead",
+    "q_grouping_sets",
+    "q_skew_salted_join",
+    "q_ring_centroid",
+    "q_range_frame",
+    "q_unpivot_lineitem",
+    "q_percentiles",
+    "q_cube_returns",
+    "q_asof_join",
+    "q_range_join",
+    "q_anti_join_inactive",
+]
+
+
+def _ordered(per_module: dict[str, dict]) -> dict:
+    merged: dict = {}
+    for mod_map in per_module.values():
+        merged.update(mod_map)
+    missing = [n for n in _PRIORITY if n not in merged]
+    if missing:
+        raise KeyError(f"_PRIORITY names not in registry: {missing}")
+    out = {name: merged[name] for name in _PRIORITY}
+    out.update((n, f) for n, f in merged.items() if n not in out)
     return out
 
 
+def all_queries() -> dict[str, QueryFn]:
+    return _ordered({m.__name__: m.QUERIES for m in _MODULES})
+
+
 def all_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for mod in (tpch, tpch2, analytics, behavioral, serving_q, llmdata, etl_e2e):
-        out.update(mod.ORACLES)
+    merged: dict[str, str] = {}
+    for mod in _MODULES:
+        merged.update(mod.ORACLES)
+    out = {n: merged[n] for n in _PRIORITY if n in merged}
+    out.update((n, s) for n, s in merged.items() if n not in out)
     return out
