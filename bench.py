@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from nashville_etl_service_backup_spark import queries as _q
+from nashville_etl_service_backup_spark.operators import release_persisted
 from nashville_etl_service_backup_spark.session import get_spark
 
 HEADLINE = [
@@ -114,6 +115,7 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            release_persisted()
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 

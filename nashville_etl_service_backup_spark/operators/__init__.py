@@ -6,6 +6,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+# Persisted frames created inside operators (LSH/n-gram/embedding
+# signature stages). Queries are lazy, so the operator cannot unpersist
+# before its caller materializes the result; instead every persist is
+# registered here and the caller (bench loop, long-running service,
+# tests) calls release_persisted() once the result is consumed. Without
+# this, each dedup query would leak its cached signature frame for the
+# session's lifetime.
+_PERSISTED: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for later release_persisted()."""
+    df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every operator-cached frame; returns how many."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def spread(df: DataFrame, factor: int = 2) -> DataFrame:
     """Round-robin repartition to ``defaultParallelism × factor`` before
     a CPU-heavy derivation (per-token md5, signature computation, media

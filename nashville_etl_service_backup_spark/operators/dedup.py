@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from nashville_etl_service_backup_spark.functions.text import tokenize
 
@@ -89,14 +90,7 @@ def exact_dedup(df: DataFrame, id_col: str, fingerprint: Column) -> DataFrame:
     w_id = F.col(id_col)
     return (
         df.withColumn("_fp", fingerprint)
-        .withColumn(
-            "_keep",
-            F.min(w_id).over(
-                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
-                    "_fp"
-                )
-            ),
-        )
+        .withColumn("_keep", F.min(w_id).over(Window.partitionBy("_fp")))
         .filter(w_id == F.col("_keep"))
         .drop("_fp", "_keep")
     )
@@ -153,14 +147,17 @@ def lsh_near_dup_pairs(
     # sides of the verify join): persist it so the signature pipeline
     # runs once, not 4×. At 100 TB this is the standard "materialize
     # signatures" stage of an LSH dedup (disk-backed, partitioned).
-    base = (
+    # Registered for release_persisted() — the caller frees it after
+    # consuming the (lazy) result.
+    from nashville_etl_service_backup_spark.operators import track_persist
+
+    base = track_persist(
         shingled.withColumn("_mins", mins)
         .select(
             "doc_id",
             "sh",
             F.when(F.size("sh") > 0, F.array(*band_cols)).alias("bands"),
         )
-        .persist()
     )
     # candidate generation: explode bands, equi-join on (band_idx, hash)
     b = base.select(
@@ -266,7 +263,9 @@ def ngram_jaccard_pairs(
             ),
         ),
     )
-    base = (
+    from nashville_etl_service_backup_spark.operators import track_persist
+
+    base = track_persist(
         spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt")))
         .select("doc_id", grams.alias("g"))
         .withColumn("_mins", mins)
@@ -286,7 +285,6 @@ def ngram_jaccard_pairs(
             ),
         )
         .drop("_mins")
-        .persist()
     )
     bx = base.select("doc_id", F.posexplode("bk").alias("band_idx", "band_key"))
     l, r = bx.alias("l"), bx.alias("r")

@@ -198,3 +198,27 @@ def test_bm25_ranks_term_heavy_doc_first(spark):
     assert rows[-1]["bm25"] == 0.0
     scores = [r["bm25"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_release_persisted_frees_signature_caches(spark):
+    """Signature frames persisted inside the banded dedup operators must
+    be freed by release_persisted() once the result is consumed — a
+    long-running service would otherwise accumulate one cached frame per
+    query forever."""
+    from nashville_etl_service_backup_spark.operators import release_persisted
+    from nashville_etl_service_backup_spark.queries.llmdata import (
+        dedup_embedding_pairs,
+        dedup_lsh_pairs,
+        dedup_ngram_jaccard,
+    )
+
+    release_persisted()  # drop anything earlier tests left behind
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    for fn in (dedup_lsh_pairs, dedup_ngram_jaccard, dedup_embedding_pairs):
+        fn(spark, "/root/testdata/sf0.001").count()
+    during = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert len(during - before) >= 3  # each query cached its signatures
+    released = release_persisted()
+    assert released >= 3
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set()
