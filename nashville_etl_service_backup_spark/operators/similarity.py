@@ -214,6 +214,63 @@ def ivf_assign(
     return best.select(id_col, F.col("_m.cid").alias("cent_id"))
 
 
+def kmeans_centroids(
+    base: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Deterministic, engine-portable Lloyd's k-means coarse quantizer.
+
+    Returns (cent_id, cv) where cv is the component-wise EXACT DECIMAL
+    SUM of the cluster members' 6-decimal-rounded components, cast back
+    to double. Cosine is invariant to positive scaling, so the sum
+    stands in for the mean everywhere a centroid is compared by cosine —
+    and exact decimal sums are summation-order-independent, making
+    repeated runs (and the DuckDB oracle) bit-identical. The 6-decimal
+    pre-round matters: Spark casts double→decimal with HALF_UP, DuckDB
+    with half-even, and raw float32 components DO hit decimal ties
+    (odd/8192 values tie at scale 12); after round(x, 6) a tie at scale
+    12 is impossible, so both engines agree (probed empirically).
+
+    Init: the first ``n_centroids`` vectors by id. A fixed iteration
+    count (no convergence probe) keeps the plan static and collect-free.
+    Empty clusters drop out — standard Lloyd's degeneracy, deterministic.
+
+    Scale shape per iteration: assignment is a broadcast join (centroids
+    are tiny) + narrow argmax; the re-centering shuffles (cent_id, idx,
+    decimal) triples — dim × corpus rows, map-side combinable — and
+    never moves whole vectors."""
+    r6 = F.transform(F.col(vec_col), lambda x: F.round(x, 6))
+    pts = base.select(F.col(id_col), F.col(vec_col), r6.alias("_r6"))
+    cents = pts.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col("_r6").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(
+            pts.select(F.col(id_col), F.col(vec_col).alias("v")),
+            cents,
+            id_col=id_col,
+            vec_col="v",
+        )
+        sums = (
+            pts.join(assigned, id_col)
+            .select("cent_id", F.posexplode("_r6").alias("idx", "x"))
+            .groupBy("cent_id", "idx")
+            .agg(F.sum(F.col("x").cast("decimal(30,12)")).alias("s"))
+        )
+        cents = (
+            sums.groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("idx", "s"))).alias("a"))
+            .select(
+                "cent_id",
+                F.transform("a", lambda t: t["s"].cast("double")).alias("cv"),
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     query: DataFrame,
@@ -223,20 +280,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: tuple[str, ...] = ("label",),
+    kmeans_iters: int = 2,
 ) -> DataFrame:
-    """IVF approximate top-k: deterministic coarse quantizer (centroids =
-    the first ``n_centroids`` corpus vectors — swap in k-means for real
-    data), probe the query's ``n_probe`` nearest inverted lists, exact
-    cosine re-rank inside them.
+    """IVF approximate top-k: Lloyd's k-means coarse quantizer
+    (``kmeans_iters`` rounds from a first-N init; 0 = plain first-N
+    centroids), probe the query's ``n_probe`` nearest inverted lists,
+    exact cosine re-rank inside them.
 
     The scale shape: centroids broadcast (tiny); assignment is a narrow
     map; candidates are restricted to probed lists before any ranking,
     so the re-rank touches ~n_probe/n_centroids of the corpus."""
     v = as_double(F.col(vec_col))
     base = emb.select(F.col(id_col), *extra_cols, v.alias("v"))
-    cents = base.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
-    )
+    if kmeans_iters > 0:
+        cents = kmeans_centroids(
+            base, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col
+        )
+    else:
+        cents = base.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
+        )
     assigned = ivf_assign(base, cents, id_col=id_col)
     probes = (
         query.crossJoin(F.broadcast(cents))

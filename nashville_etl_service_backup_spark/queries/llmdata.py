@@ -178,8 +178,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 for vec_id=42: 16 deterministic centroids, probe
-    the 2 nearest inverted lists, exact re-rank inside them."""
+    """IVF ANN top-10 for vec_id=42: 16 centroids from 2 deterministic
+    Lloyd's k-means rounds (exact-decimal sum centroids — see
+    operators.similarity.kmeans_centroids), probe the 2 nearest inverted
+    lists, exact re-rank inside them."""
     emb = load(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 42).select(
         as_double(F.col("embedding")).alias("qv")
@@ -386,6 +388,83 @@ _EMB_BANDS = ",\n    ".join(
     + f" AS b{b}"
     for b in range(4)
 )
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x*x))))"
+    )
+
+
+def _ivf_oracle(iters: int, n_cent: int, n_probe: int, qid: int) -> str:
+    """sim_ann_ivf oracle with Lloyd's k-means unrolled ``iters`` times —
+    the exact mirror of operators.similarity.kmeans_centroids: centroids
+    are exact DECIMAL(30,12) sums of round(x, 6) member components (sum ≡
+    mean under cosine; the pre-round avoids the Spark-HALF_UP vs
+    DuckDB-half-even decimal-tie divergence), assignments break cosine
+    ties toward the larger cent_id."""
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM v WHERE vec_id = {qid}),
+base AS (SELECT * FROM v WHERE vec_id <> {qid}),
+cents0 AS (
+  SELECT vec_id AS cent_id, list_transform(v, x -> round(x, 6)) AS cv
+  FROM base WHERE vec_id < {n_cent})"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+ac{t} AS (
+  SELECT b.vec_id, c.cent_id, {_cos_sql('b.v', 'c.cv')} AS c
+  FROM base b, cents{t - 1} c),
+assign{t} AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY c DESC, cent_id DESC) AS rn
+    FROM ac{t}) WHERE rn = 1),
+sums{t} AS (
+  SELECT a.cent_id, r.i AS idx,
+         SUM(CAST(round(b.v[r.i], 6) AS DECIMAL(30,12))) AS s
+  FROM base b, assign{t} a, range(1, 65) r(i)
+  WHERE b.vec_id = a.vec_id
+  GROUP BY 1, 2),
+cents{t} AS (
+  SELECT cent_id, list(CAST(s AS DOUBLE) ORDER BY idx) AS cv
+  FROM sums{t} GROUP BY cent_id)"""
+        )
+    last = f"cents{iters}"
+    parts.append(
+        f""",
+fac AS (
+  SELECT b.vec_id, c.cent_id, {_cos_sql('b.v', 'c.cv')} AS c
+  FROM base b, {last} c),
+fassign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY c DESC, cent_id DESC) AS rn
+    FROM fac) WHERE rn = 1),
+probes AS (
+  SELECT cent_id FROM (
+    SELECT c.cent_id, {_cos_sql('q.qv', 'c.cv')} AS c
+    FROM {last} c, q)
+  ORDER BY c DESC, cent_id DESC LIMIT {n_probe}),
+cand AS (
+  SELECT b.vec_id, b.label, {_cos_sql('b.v', 'q.qv')} AS c
+  FROM base b
+  JOIN fassign a ON b.vec_id = a.vec_id
+  JOIN probes p ON a.cent_id = p.cent_id
+  CROSS JOIN q)
+SELECT vec_id, label, ROUND(c, 4) AS cosine
+FROM cand
+ORDER BY c DESC, vec_id ASC
+LIMIT 10"""
+    )
+    return "".join(parts)
+
 
 # bit i of a token's md5 lives in hex digit i//4, nibble shift 3-i%4 —
 # identical derivation to operators.dedup.simhash64
@@ -602,47 +681,7 @@ LIMIT 10
 """,
     # sim_ann_lsh: intentionally no oracle (rows-only) — bucket membership
     # depends on engine-side hyperplane evaluation.
-    "sim_ann_ivf": """
-WITH v AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT v AS qv FROM v WHERE vec_id = 42),
-base AS (SELECT * FROM v WHERE vec_id <> 42),
-cents AS (
-  SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id < 16),
-ac AS (
-  SELECT b.vec_id, c.cent_id,
-    list_sum(list_transform(range(1, 65), i -> b.v[i] * c.cv[i]))
-      / (sqrt(list_sum(list_transform(b.v, x -> x*x)))
-         * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS c
-  FROM base b, cents c),
-assign AS (
-  SELECT vec_id, cent_id FROM (
-    SELECT vec_id, cent_id,
-      ROW_NUMBER() OVER (PARTITION BY vec_id
-                         ORDER BY c DESC, cent_id DESC) AS rn
-    FROM ac) WHERE rn = 1),
-probes AS (
-  SELECT cent_id FROM (
-    SELECT c.cent_id,
-      list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i]))
-        / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
-           * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS c
-    FROM cents c, q)
-  ORDER BY c DESC, cent_id DESC LIMIT 2),
-cand AS (
-  SELECT b.vec_id, b.label,
-    list_sum(list_transform(range(1, 65), i -> b.v[i] * q.qv[i]))
-      / (sqrt(list_sum(list_transform(b.v, x -> x*x)))
-         * sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS c
-  FROM base b
-  JOIN assign a ON b.vec_id = a.vec_id
-  JOIN probes p ON a.cent_id = p.cent_id
-  CROSS JOIN q)
-SELECT vec_id, label, ROUND(c, 4) AS cosine
-FROM cand
-ORDER BY c DESC, vec_id ASC
-LIMIT 10
-""",
+    "sim_ann_ivf": _ivf_oracle(iters=2, n_cent=16, n_probe=2, qid=42),
     # hex→int without from_hex: Σ nibble·16^k, exact in double (< 2^53)
     "text_split_counts": """
 WITH b AS (
