@@ -460,6 +460,7 @@ def connected_components(
     # labels are monotonically non-increasing, so sum(lbl) strictly
     # decreases until the fixed point — a one-number convergence probe.
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -479,9 +480,23 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        # labels are still moving: some cluster has diameter > max_iter
+        # and the returned components are WRONG (split clusters). Loudly
+        # signal instead of silently under-deduplicating.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} iterations; component labels are incomplete "
+            f"(a cluster has diameter > {max_iter}). Increase max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("lbl").alias("component"))
 
 

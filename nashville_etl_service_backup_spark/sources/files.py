@@ -185,24 +185,32 @@ def name_quality_ok(name: object) -> bool:
 
 def _frame_to_items(pdf: "pd.DataFrame") -> list[dict]:
     """document_spider.py:277-301,383-448 in pandas form: lower-case
-    headers, synonym-map to canonical names (first non-empty synonym in
-    mapping order wins), stringify+strip values, drop NaN/empty, keep
-    rows passing the P6 name gate."""
+    headers, then ONE source column per canonical field chosen by
+    dataframe column order — the reference's
+    _normalize_dataframe_columns renames the first matching column per
+    standard name regardless of per-row emptiness (a frame with two
+    synonym columns for one field uses only the leftmost). Values are
+    stringified+stripped, NaN/empty dropped, rows pass the P6 name
+    gate. If one column matches several standard names, the later
+    mapping wins (reference rename_map overwrite, same loop order)."""
     from nashville_etl_service_backup_spark.schemas import COLUMN_MAPPINGS
 
-    cols = {str(c).strip().lower(): c for c in pdf.columns}
+    lower = {c: str(c).strip().lower() for c in pdf.columns}
+    rename: dict = {}  # source col -> canonical
+    for canon, syns in COLUMN_MAPPINGS.items():
+        for col in pdf.columns:
+            if lower[col] in syns:
+                rename[col] = canon
+                break
     items = []
     for _, row in pdf.iterrows():
         item: dict = {}
-        for canon, syns in COLUMN_MAPPINGS.items():
-            for syn in syns:
-                if syn in cols:
-                    v = row[cols[syn]]
-                    if v is not None and not pd.isna(v):
-                        s = str(v).strip()
-                        if s:
-                            item[canon] = s
-                            break
+        for col, canon in rename.items():
+            v = row[col]
+            if v is not None and not pd.isna(v):
+                s = str(v).strip()
+                if s:
+                    item[canon] = s
         if name_quality_ok(item.get("name")):
             items.append(item)
     return items
@@ -272,6 +280,63 @@ def read_word_tables(
                         continue
                     frame = pd.DataFrame(table[1:], columns=table[0])
                     items.extend(_frame_to_items(frame))
+                yield _emit_items(p, items)
+
+    return binf.mapInPandas(run, ITEM_SCHEMA)
+
+
+# S16 fallback: loader(bytes) -> list of paragraph strings
+ParagraphsLoader = Callable[[bytes], list]
+
+
+def read_word_events(
+    spark: SparkSession,
+    path: str,
+    tables_loader: TablesLoader,
+    paragraphs_loader: ParagraphsLoader,
+    glob: str = "*",
+) -> DataFrame:
+    """S15 + S16 fallback (document_spider.py:160-184): per document,
+    tables first; when the tables yield no valid items, fall back to the
+    WORD paragraph state machine (_extract_from_word_text,
+    document_spider.py:217-253). Both decoders are injected (python-docx
+    is not in this container); the Spark side — binaryFile scan,
+    per-file Arrow batch, fallback control flow, schema — is real.
+    Divergence: items from the fallback pass the same P6 name-quality
+    gate as the table path (the reference gates only name presence)."""
+    from nashville_etl_service_backup_spark.sources.text_extract import (
+        extract_events_from_word_text,
+    )
+
+    binf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for p, content in zip(b["path"], b["content"]):
+                raw = bytes(content)
+                items: list[dict] = []
+                for table in tables_loader(raw):
+                    if len(table) < 2:
+                        continue
+                    frame = pd.DataFrame(table[1:], columns=table[0])
+                    items.extend(_frame_to_items(frame))
+                if not items:
+                    items = [
+                        {
+                            c: ev.get(c)
+                            for c in ITEM_COLUMNS
+                            if ev.get(c) is not None
+                        }
+                        for ev in extract_events_from_word_text(
+                            paragraphs_loader(raw)
+                        )
+                        if name_quality_ok(ev.get("name"))
+                    ]
                 yield _emit_items(p, items)
 
     return binf.mapInPandas(run, ITEM_SCHEMA)

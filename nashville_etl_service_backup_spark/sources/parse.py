@@ -456,12 +456,18 @@ def parse_arcgis(
 def arcgis_run_stats(parsed: DataFrame) -> DataFrame:
     """A4 (nashville_arcgis.py:41-42,95-99,180-186): total / yielded /
     per-reason reject tallies + yield-rate %, as ONE aggregation over
-    the parse pass (the reference's stats_counter dict)."""
+    the parse pass (the reference's stats_counter dict). The reference
+    increments BOTH out_of_range (in _transform_coords) and no_coords
+    (in _parse_feature) for an out-of-range feature, so its no_coords
+    tally is the superset — mirrored here by counting reject_reason IN
+    ('no_coords', 'out_of_range') as no_coords."""
     return parsed.agg(
         F.count(F.lit(1)).alias("total"),
         F.count_if(F.col("reject_reason").isNull()).alias("yielded"),
         F.count_if(F.col("reject_reason") == "no_name").alias("no_name"),
-        F.count_if(F.col("reject_reason") == "no_coords").alias("no_coords"),
+        F.count_if(
+            F.col("reject_reason").isin("no_coords", "out_of_range")
+        ).alias("no_coords"),
         F.count_if(F.col("reject_reason") == "out_of_range").alias("out_of_range"),
     ).withColumn(
         "yield_rate_pct",

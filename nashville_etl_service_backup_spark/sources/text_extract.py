@@ -138,6 +138,57 @@ def extract_events_from_text(text: str) -> list[dict]:
     return out
 
 
+def extract_events_from_word_text(paragraphs: list) -> list[dict]:
+    """Port of the WORD paragraph state machine
+    (document_spider.py:217-253 _extract_from_word_text) — distinct from
+    the PDF machine above: items are separated by blank/short
+    paragraphs; 'Key: Value' lines map the key through COLUMN_MAPPINGS
+    (_parse_key_value, document_spider.py:303-325; unmapped keys are
+    kept raw and dropped later by the item schema); free lines classify
+    as url/date/address/name/description (_classify_text_line,
+    document_spider.py:327-353)."""
+    from nashville_etl_service_backup_spark.schemas import COLUMN_MAPPINGS
+
+    items: list[dict] = []
+    current: dict = {}
+    for para in paragraphs:
+        text = (para or "").strip()
+        if not text or len(text) < 3:
+            if current.get("name"):
+                items.append(dict(current))
+                current = {}
+            continue
+        if ":" in text and not text.startswith("http"):
+            key, _, value = text.partition(":")
+            key, value = key.strip().lower(), value.strip()
+            if key and value:
+                std = next(
+                    (c for c, alts in COLUMN_MAPPINGS.items() if key in alts),
+                    key,
+                )
+                current[std] = value
+        elif re.match(r"https?://", text):
+            current["url"] = text
+        elif _is_date(text):
+            current["event_date"] = text
+        elif _is_address(text):
+            current["venue_address"] = text
+        elif _looks_like_name(text):
+            if not current.get("name"):
+                current["name"] = text
+                current["venue_name"] = text
+            else:
+                current.setdefault("description", []).append(text)
+        else:
+            current.setdefault("description", []).append(text)
+    if current.get("name"):
+        items.append(current)
+    for it in items:
+        if isinstance(it.get("description"), list):
+            it["description"] = " ".join(it["description"])
+    return items
+
+
 def extract_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """UDTF surface (D1): (doc_id, original_filepath, text) → N event
     rows per document, schema-enforced. Arrow batches in/out."""

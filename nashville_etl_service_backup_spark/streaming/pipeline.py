@@ -142,7 +142,11 @@ def stateful_dedup_stream(
 
     Emits exactly one row per key over the stream's lifetime (the
     lexicographically-first (ts, key) row within the first batch that
-    carries the key — deterministic under any partitioning). Unbounded
+    carries the key — deterministic under any partitioning). ``ts_col``
+    must be a LEXICOGRAPHICALLY SORTABLE string (ISO-8601 with fixed
+    width, e.g. '2024-01-02T10:00:00') — formats like M/D/YYYY sort
+    wrong as strings and would pick a chronologically wrong
+    representative; parse to such a form upstream first. Unbounded
     keyspace caveat: state grows with distinct keys; production would
     add a timeout/TTL (GroupStateTimeout) or watermark-scoped
     `dropDuplicatesWithinWatermark` when the dedup horizon is bounded.
@@ -203,15 +207,27 @@ def incremental_rollup(
     key_col: str = "event_type",
 ) -> StreamingQuery:
     """Incrementally-maintained hourly rollup (hypertable-style
-    continuous aggregate): each micro-batch's partial (window, key,
-    n, total) merges into the stored rollup by SUMMING with existing
-    partials — valid because count/sum are commutative monoids, so
-    batch boundaries never change the result.
+    continuous aggregate), idempotent under micro-batch replay.
 
-    Scale shape: the per-batch aggregate is map-side combinable and
-    tiny (one row per touched window×key); the merge rewrites only the
-    union of old+new partials, never the raw events. Exactly-once comes
-    from the checkpoint (each file contributes to exactly one batch).
+    Each micro-batch writes ONLY its own partial aggregate (window, key,
+    n, total) to ``rollup_path/batch_id=<id>/`` with directory-level
+    overwrite. foreachBatch is at-least-once: after a crash between sink
+    write and checkpoint commit, the replayed batch re-derives the SAME
+    partial (same input files per the checkpoint) and overwrites the
+    SAME directory — it can never double-count. (The previous
+    read-merge-overwrite design did double-count exactly there, and its
+    blanket cold-start `except` could silently reset the whole rollup.)
+
+    Readers merge partials with :func:`read_rollup` — valid because
+    count/sum are commutative monoids, so batch boundaries never change
+    the result. :func:`compact_rollup` folds accumulated partials into
+    one (run it offline; it requires no concurrent writer — a
+    transactional table format would lift that restriction at
+    production).
+
+    Scale shape: the per-batch aggregate is map-side combinable and tiny
+    (one row per touched window×key); each batch writes only its own
+    partial — no read-modify-write of the whole rollup on the hot path.
     Late data simply lands in its (old) window's partial — no watermark
     needed in AvailableNow mode; a continuous deployment would add
     `withWatermark` to bound state."""
@@ -235,27 +251,9 @@ def incremental_rollup(
                 "total",
             )
         )
-        sess = batch.sparkSession
-        try:
-            existing = sess.read.parquet(rollup_path)
-        except Exception:
-            existing = None
-        if existing is not None:
-            merged = (
-                existing.unionByName(part)
-                .groupBy("window_start", key_col)
-                .agg(
-                    SF.sum("n").alias("n"),
-                    SF.sum("total").alias("total"),
-                )
-            )
-        else:
-            merged = part
-        # rewrite via a temp location: the merge reads the same path it
-        # replaces (overwrite-while-reading corrupts)
-        tmp = rollup_path.rstrip("/") + "__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        sess.read.parquet(tmp).write.mode("overwrite").parquet(rollup_path)
+        part.write.mode("overwrite").parquet(
+            f"{rollup_path.rstrip('/')}/batch_id={batch_id}"
+        )
 
     return (
         spark.readStream.schema(schema)
@@ -266,3 +264,44 @@ def incremental_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Serve the continuous aggregate: merge all per-batch partials.
+    Missing path is NOT swallowed — a vanished rollup is an error, not a
+    cold start (the ADVICE-flagged failure mode)."""
+    return (
+        spark.read.option("basePath", rollup_path)
+        .parquet(rollup_path)
+        .groupBy("window_start", key_col)
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    )
+
+
+def compact_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    key_col: str = "event_type",
+    compact_id: int = -1,
+) -> None:
+    """Fold every partial into the single ``batch_id=<compact_id>``
+    partial and drop the rest. Run offline, never concurrently with the
+    stream: the swap below is not atomic on a plain filesystem (use a
+    transactional table format for that)."""
+    import os
+    import shutil
+
+    root = rollup_path.rstrip("/")
+    merged = read_rollup(spark, rollup_path, key_col=key_col)
+    tmp = root + "__compact"
+    merged.write.mode("overwrite").parquet(tmp)
+    reloaded = spark.read.parquet(tmp)
+    for entry in os.listdir(root):
+        if entry.startswith("batch_id="):
+            shutil.rmtree(f"{root}/{entry}")
+    reloaded.write.mode("overwrite").parquet(f"{root}/batch_id={compact_id}")
+    shutil.rmtree(tmp)

@@ -254,3 +254,20 @@ def test_ivf_kmeans_recall_not_worse_than_first_n(spark):
         return len(truth & got) / 10
 
     assert recall(2) >= recall(0)
+
+
+def test_connected_components_warns_on_non_convergence(spark):
+    import warnings
+
+    from nashville_etl_service_backup_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 6-node chain has diameter 5: max_iter=1 cannot converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iter=1).collect()
+    assert any("did not converge" in str(w.message) for w in caught)

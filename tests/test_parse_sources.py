@@ -200,6 +200,9 @@ def test_arcgis_rejects_and_stats(spark):
     assert stats["yielded"] == 2
     assert stats["no_name"] == 1
     assert stats["out_of_range"] == 1
+    # reference parity: out-of-range features count under no_coords TOO
+    # (nashville_arcgis.py increments both stats_counter keys)
+    assert stats["no_coords"] == 1
     assert stats["yield_rate_pct"] == 50.0
 
 

@@ -269,3 +269,61 @@ def test_word_tables_to_items(spark, tmp_path):
     assert set(got) == {"Art Walk", "Food Fest"}
     assert got["Art Walk"]["venue_name"] == "5th Ave"  # 'location' synonym
     assert got["Food Fest"]["venue_address"] == "Main St"  # 'address' synonym
+
+
+def test_word_events_paragraph_fallback(spark, tmp_path):
+    """S16 fallback (document_spider.py:160-184): tables first; a doc
+    whose tables yield nothing falls back to the paragraph-text line
+    classifier."""
+    from nashville_etl_service_backup_spark.sources.files import (
+        read_word_events,
+    )
+
+    (tmp_path / "tbl.docx").write_bytes(b"doc-with-table")
+    (tmp_path / "txt.docx").write_bytes(b"doc-with-text-only")
+
+    def tables_loader(content):
+        if content == b"doc-with-table":
+            return [[["Event", "Location"], ["Art Walk", "5th Ave"]]]
+        return []  # no tables -> paragraph fallback
+
+    def paragraphs_loader(content):
+        return [
+            "Name: Jazz Night",
+            "Venue: Blue Room",
+            "Date: 2024-05-01",
+            "A smooth evening of live jazz downtown.",
+        ]
+
+    rows = read_word_events(
+        spark, str(tmp_path), tables_loader, paragraphs_loader, glob="*.docx"
+    ).collect()
+    got = {r["name"]: r for r in rows}
+    assert set(got) == {"Art Walk", "Jazz Night"}
+    assert got["Art Walk"]["venue_name"] == "5th Ave"
+    assert got["Jazz Night"]["venue_name"] == "Blue Room"
+    assert got["Jazz Night"]["event_date"] == "2024-05-01"
+
+
+def test_frame_to_items_column_order_wins(spark):
+    """Reference _normalize_dataframe_columns picks ONE source column
+    per canonical field by dataframe column order — a row whose chosen
+    column is empty does NOT fall through to the other synonym column."""
+    import pandas as pd
+
+    from nashville_etl_service_backup_spark.sources.files import (
+        _frame_to_items,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "location": ["Leftmost Hall", None],
+            "venue": ["Ignored Hall", "Also Ignored"],
+            "name": ["Show A", "Show B"],
+        }
+    )
+    items = _frame_to_items(pdf)
+    assert items[0]["venue_name"] == "Leftmost Hall"
+    # row 2's 'location' is empty; the reference leaves the field unset
+    # rather than reading the 'venue' column
+    assert "venue_name" not in items[1]

@@ -165,7 +165,9 @@ def test_incremental_rollup_equals_batch_recompute(spark, tmp_path):
     from datetime import datetime
 
     from nashville_etl_service_backup_spark.streaming.pipeline import (
+        compact_rollup,
         incremental_rollup,
+        read_rollup,
     )
 
     src = str(tmp_path / "ev")
@@ -181,6 +183,12 @@ def test_incremental_rollup_equals_batch_recompute(spark, tmp_path):
             "event_id long, ts timestamp, event_type string, value double",
         ).coalesce(1).write.mode("append").parquet(src)
 
+    def rollup_state():
+        return {
+            (str(r["window_start"]), r["event_type"]): (r["n"], float(r["total"]))
+            for r in read_rollup(spark, roll).collect()
+        }
+
     b1 = [
         ("2024-01-01T10:05:00", "click", 1.5),
         ("2024-01-01T10:40:00", "click", 2.0),
@@ -195,12 +203,28 @@ def test_incremental_rollup_equals_batch_recompute(spark, tmp_path):
     write(b2, [4, 5])
     incremental_rollup(spark, src, roll, ckpt).awaitTermination(120)
 
-    got = {
-        (str(r["window_start"]), r["event_type"]): (r["n"], float(r["total"]))
-        for r in spark.read.parquet(roll).collect()
-    }
-    assert got == {
+    expected = {
         ("2024-01-01 10:00:00", "click"): (3, 4.0),
         ("2024-01-01 11:00:00", "view"): (1, 4.0),
         ("2024-01-01 09:00:00", "view"): (1, 3.25),
     }
+    assert rollup_state() == expected
+
+    # replay idempotency — simulate the at-least-once crash window
+    # (sink written, checkpoint commit lost): removing commits/1 makes
+    # the restarted stream re-execute batch 1 with the same offsets. The
+    # replayed batch overwrites its own batch_id=1 partial, so the
+    # merged rollup must NOT double-count (the pre-fix
+    # read-merge-overwrite design added batch 1's rows a second time).
+    import os
+
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    incremental_rollup(spark, src, roll, ckpt).awaitTermination(120)
+    assert rollup_state() == expected
+
+    # compaction folds partials into one and preserves the result
+    compact_rollup(spark, roll)
+    assert rollup_state() == expected
