@@ -104,6 +104,52 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def jdbc_driver_available(spark: SparkSession, driver_class: str) -> bool:
+    """True if `driver_class` is loadable on the JVM classpath — gates
+    the JDBC path in environments without a driver jar."""
+    try:
+        spark._jvm.java.lang.Class.forName(driver_class)
+        return True
+    except Exception:
+        return False
+
+
+def write_jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_col: str = "url",
+    driver: str | None = None,
+) -> None:
+    """K2 parity against a JDBC serving store — the reference serves
+    from Postgres (init.sql:6-25, btree+GIN) and loads with
+    `INSERT ... ON CONFLICT (url) DO NOTHING`
+    (transform_data.py:566-600). Engine-portable form: read the
+    EXISTING KEY COLUMN from the target (column-pruned JDBC scan),
+    left-anti join the incoming batch, append only the fresh rows.
+    First write creates the table (Spark JDBC append-on-absent).
+
+    Not row-transactional: the read-check-append races a concurrent
+    writer (the reference's loader is a single cron writer too); a
+    multi-writer deployment should use the database's native upsert via
+    a staging table + MERGE. The anti-join moves only the key column."""
+    spark = df.sparkSession
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    try:
+        existing_keys = reader.load().select(key_col).distinct()
+    except Exception:
+        existing_keys = None  # table absent → first write creates it
+    fresh = df.dropDuplicates([key_col])
+    if existing_keys is not None:
+        fresh = fresh.join(existing_keys, key_col, "left_anti")
+    writer = fresh.write.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        writer = writer.option("driver", driver)
+    writer.mode("append").save()
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:

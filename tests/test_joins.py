@@ -80,3 +80,42 @@ def test_range_join_agg_band_and_empty(spark):
     # event 200 (k=1,t=3): click at t=2 in (-2,3] → n=1, s=4
     # event 300 (k=2,t=5): click at t=6 is future → survives with 0
     assert got == {100: (2, 3.0), 200: (1, 4.0), 300: (0, 0.0)}
+
+
+def test_jdbc_upsert_on_conflict_do_nothing(spark, tmp_path):
+    """K2 against a real JDBC store (embedded Derby ships with Spark):
+    second batch with overlapping urls inserts only the fresh rows —
+    the reference's ON CONFLICT (url) DO NOTHING."""
+    import pytest
+
+    from nashville_etl_service_backup_spark.plans.load import (
+        jdbc_driver_available,
+        write_jdbc_upsert,
+    )
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    if not jdbc_driver_available(spark, driver):
+        pytest.skip("no embedded Derby driver on the JVM classpath")
+    url = f"jdbc:derby:{tmp_path}/eventsdb;create=true"
+
+    b1 = spark.createDataFrame(
+        [("u1", "Show A"), ("u2", "Show B"), ("u2", "Show B dup")],
+        "url string, name string",
+    )
+    write_jdbc_upsert(b1, url, "events", key_col="url", driver=driver)
+    b2 = spark.createDataFrame(
+        [("u2", "CHANGED"), ("u3", "Show C")], "url string, name string"
+    )
+    write_jdbc_upsert(b2, url, "events", key_col="url", driver=driver)
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "events")
+        .option("driver", driver)
+        .load()
+    )
+    rows = {r["url"]: r["name"] for r in back.collect()}
+    assert set(rows) == {"u1", "u2", "u3"}
+    assert rows["u2"] in ("Show B", "Show B dup")  # first batch won
+    assert rows["u2"] != "CHANGED"  # conflict row NOT applied
