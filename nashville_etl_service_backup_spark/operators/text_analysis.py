@@ -99,6 +99,115 @@ def content_fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+# PII patterns — RE2-compatible subset (no lookaround, no backrefs) so the
+# Java-regex Spark plan and the RE2 DuckDB oracle match byte-for-byte.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (kind, pattern, replacement)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(text: Column) -> Column:
+    """Training-data PII scrub: emails, SSNs, phone numbers, IPv4
+    addresses → typed placeholders. Pattern order matters (SSN before
+    phone — both match ddd-dd-dddd-adjacent shapes). A narrow JVM-side
+    map; patterns are an RE2-safe subset so the oracle reproduces the
+    exact output."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (pre-redaction) — the audit side of the
+    scrub."""
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast(
+            "long"
+        )
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1 "repetition
+    filters", public heuristic set), all exact and engine-portable:
+
+    - dup_line_frac:  1 − distinct(lines)/lines over non-empty trimmed
+      lines — boilerplate/nav-menu detector;
+    - top_bigram_frac: occurrences of the most frequent word bigram /
+      total bigrams — loops like "click here click here" score high;
+    - max_line_frac:  chars in the longest line / total chars — wall-of-
+      text or single-line-dump detector.
+
+    Pure higher-order functions (sort + fold for the bigram mode — no
+    explode, no shuffle): a narrow per-document map at any scale."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) > 0,
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    toks = tokenize(text)
+    grams = F.when(F.size(toks) >= 2, _sorted_bigrams(toks)).otherwise(
+        F.array().cast("array<string>")
+    )
+    n_grams = F.size(grams)
+    # mode count of a SORTED array via one fold: track (prev, run, best)
+    best_run = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_bigram_frac = F.when(
+        n_grams > 0, best_run.cast("double") / n_grams.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    total_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, ln: acc + F.length(ln)
+    )
+    max_line = F.aggregate(
+        lines, F.lit(0), lambda acc, ln: F.greatest(acc, F.length(ln))
+    )
+    max_line_frac = F.when(
+        total_chars > 0, max_line.cast("double") / total_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    return {
+        "dup_line_frac": F.round(dup_line_frac, 6),
+        "top_bigram_frac": F.round(top_bigram_frac, 6),
+        "max_line_frac": F.round(max_line_frac, 6),
+    }
+
+
+def _sorted_bigrams(toks: Column) -> Column:
+    grams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.get(toks, i + 1)),
+    )
+    return F.array_sort(grams)
+
+
 def bag_fingerprint(text: Column) -> Column:
     """md5 of the sorted distinct token set — order-insensitive dup key."""
     return F.md5(F.array_join(F.array_sort(search_tokens(text)), " "))

@@ -39,8 +39,12 @@ from nashville_etl_service_backup_spark.operators.text_analysis import (
     bm25_topk,
     bpe_token_count,
     content_fingerprint,
+    PII_PATTERNS,
     language_id,
+    pii_counts,
+    pii_redact,
     quality_features,
+    repetition_features,
     split_assign,
     ws_token_count,
     zscore_by_group,
@@ -331,6 +335,29 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + scrub: per-kind match counts and the md5 of the
+    redacted text (value-verifies the exact redaction output). Narrow
+    JVM-side regex map — no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    counts = pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(k) for k, c in counts.items()],
+        F.md5(pii_redact(F.col("text"))).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (duplicate-line
+    fraction, top-bigram fraction, longest-line char fraction)."""
+    docs = load(spark, sf_dir, "documents")
+    feats = repetition_features(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(k) for k, c in feats.items()]
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "dedup_exact_bow": dedup_exact_bow,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -356,6 +383,8 @@ QUERIES = {
     "multimodal_image_features": multimodal_image_features,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "text_pii_scrub": text_pii_scrub,
+    "text_repetition": text_repetition,
 }
 
 _TOKS_D = DUCK_TOKENS_DISTINCT.format(col="text")
@@ -523,6 +552,13 @@ walk(node, lbl) AS (
   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
 comp AS (
   SELECT node, MIN(lbl) AS component FROM walk GROUP BY node)"""
+
+# sequential regexp_replace chain mirroring pii_redact's pattern order
+_PII_REDACT_SQL = "text"
+for _kind, _pat, _repl in PII_PATTERNS:
+    _PII_REDACT_SQL = (
+        f"regexp_replace({_PII_REDACT_SQL}, '{_pat}', '{_repl}', 'g')"
+    )
 
 ORACLES = {
     "dedup_exact_bow": f"""
@@ -869,5 +905,46 @@ u AS (
 SELECT media_id, CAST(idx AS INT) AS frame_idx,
   md5(substr(text, CAST(idx AS INT) * 64 + 1, 64)) AS frame_md5
 FROM u
+""",
+    # PII patterns shared verbatim with operators.text_analysis
+    # (RE2-safe subset, so both regex engines match identically);
+    # sequential redaction in PII_PATTERNS order, like pii_redact.
+    "text_pii_scrub": (
+        "SELECT doc_id,\n  "
+        + ",\n  ".join(
+            f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+            for kind, pat, _ in PII_PATTERNS
+        )
+        + ",\n  md5("
+        + _PII_REDACT_SQL
+        + ") AS redacted_md5\nFROM documents ORDER BY doc_id"
+    ),
+    "text_repetition": f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> len(x) > 0) AS lines,
+    {_TOKS_O} AS tk
+  FROM documents),
+g AS (
+  SELECT doc_id, lines,
+    CASE WHEN len(tk) >= 2
+         THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t)
+SELECT doc_id,
+  ROUND(CASE WHEN len(lines) > 0
+        THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+        ELSE 0.0 END, 6) AS dup_line_frac,
+  ROUND(CASE WHEN len(grams) > 0
+        THEN CAST(list_max(list_transform(list_distinct(grams),
+               d -> len(list_filter(grams, x -> x = d)))) AS DOUBLE)
+             / len(grams)
+        ELSE 0.0 END, 6) AS top_bigram_frac,
+  ROUND(CASE WHEN list_sum(list_transform(lines, x -> len(x))) > 0
+        THEN CAST(list_max(list_transform(lines, x -> len(x))) AS DOUBLE)
+             / list_sum(list_transform(lines, x -> len(x)))
+        ELSE 0.0 END, 6) AS max_line_frac
+FROM g ORDER BY doc_id
 """,
 }

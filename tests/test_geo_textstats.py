@@ -175,3 +175,66 @@ def test_bm25_posting_matches_fixed_variant_on_many_terms(spark):
     assert plan.count("(Generate") + plan.count("+- Generate") <= 4
     # no per-term higher-order rescans of the token array
     assert "filter(" not in plan
+
+
+def test_pii_redact_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        pii_counts,
+        pii_redact,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail bob.smith+x@example.co.uk or call (615) 555-1234, "
+                "ssn 123-45-6789, host 10.0.255.7 end",
+            ),
+            (2, "clean text with no pii at all"),
+        ],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        pii_redact(F.col("text")).alias("red"),
+        *[c.alias(k) for k, c in pii_counts(F.col("text")).items()],
+    ).collect()
+    r1 = next(r for r in out if r["id"] == 1)
+    assert "<EMAIL>" in r1["red"] and "example" not in r1["red"]
+    assert "<PHONE>" in r1["red"] and "555-1234" not in r1["red"]
+    assert "<SSN>" in r1["red"] and "123-45-6789" not in r1["red"]
+    assert "<IP>" in r1["red"] and "10.0.255.7" not in r1["red"]
+    assert (r1["n_email"], r1["n_ssn"], r1["n_phone"], r1["n_ipv4"]) == (1, 1, 1, 1)
+    r2 = next(r for r in out if r["id"] == 2)
+    assert r2["red"] == "clean text with no pii at all"
+    assert (r2["n_email"], r2["n_ssn"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0, 0)
+
+
+def test_repetition_features_planted(spark):
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        repetition_features,
+    )
+
+    loopy = "click here click here click here click here"
+    boiler = "menu\nmenu\nmenu\nabout us"
+    wall = "x\n" + ("y" * 98)
+    df = spark.createDataFrame(
+        [(1, loopy), (2, boiler), (3, wall)], "id long, text string"
+    )
+    feats = repetition_features(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", *[c.alias(k) for k, c in feats.items()]
+        ).collect()
+    }
+    # 7 bigrams, 'click here' appears 4 times
+    assert abs(rows[1]["top_bigram_frac"] - 4 / 7) < 1e-6
+    # 4 lines, 2 distinct -> dup fraction 0.5
+    assert abs(rows[2]["dup_line_frac"] - 0.5) < 1e-6
+    # 99 chars total, longest line 98
+    assert abs(rows[3]["max_line_frac"] - 98 / 99) < 1e-6
