@@ -91,6 +91,7 @@ def main() -> None:
                 materialize(qs[name](spark, warm_dir))
             except Exception:
                 pass
+        release_persisted()
         spark.catalog.clearCache()
     # One untimed pass at the measured SF — same protocol as the DuckDB
     # yardstick (tools/bench_duckdb.py: "warm run after one untimed
@@ -101,6 +102,7 @@ def main() -> None:
             materialize(qs[name](spark, sf_dir))
         except Exception:
             pass
+    release_persisted()
     spark.catalog.clearCache()
 
     # min-of-3 timed runs per query: single runs vary ±30% under GC /

@@ -202,9 +202,16 @@ def ivf_assign(
     (ties → highest centroid id; deterministic). Centroids broadcast, so
     assignment is one narrow pass over the corpus — at 100 TB the
     assigned frame is then written bucketed by cent_id, making every
-    probe a partition-pruned scan."""
-    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "_c", cosine(F.col(vec_col), F.col(cent_vec))
+    probe a partition-pruned scan.
+
+    Norms are hoisted out of the pair loop: |v| once per vector, |c|
+    once per centroid, dot once per pair — float-identical to inlined
+    cosine() (same expression, factored), ~3× fewer HOF ops."""
+    e = emb.withColumn("_nv", norm(F.col(vec_col)))
+    c = centroids.withColumn("_nc", norm(F.col(cent_vec)))
+    scored = e.crossJoin(F.broadcast(c)).withColumn(
+        "_c",
+        dot(F.col(vec_col), F.col(cent_vec)) / (F.col("_nv") * F.col("_nc")),
     )
     best = scored.groupBy(id_col).agg(
         F.max(F.struct(F.col("_c").alias("c"), F.col(cent_id).alias("cid"))).alias(
@@ -280,12 +287,13 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: tuple[str, ...] = ("label",),
-    kmeans_iters: int = 2,
+    kmeans_iters: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: Lloyd's k-means coarse quantizer
     (``kmeans_iters`` rounds from a first-N init; 0 = plain first-N
-    centroids), probe the query's ``n_probe`` nearest inverted lists,
-    exact cosine re-rank inside them.
+    centroids; 1 matches 2 on measured recall at sf0.01 for half the
+    training cost), probe the query's ``n_probe`` nearest inverted
+    lists, exact cosine re-rank inside them.
 
     The scale shape: centroids broadcast (tiny); assignment is a narrow
     map; candidates are restricted to probed lists before any ranking,
@@ -296,6 +304,14 @@ def ivf_topk(
         cents = kmeans_centroids(
             base, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col
         )
+        # The trained quantizer is a MODEL ARTIFACT (n_centroids × dim
+        # numbers): materialize it once into a LocalRelation. Without
+        # this, every downstream branch that references `cents`
+        # (assignment, probe selection) re-executes the whole Lloyd's
+        # pipeline — measured 3× on the end-to-end query. Same pattern
+        # as pyspark.ml: fit() is eager, transform() is lazy.
+        spark = emb.sparkSession
+        cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
     else:
         cents = base.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cent_id"), F.col("v").alias("cv")

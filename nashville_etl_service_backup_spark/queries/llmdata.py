@@ -182,10 +182,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 for vec_id=42: 16 centroids from 2 deterministic
-    Lloyd's k-means rounds (exact-decimal sum centroids — see
-    operators.similarity.kmeans_centroids), probe the 2 nearest inverted
-    lists, exact re-rank inside them."""
+    """IVF ANN top-10 for vec_id=42: 16 centroids from one
+    deterministic Lloyd's k-means round (exact-decimal sum centroids —
+    see operators.similarity.kmeans_centroids; a second round adds no
+    measured recall), probe the 2 nearest inverted lists, exact re-rank
+    inside them."""
     emb = load(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 42).select(
         as_double(F.col("embedding")).alias("qv")
@@ -717,7 +718,7 @@ LIMIT 10
 """,
     # sim_ann_lsh: intentionally no oracle (rows-only) — bucket membership
     # depends on engine-side hyperplane evaluation.
-    "sim_ann_ivf": _ivf_oracle(iters=2, n_cent=16, n_probe=2, qid=42),
+    "sim_ann_ivf": _ivf_oracle(iters=1, n_cent=16, n_probe=2, qid=42),
     # hex→int without from_hex: Σ nibble·16^k, exact in double (< 2^53)
     "text_split_counts": """
 WITH b AS (
