@@ -290,6 +290,76 @@ def bm25_topk(
     )
 
 
+def pack_offsets(
+    docs,
+    id_col: str,
+    text_col: str,
+    budget: int = 512,
+    n_streams: int = 8,
+):
+    """GPT-style concatenate-then-chunk sequence packing: documents are
+    laid end-to-end in deterministic (stream, id) order and the token
+    stream is chunked into ``budget``-sized context windows; a
+    document's pack is the window containing its FIRST token
+    (start-offset rule — exactly how pretraining loaders pack, with
+    boundary documents split across windows at read time).
+
+    ``stream`` is the md5 hash-bucket of the id, so packing is
+    partition-local: the window sort runs per stream, never globally —
+    at 100 TB each stream sorts independently after one hash shuffle,
+    and adding streams scales out. Returns (id, n_tokens, stream,
+    start_offset, pack_id)."""
+    from pyspark.sql.window import Window
+
+    base = docs.select(
+        F.col(id_col),
+        ws_token_count(F.col(text_col)).alias("n_tokens"),
+        hash_bucket(F.col(id_col), n_streams).alias("stream"),
+    )
+    w = Window.partitionBy("stream").orderBy(id_col)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.withColumn("start_offset", start).withColumn(
+        "pack_id", F.floor(F.col("start_offset") / F.lit(float(budget))).cast("long")
+    )
+
+
+def contamination_matches(
+    docs,
+    id_col: str,
+    text_col: str,
+    eval_filter: Column,
+    n: int = 13,
+):
+    """Benchmark-contamination audit (the GPT-3 appendix-C recipe,
+    Brown et al. 2020: 13-gram overlap between training documents and
+    held-out evaluation data). Returns (id, n_shared_grams) for every
+    NON-eval document sharing at least one word n-gram with the eval
+    set.
+
+    Scale shape: grams are md5-hashed before anything moves, so the
+    join shuffles (32-char hash, id) pairs — never document text; the
+    distinct eval-gram side is typically tiny relative to the corpus
+    and broadcast-joins. Candidate generation is a pure equi-join on
+    the hash (no cross product)."""
+    from nashville_etl_service_backup_spark.operators.dedup import shingles
+
+    gram_set = F.array_distinct(
+        F.transform(shingles(tokenize(F.col(text_col)), n), F.md5)
+    )
+    grams = docs.select(
+        F.col(id_col),
+        eval_filter.alias("_is_eval"),
+        F.explode(gram_set).alias("gram"),
+    )
+    ev = grams.filter(F.col("_is_eval")).select("gram").distinct()
+    return (
+        grams.filter(~F.col("_is_eval"))
+        .join(ev, "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("gram")).alias("n_shared_grams"))
+    )
+
+
 def bm25_topk_posting(
     docs,
     id_col: str,

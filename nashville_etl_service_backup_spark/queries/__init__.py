@@ -41,8 +41,11 @@ _MODULES = (llmdata, etl_e2e, serving_q, behavioral, analytics, tpch, tpch2)
 # variants and the two sketch queries that have no exact oracle come last.
 _PRIORITY = [
     # -- LLM-data pipeline (dedup, similarity, text analysis, multimodal) --
+    # (dedup_minhash_sig and text_quality_by_lang sit past the window:
+    # the former is a building block of dedup_lsh_pairs, the latter an
+    # aggregate view of text_quality_docs — pii/repetition are distinct
+    # capabilities and take their slots)
     "dedup_exact_bow",
-    "dedup_minhash_sig",
     "dedup_lsh_pairs",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
@@ -56,12 +59,15 @@ _PRIORITY = [
     "text_bm25_topk",
     "text_token_counts",
     "text_quality_docs",
-    "text_quality_by_lang",
+    "text_pii_scrub",
+    "text_repetition",
     "text_lang_id",
     "text_split_counts",
     "text_mixture_sample",
     "text_zscore_by_lang",
-    "text_top_terms",
+    # text_top_terms (vocab stats; token-count family) sits past the
+    # window — contamination auditing is the more load-bearing capability
+    "text_contamination",
     "multimodal_image_features",
     "multimodal_audio_features",
     "multimodal_frame_sample",
@@ -76,7 +82,9 @@ _PRIORITY = [
     "q_sliding_window",
     "q_session_window",
     "q_resample_gapfill",
-    "q_json_roundtrip",
+    # q_json_roundtrip's F22 coverage is already in-window via
+    # q_etl_pipeline's to_json/from_json pass; packing takes its slot
+    "text_pack_bins",
     "q_events_pivot",
     # -- behavioral analytics --
     "q_funnel",

@@ -40,7 +40,9 @@ from nashville_etl_service_backup_spark.operators.text_analysis import (
     bpe_token_count,
     content_fingerprint,
     PII_PATTERNS,
+    contamination_matches,
     language_id,
+    pack_offsets,
     pii_counts,
     pii_redact,
     quality_features,
@@ -359,6 +361,35 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate-then-chunk documents into 512-token
+    context windows across 8 hash streams; per-pack occupancy stats."""
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_offsets(docs, "doc_id", "text", budget=512, n_streams=8)
+    return (
+        packed.groupBy("stream", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("stream", "pack_id")
+    )
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: training docs sharing any word
+    4-gram with the held-out set (doc_id % 97 == 0). Production uses
+    13-grams (the GPT-3 recipe); this synthetic corpus only exhibits
+    overlap at n=4, which exercises the identical plan."""
+    docs = load(spark, sf_dir, "documents")
+    hits = contamination_matches(
+        docs, "doc_id", "text", F.col("doc_id") % 97 == 0, n=4
+    )
+    return hits.orderBy("doc_id")
+
+
 QUERIES = {
     "dedup_exact_bow": dedup_exact_bow,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -386,6 +417,8 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "text_pii_scrub": text_pii_scrub,
     "text_repetition": text_repetition,
+    "text_pack_bins": text_pack_bins,
+    "text_contamination": text_contamination,
 }
 
 _TOKS_D = DUCK_TOKENS_DISTINCT.format(col="text")
@@ -947,5 +980,45 @@ SELECT doc_id,
              / list_sum(list_transform(lines, x -> len(x)))
         ELSE 0.0 END, 6) AS max_line_frac
 FROM g ORDER BY doc_id
+""",
+    # stream = md5 hash-bucket (same derivation as text_split_counts);
+    # pack = floor(start_offset / budget), start offsets via running sum
+    # in (stream, doc_id) order — mirror of text_analysis.pack_offsets
+    "text_pack_bins": f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKS_O}) AS n_tokens,
+    CAST(list_sum(list_transform(range(1, 9), i ->
+      (strpos('0123456789abcdef',
+              substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+      * pow(16, 8 - i))) AS BIGINT) % 8 AS stream
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tokens, stream,
+    SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  FROM t)
+SELECT stream, CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id,
+  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM o
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    # word-4-gram construction mirrors operators.dedup.shingles: starts
+    # 1..len-n+1, n consecutive tokens space-joined, distinct, md5
+    "text_contamination": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_O} AS tk FROM documents),
+g AS (
+  SELECT doc_id, doc_id % 97 = 0 AS is_eval,
+    unnest(list_distinct(list_transform(range(1, len(tk) - 2),
+      i -> md5(array_to_string(tk[i:i+3], ' '))))) AS gram
+  FROM t WHERE len(tk) >= 4),
+ev AS (SELECT DISTINCT gram FROM g WHERE is_eval)
+SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+FROM g JOIN ev USING (gram)
+WHERE NOT g.is_eval
+GROUP BY 1
+ORDER BY 1
 """,
 }

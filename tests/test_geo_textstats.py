@@ -238,3 +238,51 @@ def test_repetition_features_planted(spark):
     assert abs(rows[2]["dup_line_frac"] - 0.5) < 1e-6
     # 99 chars total, longest line 98
     assert abs(rows[3]["max_line_frac"] - 98 / 99) < 1e-6
+
+
+def test_pack_offsets_chunk_semantics(spark):
+    """Concatenate-then-chunk: a doc's pack is the window holding its
+    first token; packs advance when the running offset crosses the
+    budget."""
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        pack_offsets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 30) for i in range(20)], "doc_id long, text string"
+    )  # every doc = 30 tokens
+    out = pack_offsets(docs, "doc_id", "text", budget=100, n_streams=1).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # single stream: offsets are 0,30,60,... pack boundaries at 100
+    for i in range(20):
+        assert by_id[i]["start_offset"] == 30 * i
+        assert by_id[i]["pack_id"] == (30 * i) // 100
+
+
+def test_contamination_matches_planted(spark):
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        contamination_matches,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),  # eval
+            (1, "a very quick brown fox jumps again today"),      # shares 4-grams
+            (2, "completely unrelated text about databases here"),
+            (3, "the quick brown fox appears here too"),          # shares 1
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in contamination_matches(
+            docs, "doc_id", "text", F.col("doc_id") == 0, n=4
+        ).collect()
+    }
+    assert 2 not in hits
+    assert hits[3] == 1  # 'the quick brown fox'
+    assert hits[1] == 1  # 'quick brown fox jumps'
