@@ -173,3 +173,29 @@ def test_bm25_stats_broadcast(spark):
     plan = plan_of(spark, "text_bm25_topk")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pack_bins_no_global_sort(spark):
+    """Packing must sort per hash stream (partitioned window), never
+    globally; the only rangepartitioning allowed is the final small
+    ORDER BY of the aggregated (stream, pack) rows."""
+    plan = plan_of(spark, "text_pack_bins")
+    assert "hashpartitioning(stream" in plan
+    # the per-doc window runs on the hash-partitioned stream, so no
+    # single-partition Exchange feeds the Window node
+    window_part = plan.split("Window")[0]
+    assert "SinglePartition" not in window_part
+
+
+def test_contamination_is_equi_join(spark):
+    plan = plan_of(spark, "text_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_scrub_is_narrow(spark):
+    """PII scrub is a pure projection: no Exchange at all before the
+    final ORDER BY."""
+    plan = plan_of(spark, "text_pii_scrub")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2  # only the output ordering
