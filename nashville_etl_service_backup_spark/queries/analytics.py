@@ -226,8 +226,31 @@ def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 × width 512) over events.user_id, then
+    point estimates for user_ids 0–9 joined against the exact counts —
+    unlike the engine-internal HLL/t-digest sketches, the md5-derived
+    CMS hash-matches its oracle exactly."""
+    from nashville_etl_service_backup_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id", depth=4, width=512)
+    keys = ev.select("user_id").filter(F.col("user_id") < 10).distinct()
+    est = cms_estimate(cms, keys, "user_id", depth=4, width=512)
+    true = (
+        ev.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return est.join(true, "user_id").orderBy("user_id")
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
+    "q_cms_user_counts": q_cms_user_counts,
     "q_grouping_sets": q_grouping_sets,
     "q_skew_salted_join": q_skew_salted_join,
     "q_ring_centroid": q_ring_centroid,
@@ -239,7 +262,43 @@ QUERIES = {
     "q_approx_percentiles": q_approx_percentiles,
 }
 
+# md5-hex → bigint bucket, mirroring operators.sketch._bucket: first 8
+# hex chars of md5('<row>:<key>') as an integer, mod width
+def _cms_bucket_sql(key_expr: str, row_expr: str, width: int) -> str:
+    return (
+        "CAST(list_sum(list_transform(range(1, 9), j ->\n"
+        "      (strpos('0123456789abcdef',\n"
+        f"              substr(md5(CAST({row_expr} AS VARCHAR) || ':' || "
+        f"CAST({key_expr} AS VARCHAR)), CAST(j AS INT), 1)) - 1)\n"
+        f"      * pow(16, 8 - j))) AS BIGINT) % {width}"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH rb AS (
+  SELECT user_id, r.i AS row_idx,
+    {_cms_bucket_sql('user_id', 'r.i', 512)} AS bucket
+  FROM events, range(0, 4) r(i)),
+cms AS (
+  SELECT row_idx, bucket, COUNT(*) AS cnt FROM rb GROUP BY 1, 2),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+pb AS (
+  SELECT p.user_id, r.i AS row_idx,
+    {_cms_bucket_sql('p.user_id', 'r.i', 512)} AS bucket
+  FROM probes p, range(0, 4) r(i)),
+est AS (
+  SELECT pb.user_id, MIN(COALESCE(c.cnt, 0)) AS est_count
+  FROM pb LEFT JOIN cms c USING (row_idx, bucket) GROUP BY 1),
+tc AS (
+  SELECT user_id, COUNT(*) AS true_count FROM events
+  WHERE user_id < 10 GROUP BY 1)
+SELECT e.user_id, e.est_count, t.true_count
+FROM est e JOIN tc t USING (user_id)
+ORDER BY 1
+"""
+
 ORACLES = {
+    "q_cms_user_counts": _CMS_ORACLE,
     "q_lag_lead": """
 SELECT event_id, user_id,
   LAG(event_id) OVER w AS prev_event_id,

@@ -72,3 +72,43 @@ def test_approx_percentiles_close_to_exact(spark):
         for e_col, a_col in [("p25", "ap25"), ("p50", "ap50"), ("p95", "ap95")]:
             e, a = exact[k][e_col], approx[k][a_col]
             assert abs(a - e) / e < 0.02, (k, e_col, e, a)
+
+
+def test_cms_overcount_invariant_and_merge(spark):
+    """CMS point estimates never undercount, and merging per-half
+    sketches reproduces the whole-corpus counter table exactly (counters
+    are a commutative monoid)."""
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from nashville_etl_service_backup_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    cms = cms_build(ev, "user_id", depth=4, width=512)
+    keys = ev.select("user_id").distinct().limit(50)
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in cms_estimate(cms, keys, "user_id", depth=4, width=512).collect()
+    }
+    true = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert est, "no estimates produced"
+    for uid, e in est.items():
+        assert e >= true[uid], (uid, e, true[uid])
+
+    half_a = cms_build(ev.filter(F.col("event_id") % 2 == 0), "user_id")
+    half_b = cms_build(ev.filter(F.col("event_id") % 2 == 1), "user_id")
+    merged = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in cms_merge(half_a, half_b).collect()
+    }
+    whole = {
+        (r["row_idx"], r["bucket"]): r["cnt"] for r in cms.collect()
+    }
+    assert merged == whole
