@@ -197,6 +197,73 @@ def stateful_dedup_stream(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Bounded-horizon streaming dedup: `dropDuplicatesWithinWatermark`
+    keeps one row per key among events whose timestamps fall within the
+    watermark delay of each other, and — unlike the unbounded
+    applyInPandasWithState dedup above — EVICTS key state once the
+    watermark passes, so state is O(keys per horizon), not O(all keys
+    ever). The right tool when the dedup contract is "no duplicates
+    within an hour" rather than "exactly once forever". Batch frames
+    fall back to plain dropDuplicates (watermark is stream-only)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(list(key_cols))
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def clicks_to_purchases_join(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "1 hour",
+    max_gap: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each purchase
+    to the same user's click at most ``max_gap`` earlier — the classic
+    conversion-attribution shape. Both sides carry a watermark and the
+    join has a time-range predicate, so Spark can bound the buffered
+    state on each side and evict as watermarks advance (an unbounded
+    stream-stream join would grow state forever). Works identically on
+    batch frames (the watermark is a no-op there)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col(user_col).alias("c_user"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col(user_col).alias("p_user"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def incremental_rollup(
     spark: SparkSession,
     events_path: str,

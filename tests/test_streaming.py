@@ -228,3 +228,91 @@ def test_incremental_rollup_equals_batch_recompute(spark, tmp_path):
     # compaction folds partials into one and preserves the result
     compact_rollup(spark, roll)
     assert rollup_state() == expected
+
+
+@pytest.mark.slow
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """Bounded-horizon dedup: duplicates inside the watermark window
+    collapse to one row; state is evictable (unlike the unbounded
+    stateful dedup)."""
+    from datetime import datetime
+
+    from nashville_etl_service_backup_spark.streaming.pipeline import (
+        dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, "2024-01-01T10:00:00", "u1"),
+        (2, "2024-01-01T10:10:00", "u1"),  # dup inside the hour
+        (3, "2024-01-01T10:20:00", "u2"),
+    ]
+    spark.createDataFrame(
+        [(i, datetime.fromisoformat(t), u) for i, t, u in rows],
+        "event_id long, ts timestamp, url string",
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("event_id long, ts timestamp, url string").parquet(src)
+    out = dedup_within_watermark(stream, key_cols=("url",), watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["url"] for r in spark.sql("SELECT url FROM wm_dedup").collect()}
+    assert got == {"u1", "u2"}
+    assert spark.sql("SELECT count(*) n FROM wm_dedup").collect()[0]["n"] == 2
+
+    # batch frame: same API, plain dropDuplicates
+    batch = spark.read.parquet(src)
+    assert dedup_within_watermark(batch, key_cols=("url",)).count() == 2
+
+
+@pytest.mark.slow
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Watermarked interval join attributes purchases to clicks ≤30 min
+    earlier; stream and batch agree."""
+    from datetime import datetime
+
+    from nashville_etl_service_backup_spark.streaming.pipeline import (
+        clicks_to_purchases_join,
+    )
+
+    src = str(tmp_path / "ev")
+    rows = [
+        (1, "2024-01-01T10:00:00", 7, "click", 0.0),
+        (2, "2024-01-01T10:20:00", 7, "purchase", 9.99),   # attributed to 1
+        (3, "2024-01-01T11:30:00", 7, "purchase", 5.0),    # no click within 30m
+        (4, "2024-01-01T10:05:00", 8, "click", 0.0),
+        (5, "2024-01-01T12:00:00", 8, "purchase", 3.0),    # too late
+    ]
+    spark.createDataFrame(
+        [(i, datetime.fromisoformat(t), u, e, v) for i, t, u, e, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).coalesce(1).write.parquet(src)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = clicks_to_purchases_join(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    assert got == {(2, 1)}
+
+    batch_got = {
+        (r["purchase_id"], r["click_id"])
+        for r in clicks_to_purchases_join(spark.read.parquet(src)).collect()
+    }
+    assert batch_got == got
