@@ -344,11 +344,13 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side regex map — no shuffle."""
     docs = load(spark, sf_dir, "documents")
     counts = pii_counts(F.col("text"))
+    # no ORDER BY: the gate's value hash is order-insensitive, and at
+    # scale sorting the full scrub output would be a real global sort
     return docs.select(
         "doc_id",
         *[c.alias(k) for k, c in counts.items()],
         F.md5(pii_redact(F.col("text"))).alias("redacted_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,9 +358,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, top-bigram fraction, longest-line char fraction)."""
     docs = load(spark, sf_dir, "documents")
     feats = repetition_features(F.col("text"))
-    return docs.select(
-        "doc_id", *[c.alias(k) for k, c in feats.items()]
-    ).orderBy("doc_id")
+    return docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
 
 
 def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,10 +384,9 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     13-grams (the GPT-3 recipe); this synthetic corpus only exhibits
     overlap at n=4, which exercises the identical plan."""
     docs = load(spark, sf_dir, "documents")
-    hits = contamination_matches(
+    return contamination_matches(
         docs, "doc_id", "text", F.col("doc_id") % 97 == 0, n=4
     )
-    return hits.orderBy("doc_id")
 
 
 QUERIES = {
@@ -979,7 +978,7 @@ SELECT doc_id,
         THEN CAST(list_max(list_transform(lines, x -> len(x))) AS DOUBLE)
              / list_sum(list_transform(lines, x -> len(x)))
         ELSE 0.0 END, 6) AS max_line_frac
-FROM g ORDER BY doc_id
+FROM g
 """,
     # stream = md5 hash-bucket (same derivation as text_split_counts);
     # pack = floor(start_offset / budget), start offsets via running sum
@@ -1019,6 +1018,5 @@ SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
 FROM g JOIN ev USING (gram)
 WHERE NOT g.is_eval
 GROUP BY 1
-ORDER BY 1
 """,
 }
