@@ -61,7 +61,10 @@ _PRIORITY = [
     "text_quality_docs",
     "text_pii_scrub",
     "text_repetition",
-    "text_lang_id",
+    # text_lang_id's language-ID expression is exercised verbatim inside
+    # the funnel's no_language rule; the funnel composes the full C4/
+    # Gopher filter pipeline and takes the slot
+    "text_filter_funnel",
     "text_split_counts",
     "text_mixture_sample",
     "text_zscore_by_lang",

@@ -389,6 +389,38 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-filter funnel (C4/Gopher-style): every document gets
+    its FIRST failing rule — length → PII → repetition → language →
+    quality — and the funnel is tallied per verdict. One narrow pass
+    (every rule is a scalar expression over the text) + one tiny
+    aggregation: at 100 TB this is a single scan, no joins, map-side
+    combinable."""
+    docs = load(spark, sf_dir, "documents")
+    qf = quality_features(F.col("text"))
+    rep = repetition_features(F.col("text"))
+    pii = pii_counts(F.col("text"))
+    pii_total = None
+    for c in pii.values():
+        pii_total = c if pii_total is None else pii_total + c
+    verdict = (
+        F.when(qf["n_tokens"] < 20, "too_short")
+        .when(pii_total > 0, "contains_pii")
+        .when(
+            (rep["dup_line_frac"] > 0.3) | (rep["top_bigram_frac"] > 0.2),
+            "repetitive",
+        )
+        .when(language_id(F.col("text")) == "und", "no_language")
+        .when(qf["quality"] < 0.55, "low_quality")
+        .otherwise("kept")
+    )
+    return (
+        docs.select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 QUERIES = {
     "dedup_exact_bow": dedup_exact_bow,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -418,6 +450,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "text_pack_bins": text_pack_bins,
     "text_contamination": text_contamination,
+    "text_filter_funnel": text_filter_funnel,
 }
 
 _TOKS_D = DUCK_TOKENS_DISTINCT.format(col="text")
@@ -1017,6 +1050,62 @@ ev AS (SELECT DISTINCT gram FROM g WHERE is_eval)
 SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
 FROM g JOIN ev USING (gram)
 WHERE NOT g.is_eval
+GROUP BY 1
+""",
+    # first-failing-rule funnel; every sub-expression is the proven
+    # mirror from text_quality_docs / text_repetition / text_pii_scrub /
+    # text_lang_id above
+    "text_filter_funnel": f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_O} AS tk, {_TOKS_D} AS tkd,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> len(x) > 0) AS lines
+  FROM documents),
+f AS (
+  SELECT doc_id, tk, tkd, lines,
+    CASE WHEN len(tk) >= 2
+         THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS grams,
+    len(regexp_extract_all(text, '{PII_PATTERNS[0][1]}'))
+      + len(regexp_extract_all(text, '{PII_PATTERNS[1][1]}'))
+      + len(regexp_extract_all(text, '{PII_PATTERNS[2][1]}'))
+      + len(regexp_extract_all(text, '{PII_PATTERNS[3][1]}')) AS pii_total,
+    len(list_intersect(tkd, ['the','a','and','of','to','in','is'])) AS h_en,
+    len(list_intersect(tkd, ['el','la','de','que','y','los'])) AS h_es,
+    len(list_intersect(tkd, ['der','die','das','und','ist','nicht'])) AS h_de,
+    len(list_intersect(tkd, ['le','la','les','de','et','est'])) AS h_fr
+  FROM t),
+r AS (
+  SELECT doc_id, pii_total, h_en, h_es, h_de, h_fr,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    ROUND(CASE WHEN len(lines) > 0
+          THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+          ELSE 0.0 END, 6) AS dup_line_frac,
+    ROUND(CASE WHEN len(grams) > 0
+          THEN CAST(list_max(list_transform(list_distinct(grams),
+                 d -> len(list_filter(grams, x -> x = d)))) AS DOUBLE)
+               / len(grams)
+          ELSE 0.0 END, 6) AS top_bigram_frac,
+    ROUND(0.5*(CASE WHEN len(tk) > 0
+               THEN CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk) ELSE 0.0 END)
+        + 0.3*(1.0 - CASE WHEN len(tk) > 0
+               THEN CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to')))
+                         AS DOUBLE)/len(tk) ELSE 0.0 END)
+        + 0.2*LEAST(len(tk)/300.0, 1.0), 6) AS quality
+  FROM f)
+SELECT CASE
+    WHEN n_tokens < 20 THEN 'too_short'
+    WHEN pii_total > 0 THEN 'contains_pii'
+    WHEN dup_line_frac > 0.3 OR top_bigram_frac > 0.2 THEN 'repetitive'
+    WHEN NOT (h_en > 0 AND h_en >= h_es AND h_en >= h_de AND h_en >= h_fr
+              OR h_es > 0 AND h_es >= h_de AND h_es >= h_fr
+              OR h_de > 0 AND h_de >= h_fr
+              OR h_fr > 0) THEN 'no_language'
+    WHEN quality < 0.55 THEN 'low_quality'
+    ELSE 'kept'
+  END AS verdict,
+  COUNT(*) AS n_docs
+FROM r
 GROUP BY 1
 """,
 }
