@@ -333,6 +333,55 @@ def incremental_rollup(
     )
 
 
+def incremental_cms(
+    spark: SparkSession,
+    events_path: str,
+    cms_path: str,
+    checkpoint_path: str,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 512,
+) -> StreamingQuery:
+    """Incrementally-maintained count-min sketch over a stream: each
+    micro-batch builds its own CMS partial (operators.sketch.cms_build)
+    and writes it to ``cms_path/batch_id=<id>/`` — the same
+    idempotent-replay layout as incremental_rollup (replay overwrites
+    its own partial; counters are a commutative monoid, so readers merge
+    partials with cms_merge/read via one groupBy-sum). Heavy-hitter
+    queries over an unbounded stream without ever storing per-key state:
+    the stored sketch is ≤ depth × width counters per batch, compactable
+    the same way as the rollup."""
+    from nashville_etl_service_backup_spark.operators.sketch import cms_build
+
+    schema = "event_id long, ts timestamp, event_type string, value double, user_id long"
+
+    def build_batch(batch: DataFrame, batch_id: int) -> None:
+        part = cms_build(batch, key_col, depth=depth, width=width)
+        part.write.mode("overwrite").parquet(
+            f"{cms_path.rstrip('/')}/batch_id={batch_id}"
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(events_path)
+        .writeStream.foreachBatch(build_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms(spark: SparkSession, cms_path: str) -> DataFrame:
+    """Merge all per-batch CMS partials into one counter table."""
+    return (
+        spark.read.option("basePath", cms_path)
+        .parquet(cms_path)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def read_rollup(
     spark: SparkSession,
     rollup_path: str,

@@ -316,3 +316,56 @@ def test_stream_stream_attribution_join(spark, tmp_path):
         for r in clicks_to_purchases_join(spark.read.parquet(src)).collect()
     }
     assert batch_got == got
+
+
+@pytest.mark.slow
+def test_incremental_cms_matches_batch_sketch(spark, tmp_path):
+    """Streaming CMS partials merged across batches == the sketch built
+    over all events at once (counter monoid), and estimates never
+    undercount."""
+    from datetime import datetime
+
+    from nashville_etl_service_backup_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from nashville_etl_service_backup_spark.streaming.pipeline import (
+        incremental_cms,
+        read_cms,
+    )
+
+    src = str(tmp_path / "ev")
+    cmsp = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    def write(rows, ids):
+        spark.createDataFrame(
+            [
+                (i, datetime.fromisoformat(ts), "click", 1.0, u)
+                for i, (ts, u) in zip(ids, rows)
+            ],
+            "event_id long, ts timestamp, event_type string, value double, user_id long",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write([("2024-01-01T10:00:00", 1), ("2024-01-01T10:01:00", 1),
+           ("2024-01-01T10:02:00", 2)], [1, 2, 3])
+    incremental_cms(spark, src, cmsp, ckpt).awaitTermination(120)
+    write([("2024-01-01T11:00:00", 1), ("2024-01-01T11:01:00", 3)], [4, 5])
+    incremental_cms(spark, src, cmsp, ckpt).awaitTermination(120)
+
+    streamed = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in read_cms(spark, cmsp).collect()
+    }
+    whole = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in cms_build(spark.read.parquet(src), "user_id").collect()
+    }
+    assert streamed == whole
+
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "user_id long")
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in cms_estimate(read_cms(spark, cmsp), keys, "user_id").collect()
+    }
+    assert est[1] >= 3 and est[2] >= 1 and est[3] >= 1
