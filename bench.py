@@ -54,6 +54,12 @@ HEADLINE = [
     "text_split_counts",
     "text_zscore_by_lang",
     "doc_fingerprints",
+    "text_pii_scrub",
+    "text_repetition",
+    "text_contamination",
+    "text_filter_funnel",
+    "text_pack_bins",
+    "q_cms_user_counts",
     "multimodal_image_features",
     "q_grouping_sets",
     "q_skew_salted_join",

@@ -56,6 +56,7 @@ from nashville_etl_service_backup_spark.queries._util import (
     DUCK_TOKENS_ORDERED,
     dsum,
 )
+from nashville_etl_service_backup_spark.operators import spread
 from nashville_etl_service_backup_spark.tables import load
 
 
@@ -342,7 +343,9 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII audit + scrub: per-kind match counts and the md5 of the
     redacted text (value-verifies the exact redaction output). Narrow
     JVM-side regex map — no shuffle."""
-    docs = load(spark, sf_dir, "documents")
+    # spread: regex scans are per-row CPU work that must not run on the
+    # scan's single input split
+    docs = spread(load(spark, sf_dir, "documents"))
     counts = pii_counts(F.col("text"))
     # no ORDER BY: the gate's value hash is order-insensitive, and at
     # scale sorting the full scrub output would be a real global sort
@@ -356,7 +359,8 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document (duplicate-line
     fraction, top-bigram fraction, longest-line char fraction)."""
-    docs = load(spark, sf_dir, "documents")
+    # spread: the bigram-mode fold is the CPU cost; parallelize it
+    docs = spread(load(spark, sf_dir, "documents"))
     feats = repetition_features(F.col("text"))
     return docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
 
@@ -385,7 +389,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap at n=4, which exercises the identical plan."""
     docs = load(spark, sf_dir, "documents")
     return contamination_matches(
-        docs, "doc_id", "text", F.col("doc_id") % 97 == 0, n=4
+        spread(docs), "doc_id", "text", F.col("doc_id") % 97 == 0, n=4
     )
 
 
@@ -396,7 +400,8 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every rule is a scalar expression over the text) + one tiny
     aggregation: at 100 TB this is a single scan, no joins, map-side
     combinable."""
-    docs = load(spark, sf_dir, "documents")
+    # spread: every funnel rule is per-row scalar CPU
+    docs = spread(load(spark, sf_dir, "documents"))
     qf = quality_features(F.col("text"))
     rep = repetition_features(F.col("text"))
     pii = pii_counts(F.col("text"))
