@@ -290,6 +290,30 @@ def bm25_topk(
     )
 
 
+def stratified_sample(
+    df,
+    group_col: str,
+    id_col: str,
+    k: int = 5,
+):
+    """Deterministic stratified sample: the k rows per group with the
+    smallest md5(id) — a uniform pseudo-random draw that is stable
+    across engines, runs, partitionings, and cluster sizes (same
+    rationale as hash_bucket; `df.sampleBy` is engine-internal RNG and
+    irreproducible). One partitioned window per group — parallel across
+    groups, no global sort."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def pack_offsets(
     docs,
     id_col: str,

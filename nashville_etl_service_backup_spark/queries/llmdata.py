@@ -48,6 +48,7 @@ from nashville_etl_service_backup_spark.operators.text_analysis import (
     quality_features,
     repetition_features,
     split_assign,
+    stratified_sample,
     ws_token_count,
     zscore_by_group,
 )
@@ -426,6 +427,15 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 5 docs per (lang, source) cell
+    by md5 order — reproducible in any engine under any partitioning."""
+    docs = load(spark, sf_dir, "documents")
+    cell = docs.withColumn("_g", F.concat_ws("|", "lang", "source"))
+    out = stratified_sample(cell, "_g", "doc_id", k=5)
+    return out.select("doc_id", "lang", "source")
+
+
 QUERIES = {
     "dedup_exact_bow": dedup_exact_bow,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -456,6 +466,7 @@ QUERIES = {
     "text_pack_bins": text_pack_bins,
     "text_contamination": text_contamination,
     "text_filter_funnel": text_filter_funnel,
+    "text_stratified_sample": text_stratified_sample,
 }
 
 _TOKS_D = DUCK_TOKENS_DISTINCT.format(col="text")
@@ -1056,6 +1067,15 @@ SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
 FROM g JOIN ev USING (gram)
 WHERE NOT g.is_eval
 GROUP BY 1
+""",
+    "text_stratified_sample": """
+WITH r AS (
+  SELECT doc_id, lang, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang || '|' || source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang, source FROM r WHERE rk <= 5
 """,
     # first-failing-rule funnel; every sub-expression is the proven
     # mirror from text_quality_docs / text_repetition / text_pii_scrub /
