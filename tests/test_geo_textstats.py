@@ -286,3 +286,28 @@ def test_contamination_matches_planted(spark):
     assert 2 not in hits
     assert hits[3] == 1  # 'the quick brown fox'
     assert hits[1] == 1  # 'quick brown fox jumps'
+
+
+def test_repetition_vectorized_equals_hof(spark):
+    """The pandas-UDF counts path and the pure-HOF path must agree on
+    every document (only exact integers cross the Python boundary)."""
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        repetition_features,
+        repetition_features_hof,
+    )
+    from nashville_etl_service_backup_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    v = repetition_features(F.col("text"))
+    h = repetition_features_hof(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        *[c.alias(f"v_{k}") for k, c in v.items()],
+        *[c.alias(f"h_{k}") for k, c in h.items()],
+    ).collect()
+    assert out
+    for r in out:
+        for k in ("dup_line_frac", "top_bigram_frac", "max_line_frac"):
+            assert r[f"v_{k}"] == r[f"h_{k}"], (r["doc_id"], k)
