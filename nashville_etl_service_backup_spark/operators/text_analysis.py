@@ -555,39 +555,30 @@ def split_assign(
 
 
 def zscore_by_group(df, group_col: str, value_col: str, id_col: str):
-    """Per-group z-score normalization via grouped-map `applyInPandas`
-    (D1's grouped-map sibling: Arrow-batched pandas per group, schema
-    enforced by the output StructType).
+    """Per-group z-score normalization as a grouped aggregate + broadcast
+    join — pure built-in JVM expressions, no Python stage.
 
-    Determinism for oracle parity: group sums are computed in exact
-    int64 (sum, sum-of-squares of an integer feature), so mean/variance
-    are identical regardless of row order or engine; the per-row z is
-    elementwise float math. Groups of size 1 or zero variance emit NULL.
-    At scale each group must fit one executor's memory — the standard
-    applyInPandas contract (documents-per-language easily does;
-    skew-prone groupings should pre-aggregate instead)."""
-    import pandas as pd
+    Rewritten from grouped-map applyInPandas (round-2 verdict item #3):
+    the moments (count, sum, sum-of-squares of the integer feature) are a
+    map-side-combinable groupBy.agg, and the per-row z is an elementwise
+    projection after broadcasting the tiny per-group stats frame — so no
+    group ever has to fit in one executor's memory and a 100 TB language
+    group streams like any other scan.
 
-    out_schema = f"{id_col} long, {group_col} string, z double"
-
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import math
-
-        v = pdf[value_col].astype("int64")
-        n = len(pdf)
-        s = int(v.sum())
-        ss = int((v * v).sum())
-        if n > 1:
-            mean = s / n
-            var = (ss - s * s / n) / (n - 1)
-        else:
-            var = 0.0
-        if var > 0:
-            z = (v - mean) / math.sqrt(var)
-        else:
-            z = pd.Series([None] * n, dtype="float64", index=v.index)
-        return pd.DataFrame(
-            {id_col: pdf[id_col], group_col: pdf[group_col], "z": z}
-        )
-
-    return df.groupBy(group_col).applyInPandas(fn, out_schema)
+    Determinism for oracle parity: sums are exact int64, so mean/variance
+    are identical regardless of row order or engine; the per-row z is the
+    same double expression tree the DuckDB oracle evaluates. Groups of
+    size 1 or zero variance emit NULL z."""
+    v = F.col(value_col).cast("long")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_ss"),
+    )
+    n_d = F.col("_n").cast("double")
+    mean = F.col("_s") / n_d
+    var = (F.col("_ss") - F.col("_s") * F.col("_s") / n_d) / (F.col("_n") - 1)
+    z = F.when((F.col("_n") > 1) & (var > 0), (v - mean) / F.sqrt(var))
+    return df.join(F.broadcast(stats), group_col).select(
+        id_col, group_col, z.alias("z")
+    )

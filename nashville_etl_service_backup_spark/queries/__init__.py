@@ -11,6 +11,14 @@ row-count + schema + order-insensitive value-hash check passes):
 - timestamps are returned as formatted strings (micros included);
 - arrays are never returned (DuckDB list_distinct is unordered) —
   only scalars derived from them.
+
+Registry layout (round-3): the driver's correctness gate records the
+FIRST 50 entries, so the registry is EXACTLY 50 entries — 36 flagship
+queries individually, plus 14 composite suites (queries/suites.py) that
+fold the remaining 51 queries in by operator family.  Every individual
+query (suite members included) stays addressable via
+``extended_queries()`` / ``extended_oracles()`` for the bench harness,
+plan audits, and tools.
 """
 
 from __future__ import annotations
@@ -25,6 +33,7 @@ from nashville_etl_service_backup_spark.queries import (
     etl_e2e,
     llmdata,
     serving_q,
+    suites,
     tpch,
     tpch2,
 )
@@ -33,19 +42,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = (llmdata, etl_e2e, serving_q, behavioral, analytics, tpch, tpch2)
 
-# Registry order is load-bearing: the driver's correctness gate records the
-# first 50 entries in insertion order.  Lead with the flagship LLM-data
-# pipeline (dedup / similarity / text / multimodal), the end-to-end ETL
-# query, the serving surface, and one query per distinct operator family
-# (as-of join, range join, anti join, ...); the redundant TPC-H shape
-# variants and the two sketch queries that have no exact oracle come last.
+# The driver records correctness for the first 50 registry entries — this
+# IS the registry (exactly 50, nothing appended after).  Individual
+# entries lead; each suite is a string-normalized UNION ALL of the listed
+# member queries and hash-checks every member row (see suites.py).
 _PRIORITY = [
-    # -- LLM-data pipeline (dedup, similarity, text analysis, multimodal) --
-    # (dedup_minhash_sig and text_quality_by_lang sit past the window:
-    # the former is a building block of dedup_lsh_pairs, the latter an
-    # aggregate view of text_quality_docs — pii/repetition are distinct
-    # capabilities and take their slots)
+    # -- LLM-data pipeline: dedup & similarity --
     "dedup_exact_bow",
+    "dedup_minhash_sig",
     "dedup_lsh_pairs",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
@@ -54,81 +58,87 @@ _PRIORITY = [
     "dedup_resolve",
     "doc_fingerprints",
     "sim_topk_bruteforce",
-    "sim_ann_lsh",
+    "sim_ann_lsh",  # rows-only by design: LSH recall pinned in tests
     "sim_ann_ivf",
+    # -- LLM-data pipeline: text analysis --
     "text_bm25_topk",
     "text_token_counts",
     "text_quality_docs",
     "text_pii_scrub",
     "text_repetition",
-    # text_lang_id's language-ID expression is exercised verbatim inside
-    # the funnel's no_language rule; the funnel composes the full C4/
-    # Gopher filter pipeline and takes the slot
     "text_filter_funnel",
     "text_split_counts",
     "text_mixture_sample",
     "text_zscore_by_lang",
-    # text_top_terms (vocab stats; token-count family) sits past the
-    # window — contamination auditing is the more load-bearing capability
     "text_contamination",
+    "text_pack_bins",
+    "text_vocab_suite",  # top_terms + lang_id + quality_by_lang + stratified_sample
+    # -- multimodal --
     "multimodal_image_features",
     "multimodal_audio_features",
     "multimodal_frame_sample",
     # -- end-to-end ETL pipeline (the reference's whole job as one query) --
     "q_etl_pipeline",
-    # -- serving surface (search, pagination, windows, JSON) --
+    # -- serving surface --
     "q_doc_search_rank",
     "q_paginate_events",
     "q_distinct_event_types",
     "q_count_purchases",
-    "q_tumbling_window",
-    "q_sliding_window",
-    "q_session_window",
-    "q_resample_gapfill",
-    # q_json_roundtrip's F22 coverage is already in-window via
-    # q_etl_pipeline's to_json/from_json pass; packing takes its slot
-    "text_pack_bins",
+    "q_json_roundtrip",
     "q_events_pivot",
-    # -- behavioral analytics --
-    "q_funnel",
-    "q_cohort_retention",
-    "q_value_histogram",
-    "q_stats_agg",
-    # -- one query per distinct operator family --
-    "q_lag_lead",
-    "q_grouping_sets",
-    "q_skew_salted_join",
-    "q_ring_centroid",
-    "q_range_frame",
     "q_unpivot_lineitem",
-    "q_percentiles",
-    "q_cube_returns",
-    "q_asof_join",
-    "q_range_join",
-    "q_anti_join_inactive",
+    "q_ring_centroid",
+    # -- sketches --
+    "q_cms_user_counts",
+    "q_approx_suite",  # rows-only: approx_distinct + approx_percentiles
+    # -- operator-family suites --
+    "q_time_windows_suite",  # tumbling + sliding + session + gapfill
+    "q_window_funcs_suite",  # lag/lead + range frame + running total + percentiles
+    "q_multidim_agg_suite",  # grouping sets + cube + rollup + stats agg
+    "q_behavioral_suite",  # funnel + cohort retention + value histogram
+    "q_join_family_suite",  # as-of + range + salted + anti + semi + set-ops
+    "q_analytics_suite",  # top-per-brand window + customer order stats
+    # -- TPC-H plan families --
+    "q_tpch_pricing_suite",  # q01 q06 q14 q19
+    "q_tpch_shipping_suite",  # q03 q05 q10
+    "q_tpch_global_suite",  # q07 q08 q09
+    "q_tpch_distribution_suite",  # q04 q12 q13 q22
+    "q_tpch_supplier_suite",  # q02 q11 q15 q16 q20
+    "q_tpch_bigcustomer_suite",  # q17 q18 q21
 ]
 
 
-def _ordered(per_module: dict[str, dict]) -> dict:
-    merged: dict = {}
-    for mod_map in per_module.values():
-        merged.update(mod_map)
-    missing = [n for n in _PRIORITY if n not in merged]
-    if missing:
-        raise KeyError(f"_PRIORITY names not in registry: {missing}")
-    out = {name: merged[name] for name in _PRIORITY}
-    out.update((n, f) for n, f in merged.items() if n not in out)
-    return out
+def _merged() -> tuple[dict, dict]:
+    queries: dict = {}
+    oracles: dict = {}
+    for mod in _MODULES + (suites,):
+        queries.update(mod.QUERIES)
+        oracles.update(mod.ORACLES)
+    return queries, oracles
 
 
 def all_queries() -> dict[str, QueryFn]:
-    return _ordered({m.__name__: m.QUERIES for m in _MODULES})
+    """The driver-facing registry: exactly the 50 _PRIORITY entries."""
+    merged, _ = _merged()
+    missing = [n for n in _PRIORITY if n not in merged]
+    if missing:
+        raise KeyError(f"_PRIORITY names not in registry: {missing}")
+    assert len(_PRIORITY) == 50, len(_PRIORITY)
+    return {name: merged[name] for name in _PRIORITY}
 
 
 def all_oracles() -> dict[str, str]:
-    merged: dict[str, str] = {}
-    for mod in _MODULES:
-        merged.update(mod.ORACLES)
-    out = {n: merged[n] for n in _PRIORITY if n in merged}
-    out.update((n, s) for n, s in merged.items() if n not in out)
-    return out
+    _, oracles = _merged()
+    return {n: oracles[n] for n in _PRIORITY if n in oracles}
+
+
+def extended_queries() -> dict[str, QueryFn]:
+    """Every individual query (suite members included) plus the suites —
+    for bench, plan audits, and tools."""
+    merged, _ = _merged()
+    return merged
+
+
+def extended_oracles() -> dict[str, str]:
+    _, oracles = _merged()
+    return oracles

@@ -214,8 +214,8 @@ FROM r
     "q_value_histogram": """
 SELECT event_type,
   GREATEST(LEAST(CAST(floor(value / 25.0) AS BIGINT), 19), 0) AS bucket,
-  GREATEST(LEAST(CAST(floor(value / 25.0) AS BIGINT), 19), 0) * 25.0
-    AS bucket_lo,
+  CAST(GREATEST(LEAST(CAST(floor(value / 25.0) AS BIGINT), 19), 0) * 25.0
+    AS DOUBLE) AS bucket_lo,
   count(*) AS n,
   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events

@@ -126,9 +126,9 @@ def text_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language z-score of document token counts via grouped-map
-    applyInPandas (Arrow-batched pandas per group; exact-int group
-    moments for engine parity)."""
+    """Per-language z-score of document token counts: exact-int group
+    moments via groupBy.agg + broadcast join, elementwise z projection —
+    all JVM built-ins, no Python stage, no group-fits-memory limit."""
     docs = load(spark, sf_dir, "documents")
     feats = docs.select("doc_id", "lang", ws_token_count(F.col("text")).alias("nt"))
     z = zscore_by_group(feats, "lang", "nt", "doc_id")

@@ -13,13 +13,13 @@ from __future__ import annotations
 
 import pytest
 
-from nashville_etl_service_backup_spark.queries import all_queries
+from nashville_etl_service_backup_spark.queries import extended_queries
 
 SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    df = all_queries()[name](spark, SF)
+    df = extended_queries()[name](spark, SF)
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
@@ -199,3 +199,27 @@ def test_pii_scrub_is_narrow(spark):
     plan = plan_of(spark, "text_pii_scrub")
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2  # only the output ordering
+
+
+def test_spread_noop_on_wide_input(spark):
+    """spread() must be identity when the input already has >= cores
+    partitions (the 100 TB many-file-scan case) and must add exactly one
+    round-robin Exchange when the input is a single unsplittable blob
+    (the single-row-group parquet case)."""
+    from nashville_etl_service_backup_spark.operators import spread
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000).repartition(par)
+    assert spread(wide) is wide  # no new plan node at all
+
+    narrow = spark.range(0, 10_000).coalesce(1)
+    out = spread(narrow)
+    assert out.rdd.getNumPartitions() == par * 2
+
+
+def test_zscore_has_no_python_stage(spark):
+    """Per-group z-score must be agg + broadcast join, not grouped-map
+    pandas: no Python/Arrow node, stats side broadcast."""
+    plan = plan_of(spark, "text_zscore_by_lang")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
