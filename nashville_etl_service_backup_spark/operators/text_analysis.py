@@ -106,7 +106,9 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     # (kind, pattern, replacement)
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
-    ("phone", r"\b\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    # area code: '(ddd)' (where \b cannot anchor — paren is non-word on
+    # both sides) OR \b-anchored bare 'ddd'
+    ("phone", r"(?:\([0-9]{3}\)|\b[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
 ]
 

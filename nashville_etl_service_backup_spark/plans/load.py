@@ -114,6 +114,33 @@ def jdbc_driver_available(spark: SparkSession, driver_class: str) -> bool:
         return False
 
 
+def _is_table_absent_error(exc: Exception) -> bool:
+    """True iff `exc` (a py4j-wrapped JDBC failure) means the target
+    table does not exist — SQLState class 42 (syntax / access-rule
+    violation: Postgres 42P01, Derby 42X05, MySQL 42S02) anywhere in
+    the Java cause chain, or the standard not-found message shapes.
+    Connection (08xxx) and auth (28xxx) states return False."""
+    java_exc = getattr(exc, "java_exception", None)
+    seen = 0
+    while java_exc is not None and seen < 10:
+        seen += 1
+        try:
+            state = java_exc.getSQLState()
+        except Exception:
+            state = None
+        if state and str(state).startswith("42"):
+            return True
+        try:
+            java_exc = java_exc.getCause()
+        except Exception:
+            break
+    msg = str(exc).lower()
+    return any(
+        s in msg
+        for s in ("does not exist", "not found", "no such table", "42p01", "42x05", "42s02")
+    )
+
+
 def write_jdbc_upsert(
     df: DataFrame,
     url: str,
@@ -132,14 +159,23 @@ def write_jdbc_upsert(
     Not row-transactional: the read-check-append races a concurrent
     writer (the reference's loader is a single cron writer too); a
     multi-writer deployment should use the database's native upsert via
-    a staging table + MERGE. The anti-join moves only the key column."""
+    a staging table + MERGE. The anti-join moves only the key column.
+
+    Only a TABLE-ABSENT failure on the existing-keys probe falls through
+    to the create-on-first-write append; auth failures, timeouts, and
+    transient network errors re-raise (round-2 ADVICE: a blanket except
+    here silently double-inserted the whole batch on any transient read
+    error, since Spark's JDBC-created table carries no unique
+    constraint)."""
     spark = df.sparkSession
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if driver:
         reader = reader.option("driver", driver)
     try:
         existing_keys = reader.load().select(key_col).distinct()
-    except Exception:
+    except Exception as exc:
+        if not _is_table_absent_error(exc):
+            raise
         existing_keys = None  # table absent → first write creates it
     fresh = df.dropDuplicates([key_col])
     if existing_keys is not None:

@@ -28,11 +28,35 @@ from nashville_etl_service_backup_spark.tables import load
 def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread before the raw build: JSON construction, parse, and all 8
     # canonicalization branches are per-row CPU work that must not run
-    # on the scan's single input split
-    ev = spread(load(spark, sf_dir, "events"))
-    pair = F.expr("event_id div 2")
-    ps = pair.cast("string")
-    idx = pair % 6
+    # on the scan's single input split.
+    # Staged select (round-2 verdict item #6): the ~15 pair-derived
+    # subexpressions are computed ONCE here and every downstream
+    # expression references the staged column — without this each
+    # `pair % k` re-evaluates `event_id div 2` per use site (codegen
+    # subexpression elimination does not reach across the when-cascade
+    # branches).
+    staged = spread(load(spark, sf_dir, "events")).select(
+        "event_id",
+        F.expr("event_id div 2").alias("_pair"),
+    )
+    ev = staged.select(
+        "event_id",
+        F.col("_pair").alias("_pair"),
+        F.col("_pair").cast("string").alias("_ps"),
+        (F.col("_pair") % 6).alias("_idx"),
+        (F.col("_pair") % 28 + 1).alias("_day"),
+        (F.col("_pair") % 24).alias("_hr"),
+        (F.col("_pair") % 4).alias("_catv"),
+        (F.col("_pair") % 5).alias("_descv"),
+        (F.col("_pair") % 4).alias("_pricev"),
+        (F.col("_pair") % 5).alias("_latv"),
+        (F.col("_pair") % 7).alias("_sevenv"),
+        (F.col("_pair") % 50).alias("_fiftyv"),
+        (F.col("_pair") % 9 + 1).alias("_ninev"),
+    )
+    pair = F.col("_pair")
+    ps = F.col("_ps")
+    idx = F.col("_idx")
     spider = (
         F.when(idx == 0, "ticketmaster")
         .when(idx == 1, "seatgeek")
@@ -41,9 +65,9 @@ def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(idx == 4, "nashville_arcgis")
         .otherwise("underdog")
     )
-    day = pair % 28 + 1
+    day = F.col("_day")
     dd = F.lpad(day.cast("string"), 2, "0")
-    hh = F.lpad((pair % 24).cast("string"), 2, "0")
+    hh = F.lpad(F.col("_hr").cast("string"), 2, "0")
     iso_date = F.concat(F.lit("2025-06-"), dd, F.lit(" "), hh, F.lit(":30:00"))
     ud_date = F.concat(F.lit("June "), day.cast("string"), F.lit(", 2025 | 7:30PM CDT"))
     date_raw = (
@@ -51,13 +75,13 @@ def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(spider == "underdog", ud_date)
         .otherwise(F.lit(None).cast("string"))
     )
-    catv = pair % 4
+    catv = F.col("_catv")
     cat_raw = (
         F.when(catv == 1, "rock concert")
         .when(catv == 2, "food fair")
         .when(catv == 3, "family fun")
     )  # catv==0 → NULL → per-source default
-    descv = pair % 5
+    descv = F.col("_descv")
     desc = (
         F.when(descv == 0, "rock fest tonight")
         .when(descv == 1, "comedy showcase")
@@ -65,17 +89,17 @@ def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(descv == 3, "big game day")
         .otherwise("quiet evening jazz")
     )
-    venue = F.when(pair % 7 == 0, F.lit(None).cast("string")).otherwise(
-        F.concat(F.lit("Venue "), (pair % 50).cast("string"))
+    venue = F.when(F.col("_sevenv") == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("Venue "), F.col("_fiftyv").cast("string"))
     )
-    latv = pair % 5
+    latv = F.col("_latv")
     lat_raw = F.when(latv == 0, "not-a-number").otherwise(
-        F.concat(F.lit("36."), (pair % 9 + 1).cast("string"))
+        F.concat(F.lit("36."), F.col("_ninev").cast("string"))
     )
     lng_raw = F.when(latv == 0, "").otherwise(
-        F.concat(F.lit("-86."), (pair % 9 + 1).cast("string"))
+        F.concat(F.lit("-86."), F.col("_ninev").cast("string"))
     )
-    pricev = pair % 4
+    pricev = F.col("_pricev")
     price_raw = (
         F.when(pricev == 0, "FREE").when(pricev == 1, "$15").when(pricev == 2, "20.5")
     )  # pricev==3 → NULL

@@ -397,31 +397,44 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-filter funnel (C4/Gopher-style): every document gets
     its FIRST failing rule — length → PII → repetition → language →
-    quality — and the funnel is tallied per verdict. One narrow pass
-    (every rule is a scalar expression over the text) + one tiny
-    aggregation: at 100 TB this is a single scan, no joins, map-side
-    combinable."""
+    quality — and the funnel is tallied per verdict.
+
+    Short-circuited (round-2 verdict item #4): the length and PII rules
+    are pure-JVM scalar expressions, so they run first as a narrow
+    pre-filter; the Arrow-batched repetition UDF (the expensive rule)
+    is evaluated ONLY for documents that survived them — a `when`
+    cascade alone would not stop ArrowEvalPython from running on every
+    row. Two scans of the (cheap, column-pruned) text column replace
+    one scan + an all-rows Python round-trip; both branches aggregate
+    map-side before the tiny union."""
     # spread: every funnel rule is per-row scalar CPU
     docs = spread(load(spark, sf_dir, "documents"))
     qf = quality_features(F.col("text"))
-    rep = repetition_features(F.col("text"))
     pii = pii_counts(F.col("text"))
     pii_total = None
     for c in pii.values():
         pii_total = c if pii_total is None else pii_total + c
-    verdict = (
-        F.when(qf["n_tokens"] < 20, "too_short")
-        .when(pii_total > 0, "contains_pii")
-        .when(
+    pre = F.when(qf["n_tokens"] < 20, "too_short").when(
+        pii_total > 0, "contains_pii"
+    )
+    staged = docs.select(F.col("text"), pre.alias("pre_verdict"))
+    early = staged.filter(F.col("pre_verdict").isNotNull()).select(
+        F.col("pre_verdict").alias("verdict")
+    )
+    survivors = staged.filter(F.col("pre_verdict").isNull())
+    rep = repetition_features(F.col("text"))
+    qf2 = quality_features(F.col("text"))
+    late = (
+        F.when(
             (rep["dup_line_frac"] > 0.3) | (rep["top_bigram_frac"] > 0.2),
             "repetitive",
         )
         .when(language_id(F.col("text")) == "und", "no_language")
-        .when(qf["quality"] < 0.55, "low_quality")
+        .when(qf2["quality"] < 0.55, "low_quality")
         .otherwise("kept")
     )
     return (
-        docs.select(verdict.alias("verdict"))
+        early.unionAll(survivors.select(late.alias("verdict")))
         .groupBy("verdict")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -407,7 +407,16 @@ def compact_rollup(
     """Fold every partial into the single ``batch_id=<compact_id>``
     partial and drop the rest. Run offline, never concurrently with the
     stream: the swap below is not atomic on a plain filesystem (use a
-    transactional table format for that)."""
+    transactional table format for that).
+
+    Crash-safe ordering (round-2 ADVICE): the merged copy is staged
+    INSIDE ``rollup_path`` via atomic directory renames BEFORE any old
+    partial is deleted, so a crash at any point leaves a servable
+    rollup — at worst over-counted (staged copy + not-yet-swept old
+    partials side by side) until compaction re-runs, never empty and
+    never missing counts. The old delete-all-then-write order left a
+    window where ``rollup_path`` held nothing and the only copy sat in
+    the tmp dir."""
     import os
     import shutil
 
@@ -415,9 +424,16 @@ def compact_rollup(
     merged = read_rollup(spark, rollup_path, key_col=key_col)
     tmp = root + "__compact"
     merged.write.mode("overwrite").parquet(tmp)
-    reloaded = spark.read.parquet(tmp)
-    for entry in os.listdir(root):
-        if entry.startswith("batch_id="):
-            shutil.rmtree(f"{root}/{entry}")
-    reloaded.write.mode("overwrite").parquet(f"{root}/batch_id={compact_id}")
-    shutil.rmtree(tmp)
+    # tmp now holds a full materialized copy; inputs are no longer needed
+    old = [e for e in os.listdir(root) if e.startswith("batch_id=")]
+    final = f"batch_id={compact_id}"
+    if final in old:
+        # re-compaction: the previous compacted partial is itself an
+        # input (already folded into tmp) — move it aside atomically so
+        # the final name is free; it stays servable under the __old
+        # suffix (still a batch_id= dir) until the sweep below
+        shutil.move(f"{root}/{final}", f"{root}/{final}__old")
+        old[old.index(final)] = f"{final}__old"
+    shutil.move(tmp, f"{root}/{final}")  # atomic same-fs rename
+    for entry in old:
+        shutil.rmtree(f"{root}/{entry}")

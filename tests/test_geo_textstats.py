@@ -203,7 +203,10 @@ def test_pii_redact_and_counts(spark):
     ).collect()
     r1 = next(r for r in out if r["id"] == 1)
     assert "<EMAIL>" in r1["red"] and "example" not in r1["red"]
-    assert "<PHONE>" in r1["red"] and "555-1234" not in r1["red"]
+    # the parenthesized area code must be consumed whole — the pre-fix
+    # \b\(? pattern left "(<PHONE>" (\b cannot anchor before '(')
+    assert "call <PHONE>," in r1["red"] and "555-1234" not in r1["red"]
+    assert "(<PHONE>" not in r1["red"]
     assert "<SSN>" in r1["red"] and "123-45-6789" not in r1["red"]
     assert "<IP>" in r1["red"] and "10.0.255.7" not in r1["red"]
     assert (r1["n_email"], r1["n_ssn"], r1["n_phone"], r1["n_ipv4"]) == (1, 1, 1, 1)

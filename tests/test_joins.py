@@ -82,6 +82,26 @@ def test_range_join_agg_band_and_empty(spark):
     assert got == {100: (2, 3.0), 200: (1, 4.0), 300: (0, 0.0)}
 
 
+def test_jdbc_table_absent_classifier():
+    """Only table-absent read failures may fall through to the
+    create-on-first-write append; transient/auth/network errors must
+    re-raise (round-2 ADVICE: blanket except silently double-inserted
+    the batch on any read hiccup)."""
+    from nashville_etl_service_backup_spark.plans.load import (
+        _is_table_absent_error,
+    )
+
+    assert _is_table_absent_error(Exception("Table/View 'EVENTS' does not exist."))
+    assert _is_table_absent_error(
+        Exception('relation "events" does not exist (SQLSTATE 42P01)')
+    )
+    assert not _is_table_absent_error(Exception("Connection refused: connect"))
+    assert not _is_table_absent_error(
+        Exception("FATAL: password authentication failed for user 'etl'")
+    )
+    assert not _is_table_absent_error(Exception("Read timed out"))
+
+
 def test_jdbc_upsert_on_conflict_do_nothing(spark, tmp_path):
     """K2 against a real JDBC store (embedded Derby ships with Spark):
     second batch with overlapping urls inserts only the fresh rows —

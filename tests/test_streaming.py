@@ -229,6 +229,15 @@ def test_incremental_rollup_equals_batch_recompute(spark, tmp_path):
     compact_rollup(spark, roll)
     assert rollup_state() == expected
 
+    # re-compaction: the compacted partial (batch_id=-1) is itself an
+    # input; the staged-rename path must free the final name, fold it,
+    # and leave exactly one partial and no tmp dir behind
+    compact_rollup(spark, roll)
+    assert rollup_state() == expected
+    entries = sorted(e for e in os.listdir(roll) if e.startswith("batch_id="))
+    assert entries == ["batch_id=-1"]
+    assert not os.path.exists(roll + "__compact")
+
 
 @pytest.mark.slow
 def test_dedup_within_watermark_stream(spark, tmp_path):
