@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_embedding_pairs",
+    "dedup_semantic_pairs",
     "dedup_clusters",
     "sim_topk_bruteforce",
     "sim_ann_ivf",
@@ -58,6 +59,8 @@ HEADLINE = [
     "text_repetition",
     "text_contamination",
     "text_filter_funnel",
+    "text_lm_quality",
+    "text_boilerplate_strip",
     "text_pack_bins",
     "q_cms_user_counts",
     "multimodal_image_features",

@@ -406,3 +406,59 @@ def embedding_near_dup_pairs(
     else:
         scored = scored.filter(F.col("cosine") >= threshold)
     return scored.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    kmeans_iters: int = 1,
+    threshold: float = 0.9,
+    top_k: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicates (Abbas et al. 2023,
+    arXiv:2303.09540, public method): k-means the embedding space with
+    the same deterministic Lloyd's quantizer the IVF index uses
+    (:func:`kmeans_centroids`), then pair vectors ONLY within a
+    cluster and rank/filter by exact cosine.
+
+    The complementary candidate generator to the banded-SRP one in
+    :func:`embedding_near_dup_pairs`: SRP buckets by random sign
+    agreement (recall tunable via band width), SemDeDup buckets by the
+    learned cluster structure (recall follows the quantizer; the paper's
+    observation is that semantic dups land in the same k-means cell).
+
+    100 TB shape: centroid training is the IVF quantizer's one-time
+    model fit; assignment is a broadcast-join narrow map; the pair step
+    is an equi-join on cent_id — shuffles each vector ONCE to its
+    cluster's partition, and the quadratic pairing is bounded per
+    cluster (at scale, cap cluster width by raising n_centroids —
+    n ∝ corpus/√pairs-budget), never O(n²) across the corpus.
+
+    Output: (vec_a, vec_b, cosine) with cosine ≥ threshold, or the
+    top_k highest-cosine within-cluster pairs when top_k is given
+    (ranked mode for corpora with no planted duplicates)."""
+    from nashville_etl_service_backup_spark.operators import track_persist
+
+    pts = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    cents = kmeans_centroids(
+        pts, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col, vec_col="v"
+    )
+    assigned = ivf_assign(pts, cents, id_col=id_col, vec_col="v")
+    tagged = track_persist(pts.join(assigned, id_col))
+    a = tagged.select(
+        "cent_id", F.col(id_col).alias("vec_a"), F.col("v").alias("va")
+    )
+    b = tagged.select(
+        "cent_id", F.col(id_col).alias("vec_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "cent_id").filter(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+    if top_k is not None:
+        scored = scored.orderBy(
+            F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")
+        ).limit(top_k)
+    else:
+        scored = scored.filter(F.col("cosine") >= threshold)
+    return scored.select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))

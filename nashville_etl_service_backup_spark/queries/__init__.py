@@ -13,9 +13,9 @@ row-count + schema + order-insensitive value-hash check passes):
   only scalars derived from them.
 
 Registry layout (round-3): the driver's correctness gate records the
-FIRST 50 entries, so the registry is EXACTLY 50 entries — 36 flagship
-queries individually, plus 14 composite suites (queries/suites.py) that
-fold the remaining 51 queries in by operator family.  Every individual
+FIRST 50 entries, so the registry is EXACTLY 50 entries — 35 flagship
+queries individually, plus 15 composite suites (queries/suites.py) that
+fold the remaining 55 queries in by operator family.  Every individual
 query (suite members included) stays addressable via
 ``extended_queries()`` / ``extended_oracles()`` for the bench harness,
 plan audits, and tools.
@@ -54,6 +54,7 @@ _PRIORITY = [
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_embedding_pairs",
+    "dedup_semantic_pairs",
     "dedup_clusters",
     "dedup_resolve",
     "doc_fingerprints",
@@ -64,6 +65,7 @@ _PRIORITY = [
     "text_bm25_topk",
     "text_token_counts",
     "text_quality_docs",
+    "text_lm_quality",
     "text_pii_scrub",
     "text_repetition",
     "text_filter_funnel",
@@ -72,11 +74,9 @@ _PRIORITY = [
     "text_zscore_by_lang",
     "text_contamination",
     "text_pack_bins",
-    "text_vocab_suite",  # top_terms + lang_id + quality_by_lang + stratified_sample
+    "text_vocab_suite",  # top_terms + lang_id + quality_by_lang + stratified_sample + boilerplate_strip
     # -- multimodal --
-    "multimodal_image_features",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
+    "multimodal_suite",  # image features + audio features + frame sample
     # -- end-to-end ETL pipeline (the reference's whole job as one query) --
     "q_etl_pipeline",
     # -- serving surface --

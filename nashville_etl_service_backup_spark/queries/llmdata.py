@@ -27,6 +27,7 @@ from nashville_etl_service_backup_spark.operators.similarity import (
     ivf_topk,
     lsh_bucket_topk,
     pm_plane_bits,
+    semantic_dedup_pairs,
 )
 from nashville_etl_service_backup_spark.operators.multimodal import (
     extract_audio_features,
@@ -41,6 +42,7 @@ from nashville_etl_service_backup_spark.operators.text_analysis import (
     content_fingerprint,
     PII_PATTERNS,
     contamination_matches,
+    corpus_lm_scores,
     language_id,
     pack_offsets,
     pii_counts,
@@ -49,6 +51,7 @@ from nashville_etl_service_backup_spark.operators.text_analysis import (
     repetition_features,
     split_assign,
     stratified_sample,
+    strip_boilerplate_lines,
     ws_token_count,
     zscore_by_group,
 )
@@ -449,6 +452,36 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cluster the embeddings (the IVF quantizer),
+    pair only within a cluster, top-20 by exact cosine (ranked mode —
+    this corpus plants no true embedding duplicates). The third
+    candidate-generation strategy in the embedding-dedup family, next
+    to banded-SRP (dedup_embedding_pairs) and exact fingerprints."""
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, n_centroids=16, kmeans_iters=1, top_k=20
+    )
+
+
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean log-probability of
+    its char trigrams under the corpus trigram model (CCNet's filtering
+    signal, self-fit). Returns every doc with ≥1 trigram."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return corpus_lm_scores(docs, id_col="doc_id", text_col="text")
+
+
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document boilerplate-line removal (C4/CCNet): trimmed lines
+    shared by ≥3 distinct docs are stripped everywhere; output is the
+    per-doc removal audit + cleaned-text fingerprint."""
+    docs = load(spark, sf_dir, "documents")
+    return strip_boilerplate_lines(
+        docs, min_docs=3, id_col="doc_id", text_col="text"
+    )
+
+
 QUERIES = {
     "dedup_exact_bow": dedup_exact_bow,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -480,6 +513,9 @@ QUERIES = {
     "text_contamination": text_contamination,
     "text_filter_funnel": text_filter_funnel,
     "text_stratified_sample": text_stratified_sample,
+    "dedup_semantic_pairs": dedup_semantic_pairs,
+    "text_lm_quality": text_lm_quality,
+    "text_boilerplate_strip": text_boilerplate_strip,
 }
 
 _TOKS_D = DUCK_TOKENS_DISTINCT.format(col="text")
@@ -521,22 +557,16 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _ivf_oracle(iters: int, n_cent: int, n_probe: int, qid: int) -> str:
-    """sim_ann_ivf oracle with Lloyd's k-means unrolled ``iters`` times —
-    the exact mirror of operators.similarity.kmeans_centroids: centroids
-    are exact DECIMAL(30,12) sums of round(x, 6) member components (sum ≡
-    mean under cosine; the pre-round avoids the Spark-HALF_UP vs
-    DuckDB-half-even decimal-tie divergence), assignments break cosine
-    ties toward the larger cent_id."""
-    parts = [
-        f"""WITH v AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT v AS qv FROM v WHERE vec_id = {qid}),
-base AS (SELECT * FROM v WHERE vec_id <> {qid}),
-cents0 AS (
-  SELECT vec_id AS cent_id, list_transform(v, x -> round(x, 6)) AS cv
-  FROM base WHERE vec_id < {n_cent})"""
-    ]
+def _kmeans_chain(iters: int) -> str:
+    """Lloyd's-k-means CTE chain (ac1..cents{iters} + fac/fassign) — the
+    exact SQL mirror of operators.similarity.kmeans_centroids +
+    ivf_assign, shared by the IVF and SemDeDup oracles. Assumes CTEs
+    ``base`` (vec_id, v) and ``cents0`` (cent_id, cv) are already
+    defined. Centroids are exact DECIMAL(30,12) sums of round(x, 6)
+    member components (sum ≡ mean under cosine; the pre-round avoids
+    the Spark-HALF_UP vs DuckDB-half-even decimal-tie divergence);
+    assignments break cosine ties toward the larger cent_id."""
+    parts = []
     for t in range(1, iters + 1):
         parts.append(
             f""",
@@ -570,7 +600,27 @@ fassign AS (
     SELECT vec_id, cent_id,
       ROW_NUMBER() OVER (PARTITION BY vec_id
                          ORDER BY c DESC, cent_id DESC) AS rn
-    FROM fac) WHERE rn = 1),
+    FROM fac) WHERE rn = 1)"""
+    )
+    return "".join(parts)
+
+
+def _ivf_oracle(iters: int, n_cent: int, n_probe: int, qid: int) -> str:
+    """sim_ann_ivf oracle: the shared k-means chain, then probe the
+    query's n_probe nearest lists and exact-cosine re-rank inside."""
+    last = f"cents{iters}"
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM v WHERE vec_id = {qid}),
+base AS (SELECT * FROM v WHERE vec_id <> {qid}),
+cents0 AS (
+  SELECT vec_id AS cent_id, list_transform(v, x -> round(x, 6)) AS cv
+  FROM base WHERE vec_id < {n_cent})""",
+        _kmeans_chain(iters),
+    ]
+    parts.append(
+        f""",
 probes AS (
   SELECT cent_id FROM (
     SELECT c.cent_id, {_cos_sql('q.qv', 'c.cv')} AS c
@@ -813,6 +863,72 @@ LIMIT 10
     # sim_ann_lsh: intentionally no oracle (rows-only) — bucket membership
     # depends on engine-side hyperplane evaluation.
     "sim_ann_ivf": _ivf_oracle(iters=1, n_cent=16, n_probe=2, qid=42),
+    # SemDeDup: same k-means chain, no query/probe — pair within cluster
+    "dedup_semantic_pairs": f"""WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+base AS (SELECT * FROM v),
+cents0 AS (
+  SELECT vec_id AS cent_id, list_transform(v, x -> round(x, 6)) AS cv
+  FROM base WHERE vec_id < 16){_kmeans_chain(1)},
+tagged AS (
+  SELECT b.vec_id, b.v, a.cent_id
+  FROM base b JOIN fassign a ON b.vec_id = a.vec_id),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_cos_sql('a.v', 'b.v')} AS c
+  FROM tagged a JOIN tagged b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, ROUND(c, 4) AS cosine
+FROM pairs
+ORDER BY c DESC, vec_a ASC, vec_b ASC
+LIMIT 20""",
+    # char-trigram LM score: model = corpus trigram counts; per-gram ln
+    # rounded to 9 decimals and summed exactly in DECIMAL(28,9) — the
+    # repo's summation-order-independence recipe for float aggregates
+    "text_lm_quality": """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(s) - 1),
+                               i -> substr(s, CAST(i AS INT), 3))) AS g
+  FROM norm WHERE length(s) >= 3),
+model AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g),
+tot AS (SELECT SUM(c) AS t FROM model),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         SUM(CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(28,9))) AS slc
+  FROM g JOIN model USING (g)
+  GROUP BY doc_id)
+SELECT doc_id, n_grams,
+       round(CAST(slc AS DOUBLE) / n_grams
+             - round(ln(CAST(t AS DOUBLE)), 9), 6) AS lm_score
+FROM per, tot""",
+    # boilerplate strip: census on trimmed non-empty lines, anti-join,
+    # in-order rebuild fingerprint; md5('') for fully-stripped docs
+    "text_boilerplate_strip": """
+WITH sp AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+lx AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos, trim(ls[CAST(pos AS INT)]) AS l
+  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos FROM sp)),
+ne AS (SELECT * FROM lx WHERE l <> ''),
+bp AS (SELECT l FROM ne GROUP BY l HAVING COUNT(DISTINCT doc_id) >= 3),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM ne GROUP BY doc_id),
+kept AS (
+  SELECT ne.doc_id, ne.pos, ne.l
+  FROM ne LEFT JOIN bp ON ne.l = bp.l
+  WHERE bp.l IS NULL),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(l, chr(10) ORDER BY pos)) AS cleaned_md5
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines,
+       t.n_lines - COALESCE(a.n_kept, 0) AS n_removed,
+       COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id""",
     # hex→int without from_hex: Σ nibble·16^k, exact in double (< 2^53)
     "text_split_counts": """
 WITH b AS (

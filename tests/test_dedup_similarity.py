@@ -273,3 +273,50 @@ def test_connected_components_warns_on_non_convergence(spark):
         warnings.simplefilter("always")
         connected_components(pairs, max_iter=1).collect()
     assert any("did not converge" in str(w.message) for w in caught)
+
+
+def test_semantic_dedup_pairs_planted(spark):
+    """SemDeDup: a planted near-identical vector must surface as a
+    within-cluster pair; ring neighbors (cos ≈ 0.955) stay below the
+    threshold."""
+    import math
+
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        (i, [math.cos(i * 0.3), math.sin(i * 0.3)] + [0.0] * 6)
+        for i in range(20)
+    ]
+    # near-dup of vec 7 (perturbed in the 1st component only)
+    rows.append(
+        (100, [math.cos(0.3 * 7) + 1e-4, math.sin(0.3 * 7)] + [0.0] * 6)
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_pairs(
+        emb, n_centroids=4, kmeans_iters=1, threshold=0.9999
+    )
+    got = [(r.vec_a, r.vec_b) for r in pairs.collect()]
+    assert got == [(7, 100)]
+
+
+def test_semantic_dedup_ranked_mode(spark):
+    import math
+
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        (i, [math.cos(i * 0.3), math.sin(i * 0.3)] + [0.0] * 6)
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = semantic_dedup_pairs(
+        emb, n_centroids=3, kmeans_iters=1, top_k=5
+    ).collect()
+    assert len(top) == 5
+    cosines = [r.cosine for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(r.vec_a < r.vec_b for r in top)

@@ -314,3 +314,52 @@ def test_repetition_vectorized_equals_hof(spark):
     for r in out:
         for k in ("dup_line_frac", "top_bigram_frac", "max_line_frac"):
             assert r[f"v_{k}"] == r[f"h_{k}"], (r["doc_id"], k)
+
+
+def test_corpus_lm_scores_hand_computed(spark):
+    """Two symmetric docs share trigram 'aaa' (c=2) and own one unique
+    trigram each (c=1), total T=4: score = (ln2)/2 − ln4 = −1.039721
+    for both. A doc under 3 normalized chars yields no grams and is
+    absent."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        corpus_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaab"), (2, "aaac"), (3, "ab")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: (r["n_grams"], r["lm_score"])
+        for r in corpus_lm_scores(docs).collect()
+    }
+    assert rows == {1: (2, -1.039721), 2: (2, -1.039721)}
+
+
+def test_strip_boilerplate_lines(spark):
+    """Lines shared by ≥3 distinct docs vanish everywhere; a doc that
+    was all boilerplate fingerprints as md5('')."""
+    import hashlib
+
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        strip_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "NAV MENU\nunique one\n  footer  "),
+            (2, "NAV MENU\nunique two\nfooter"),
+            (3, "NAV MENU\nunique three\nfooter"),
+            (4, "all original\nlines here"),
+            (5, "NAV MENU\nfooter"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["cleaned_md5"])
+        for r in strip_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1] == (3, 2, md5("unique one"))
+    assert out[2] == (3, 2, md5("unique two"))
+    assert out[4] == (2, 0, md5("all original\nlines here"))
+    assert out[5] == (2, 2, md5(""))

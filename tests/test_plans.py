@@ -223,3 +223,37 @@ def test_zscore_has_no_python_stage(spark):
     plan = plan_of(spark, "text_zscore_by_lang")
     assert "FlatMapGroupsInPandas" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    # the within-cluster pairing must be an equi-join on cent_id; the
+    # only nested-loop joins allowed are the broadcast-tiny centroid
+    # crossJoins inside the quantizer
+    plan = plan_of(spark, "dedup_semantic_pairs")
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_quality_model_broadcast_and_jvm_only(spark):
+    plan = plan_of(spark, "text_lm_quality")
+    assert "CartesianProduct" not in plan
+    # the bounded trigram model is broadcast into the scoring join —
+    # the gram stream itself must never shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_boilerplate_strip_is_anti_join(spark):
+    plan = plan_of(spark, "text_boilerplate_strip")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_filter_funnel_udf_only_on_survivors(spark):
+    # the short-circuit: exactly one Arrow stage, fed by the pre-filter
+    # branch (isnull(pre_verdict)), unioned with the UDF-free early
+    # branch
+    plan = plan_of(spark, "text_filter_funnel")
+    # one Arrow stage (tree line + detail line in formatted output)
+    assert plan.count("ArrowEvalPython (") == 1
+    assert "Union" in plan

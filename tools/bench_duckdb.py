@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 import bench
-import __spark_entry__ as entrymod
+from nashville_etl_service_backup_spark.queries import extended_oracles
 from nashville_etl_service_backup_spark.tables import TABLES
 
 
@@ -35,7 +35,9 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    oracles = entrymod.oracle_sql()
+    # extended: HEADLINE names individual queries, including ones the
+    # 50-entry registry only exposes inside a composite suite
+    oracles = extended_oracles()
     timings: dict[str, float] = {}
     for name in bench.HEADLINE:
         sql = oracles.get(name)
