@@ -20,6 +20,7 @@ Plus the windowed-aggregation surface the target engine needs
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -51,9 +52,16 @@ def incremental_etl(
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         events = run_pipeline(batch, now_year=now_year)
+        # only PATH-ABSENT means cold start; any other read failure
+        # (permissions, transient FS error) must re-raise — falling
+        # through would silently skip the anti-join and double-append
+        # (the same failure class the round-2 ADVICE flagged on the
+        # JDBC upsert's existing-keys probe)
         try:
             existing = batch.sparkSession.read.parquet(sink_path)
-        except Exception:
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "does not exist" not in str(exc):
+                raise
             existing = None
         fresh = dedup_new_rows(events, existing)
         fresh.write.mode("append").parquet(sink_path)
