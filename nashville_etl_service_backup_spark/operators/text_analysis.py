@@ -718,3 +718,48 @@ def strip_boilerplate_lines(
         ),
         F.coalesce(F.col("cleaned_md5"), F.lit(empty_md5)).alias("cleaned_md5"),
     )
+
+
+def chunk_token_windows(
+    df,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sliding-window document chunking (the RAG / pretraining
+    preprocessing shape: fixed-size token windows with overlap =
+    window − stride). Chunk starts are 0, stride, 2·stride, … while
+    start < n_tokens, so every token lands in ≥1 chunk and the tail
+    chunk may be short.
+
+    Output: (id, chunk_idx, n_chunk_tokens, chunk_md5) where chunk_md5
+    fingerprints the space-joined window — stable across engines and
+    partitionings.
+
+    100 TB shape: one narrow pass (tokenize → HOF window slices →
+    posexplode); output size ≈ corpus × window/stride, no shuffle at
+    all until whatever consumes the chunks."""
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.floor((n - 1) / stride).cast("long")
+    )
+    chunks = F.transform(
+        starts, lambda i: F.slice(toks, (i * stride + 1).cast("int"), window)
+    )
+    base = df.select(
+        F.col(id_col),
+        F.when(n >= 1, chunks)
+        .otherwise(F.array().cast("array<array<string>>"))
+        .alias("_ch"),
+    )
+    ex = base.select(
+        id_col, F.posexplode("_ch").alias("chunk_idx", "_c")
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("_c").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join("_c", " ")).alias("chunk_md5"),
+    )

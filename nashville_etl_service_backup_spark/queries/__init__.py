@@ -15,7 +15,7 @@ row-count + schema + order-insensitive value-hash check passes):
 Registry layout (round-3): the driver's correctness gate records the
 FIRST 50 entries, so the registry is EXACTLY 50 entries — 34 flagship
 queries individually, plus 16 composite suites (queries/suites.py) that
-fold the remaining 58 queries in by operator family.  Every individual
+fold the remaining 59 queries in by operator family.  Every individual
 query (suite members included) stays addressable via
 ``extended_queries()`` / ``extended_oracles()`` for the bench harness,
 plan audits, and tools.

@@ -41,6 +41,7 @@ from nashville_etl_service_backup_spark.operators.text_analysis import (
     bpe_token_count,
     content_fingerprint,
     PII_PATTERNS,
+    chunk_token_windows,
     contamination_matches,
     corpus_lm_scores,
     language_id,
@@ -484,6 +485,16 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_lm_scores(docs, id_col="doc_id", text_col="text")
 
 
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (RAG / pretraining preprocessing):
+    64-token windows, stride 48 (overlap 16), per-chunk token count +
+    md5 fingerprint. One narrow pass, no shuffle."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return chunk_token_windows(
+        docs, window=64, stride=48, id_col="doc_id", text_col="text"
+    )
+
+
 def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE training-corpus curation pipeline as ONE oracle-checked
     query — the shape a real pretraining-data job runs end to end:
@@ -503,10 +514,19 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-set feeds the split) — at 100 TB the stages chain without
     materialization barriers except the LSH signature persist the pair
     stage already owns."""
+    from nashville_etl_service_backup_spark.operators import track_persist
+
     docs = spread(load(spark, sf_dir, "documents"))
     _, survivors = _funnel_split(docs, keep_cols=("doc_id", "lang"))
-    kept = survivors.filter(F.col("late_verdict") == "kept").select(
-        "doc_id", "lang", "text"
+    # three downstream stages consume the kept set (LSH signatures, the
+    # resolve anti-join's left side, the split/token aggregate) — persist
+    # it once, or the funnel's Arrow UDF re-runs per consumer. This is
+    # the materialization barrier a real pipeline puts between "curated
+    # corpus" and everything derived from it.
+    kept = track_persist(
+        survivors.filter(F.col("late_verdict") == "kept").select(
+            "doc_id", "lang", "text"
+        )
     )
     pairs = lsh_near_dup_pairs(
         kept, "doc_id", "text", shingle_n=2, num_hashes=4, bands=2, threshold=0.6
@@ -606,6 +626,7 @@ QUERIES = {
     "text_boilerplate_strip": text_boilerplate_strip,
     "llm_corpus_curation": llm_corpus_curation,
     "text_length_histogram": text_length_histogram,
+    "text_chunk_windows": text_chunk_windows,
 }
 
 _TOKS_D = DUCK_TOKENS_DISTINCT.format(col="text")
@@ -1395,6 +1416,23 @@ SELECT CASE WHEN bkt < 90 THEN 'train'
   lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM spl
 GROUP BY 1, 2
+"""
+
+# 64-token windows at stride 48: starts 0,48,96,… while start < n_tok;
+# Spark slice(toks, s+1, 64) ≡ DuckDB list_slice(tk, s+1, s+64) (both
+# 1-based, clamped)
+ORACLES["text_chunk_windows"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_O} AS tk FROM documents),
+ch AS (
+  SELECT doc_id,
+    unnest(range(0, CAST(floor((len(tk) - 1) / 48) AS BIGINT) + 1)) AS chunk_idx,
+    tk
+  FROM tok WHERE len(tk) >= 1)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  CAST(len(list_slice(tk, CAST(chunk_idx*48+1 AS INT), CAST(chunk_idx*48+64 AS INT))) AS BIGINT) AS n_chunk_tokens,
+  md5(array_to_string(list_slice(tk, CAST(chunk_idx*48+1 AS INT), CAST(chunk_idx*48+64 AS INT)), ' ')) AS chunk_md5
+FROM ch
 """
 
 _BUCKET_CASE = " ".join(

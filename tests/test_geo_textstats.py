@@ -407,3 +407,32 @@ def test_llm_corpus_curation_composition(spark):
 
     total = load(spark, "/root/testdata/sf0.001", "documents").count()
     assert 0 < sum(r["n_docs"] for r in rows) < total
+
+
+def test_chunk_token_windows(spark):
+    """64/48 windows: a 100-token doc yields chunks at starts 0,48,96 —
+    sizes 64, 52, 4; a 3-token doc yields one short chunk; empty text
+    yields none."""
+    import hashlib
+
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        chunk_token_windows,
+    )
+
+    toks = [f"t{i}" for i in range(100)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_token_windows(docs, window=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_chunk_tokens"], r["chunk_md5"])
+        )
+    d1 = sorted(by_doc[1])
+    assert [(i, n) for i, n, _ in d1] == [(0, 64), (1, 52), (2, 4)]
+    assert d1[0][2] == hashlib.md5(" ".join(toks[0:64]).encode()).hexdigest()
+    assert d1[2][2] == hashlib.md5(" ".join(toks[96:100]).encode()).hexdigest()
+    assert by_doc[2] == [(0, 3, hashlib.md5(b"a b c").hexdigest())]
+    assert 3 not in by_doc
