@@ -249,8 +249,18 @@ def kmeans_centroids(
     are tiny) + narrow argmax; the re-centering shuffles (cent_id, idx,
     decimal) triples — dim × corpus rows, map-side combinable — and
     never moves whole vectors."""
+    from nashville_etl_service_backup_spark.operators import track_persist
+
     r6 = F.transform(F.col(vec_col), lambda x: F.round(x, 6))
-    pts = base.select(F.col(id_col), F.col(vec_col), r6.alias("_r6"))
+    # persist the training projection: every Lloyd's round reads it
+    # twice (assignment + re-centering) plus the final assignment —
+    # without the persist each stage re-scans and re-rounds the corpus.
+    # At 100 TB the quantizer trains on a sample; caching the training
+    # set is the standard model-fit materialization (released by the
+    # caller via release_persisted()).
+    pts = track_persist(
+        base.select(F.col(id_col), F.col(vec_col), r6.alias("_r6"))
+    )
     cents = pts.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col("_r6").alias("cv")
     )

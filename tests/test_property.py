@@ -143,3 +143,88 @@ def test_pack_offsets_contiguity(spark, token_counts, budget):
         assert off == expected
         assert pack == off // budget
         per_stream[stream] = expected + nt
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \n.!x0"), min_size=0, max_size=120
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_chunk_windows_cover_every_token_once_per_window(spark, texts):
+    """Chunking totality + coverage: for any corpus, every doc with ≥1
+    token produces chunks whose sizes sum to n_tokens + overlap·(k−1)
+    (64/48 windows re-cover 16 tokens per boundary, short tail allowed),
+    chunk 0 always starts the doc, and no chunk is empty."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        chunk_token_windows,
+        ws_token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n_by_doc = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", ws_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    out = chunk_token_windows(docs, window=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        assert r["n_chunk_tokens"] >= 1
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_chunk_tokens"])
+        )
+    for d, n in n_by_doc.items():
+        if n == 0:
+            assert d not in by_doc
+            continue
+        chunks = sorted(by_doc[d])
+        k = len(chunks)
+        assert [i for i, _ in chunks] == list(range(k))
+        covered = sum(c for _, c in chunks)
+        # each of the k-1 overlapping boundaries re-covers exactly
+        # min(16, tokens remaining past the boundary) tokens; with the
+        # clamped tail this reduces to total = n + sum(overlaps)
+        overlap = covered - n
+        assert 0 <= overlap <= 16 * (k - 1)
+        # every chunk but the last is full only if more tokens remained
+        for idx, c in chunks[:-1]:
+            assert c == 64
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abc x.\n"), min_size=0, max_size=60),
+        min_size=2,
+        max_size=20,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_boilerplate_strip_accounting_invariants(spark, texts, min_docs):
+    """n_removed + kept lines == n_lines for every doc; a doc whose
+    every line is boilerplate fingerprints as md5('')."""
+    import hashlib
+
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        strip_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = strip_boilerplate_lines(docs, min_docs=min_docs).collect()
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for r in rows:
+        assert 0 <= r["n_removed"] <= r["n_lines"]
+        if r["n_removed"] == r["n_lines"]:
+            assert r["cleaned_md5"] == empty_md5
+        else:
+            assert r["cleaned_md5"] != empty_md5
