@@ -59,7 +59,7 @@ _PRIORITY = [
     "dedup_resolve",
     "doc_fingerprints",
     "sim_topk_bruteforce",
-    "sim_ann_lsh",  # rows-only by design: LSH recall pinned in tests
+    "sim_ann_lsh",  # exact oracle since r3 (float-literal planes); recall also pinned in tests
     "sim_ann_ivf",
     # -- LLM-data pipeline: text analysis --
     "text_bm25_topk",

@@ -1,7 +1,8 @@
 """Training-data-pipeline extension queries (BASELINE.json north star):
 deduplication, similarity search, text analysis — each over the driver's
 `documents` / `embeddings` tables with a value-identical DuckDB oracle
-(except the ANN variant, which is rows-only by design).
+(including both ANN variants — the SRP-LSH oracle embeds the md5-derived
+hyperplanes as float literals; the IVF oracle unrolls the k-means fit).
 """
 
 from __future__ import annotations
@@ -177,9 +178,10 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via sign-random-projection buckets (rows-only check:
-    bucket membership is engine-internal; quality asserted in tests
-    against the brute-force baseline)."""
+    """ANN top-10 via sign-random-projection buckets. Exact-oracled:
+    the md5-derived hyperplanes are embedded as float literals in the
+    DuckDB twin, so bucket membership and the in-bucket re-rank are
+    hash-checked; recall vs brute force additionally pinned in tests."""
     emb = load(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select(
         as_double(F.col("embedding")).alias("qv")
@@ -660,6 +662,24 @@ _EMB_BANDS = ",\n    ".join(
     for b in range(4)
 )
 
+# float-plane literals for the sim_ann_lsh oracle — repr() round-trips
+# doubles exactly, so DuckDB parses the same IEEE values the Spark plan
+# embeds (same normalized md5-derived planes from similarity._plane)
+def _float_plane_list(seed: int, dim: int = 64) -> str:
+    from nashville_etl_service_backup_spark.operators.similarity import _plane
+
+    return "[" + ",".join(repr(x) for x in _plane(seed, dim)) + "]"
+
+
+def _srp_bucket_sql(vec: str, n_planes: int) -> str:
+    """sign-bit concat over the float planes — mirrors srp_bucket."""
+    return " || ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, 65), i -> {vec}[i] * "
+        f"fp{s}[i])) >= 0 THEN '1' ELSE '0' END)"
+        for s in range(n_planes)
+    )
+
+
 def _cos_sql(a: str, b: str) -> str:
     return (
         f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
@@ -975,8 +995,28 @@ FROM scored
 ORDER BY c DESC, vec_id ASC
 LIMIT 10
 """,
-    # sim_ann_lsh: intentionally no oracle (rows-only) — bucket membership
-    # depends on engine-side hyperplane evaluation.
+    # sim_ann_lsh: the SRP planes are deterministic md5-derived doubles,
+    # embedded as exact float literals on both sides — bucket membership
+    # and the in-bucket exact re-rank are therefore oracle-checkable
+    # (sign parity of the 64-term dot holds; verified at sf0.01 + sf0.1)
+    "sim_ann_lsh": f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT {", ".join(f"{_float_plane_list(s)} AS fp{s}" for s in range(4))}),
+q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+b AS (
+  SELECT vec_id, label, v, {_srp_bucket_sql('v', 4)} AS bucket
+  FROM v, planes WHERE vec_id <> 0),
+qb AS (
+  SELECT {_srp_bucket_sql('qv', 4)} AS bucket FROM q, planes),
+cand AS (
+  SELECT b.vec_id, b.label, {_cos_sql('b.v', 'q.qv')} AS c
+  FROM b JOIN qb ON b.bucket = qb.bucket CROSS JOIN q)
+SELECT vec_id, label, ROUND(c, 4) AS cosine
+FROM cand
+ORDER BY c DESC, vec_id ASC
+LIMIT 10""",
     "sim_ann_ivf": _ivf_oracle(iters=1, n_cent=16, n_probe=2, qid=42),
     # SemDeDup: same k-means chain, no query/probe — pair within cluster
     "dedup_semantic_pairs": f"""WITH v AS (
