@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each query (keys missing here —
-    e.g. sim_ann_lsh — get the weaker rows-only check by design)."""
+    """DuckDB-runnable ANSI SQL twin for each query. Since round 3 every
+    registry entry has one (a key missing here would get the weaker
+    rows-only check; none do)."""
     return _q.all_oracles()

@@ -92,3 +92,277 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (deterministic, engine-portable)
+# ---------------------------------------------------------------------------
+#
+# Flajolet et al. 2007, "HyperLogLog: the analysis of a near-optimal
+# cardinality estimation algorithm". Unlike Spark's built-in
+# approx_count_distinct (whose HLL++ registers are engine-internal and
+# not reproducible outside the JVM), this sketch derives everything from
+# md5, so a DuckDB oracle computes the identical registers and the
+# identical estimate — it hash-matches, like the CMS above.
+#
+# Cross-engine float determinism: the harmonic-mean denominator
+# sum(2^-register) is kept in INTEGER space as sum(1 << (53 - register))
+# (each term ≤ 2^52, total < 2^62 — exact BIGINT arithmetic, so the sum
+# is order-independent; a double accumulation would not be). The single
+# final division is correctly rounded from identical operands in both
+# engines, hence bitwise identical.
+#
+# No small-range (linear-counting) correction on purpose: it needs ln(),
+# whose last-ulp behavior differs across libm implementations. The raw
+# estimate is biased when n ≲ 2.5·m — documented, and irrelevant at the
+# corpus cardinalities this targets (use exact count-distinct below m
+# items; you do not need a sketch there).
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers → ~6.5% standard error
+_HLL_HASH_BITS = 60  # 15 md5 hex chars → fits BIGINT exactly
+_HLL_W_BITS = _HLL_HASH_BITS - HLL_P  # 52: every 2^(bits-rho) is exact
+
+
+def _hll_hash(key: Column) -> Column:
+    """60-bit md5 hash (first 15 hex chars) — portable to DuckDB as
+    ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def hll_registers(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group register table (group_cols..., bucket, register).
+
+    One narrow map + one map-side-combinable max-aggregate: at most
+    m=256 rows per group survive the shuffle regardless of input size —
+    the 100 TB shape for distinct-count (no count-distinct re-shuffle of
+    the raw keys). Registers form a commutative monoid under max, so
+    per-partition / per-day sketches merge exactly (hll_merge)."""
+    key = F.col(key_col).cast("string")
+    h = _hll_hash(key)
+    bucket = (h % HLL_M).alias("bucket")
+    # shiftright, not `/`: h has up to 60 bits, a double division would
+    # round away the low bits before the cast
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w > 0, F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(_HLL_W_BITS + 1)
+    )
+    return (
+        df.select(*group_cols, bucket, rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union + re-max: registers are a commutative monoid under max, so
+    sketches built over disjoint (or overlapping!) slices combine into
+    exactly the sketch of the union."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    gcols = [c for c in out.columns if c not in ("bucket", "register")]
+    return out.groupBy(*gcols, "bucket").agg(F.max("register").alias("register"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Raw HLL estimate per group: alpha_m * m^2 / sum_j 2^-M_j, the sum
+    over all m registers (absent bucket = register 0 → term 1).
+
+    Integer-space denominator: scaled_sum = Σ 1<<(53-M_j) over non-zero
+    buckets + zeros·2^53 (exact BIGINT), then one double division. The
+    alpha_m constant is built from the same literal arithmetic the
+    oracle uses (0.7213/(1+1.079/m)) so both engines parse identical
+    doubles."""
+    scaled_term = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - register AS INT))")
+    per_group = registers.groupBy(*group_cols).agg(
+        F.sum(scaled_term).alias("_s_nonzero"),
+        F.count(F.lit(1)).alias("_n_buckets"),
+    )
+    zeros = F.lit(HLL_M) - F.col("_n_buckets")
+    scaled_sum = (F.col("_s_nonzero") + zeros * F.expr(
+        "shiftleft(CAST(1 AS BIGINT), 53)"
+    )).cast("double")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+    est = alpha * F.lit(float(HLL_M * HLL_M)) * F.lit(float(1 << 53)) / scaled_sum
+    return per_group.select(*group_cols, F.round(est, 2).alias("hll_distinct"))
+
+
+def hll_oracle_sql(
+    source_sql: str, key_expr: str, group_exprs: list[str]
+) -> str:
+    """DuckDB twin of hll_registers→hll_estimate (same math, same
+    register values, same integer-space denominator)."""
+    g = ", ".join(group_exprs)
+    gsel = (g + ", ") if g else ""
+    h = f"('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15))::BIGINT"
+    return f"""
+WITH hashed AS (
+  SELECT {gsel}{h} % {HLL_M} AS bucket,
+    CASE WHEN {h} // {HLL_M} > 0
+         THEN {_HLL_W_BITS + 1} - length(bin({h} // {HLL_M}))
+         ELSE {_HLL_W_BITS + 1} END AS rho
+  FROM ({source_sql})),
+regs AS (
+  SELECT {gsel}bucket, MAX(rho) AS register
+  FROM hashed GROUP BY {gsel}bucket),
+agg AS (
+  SELECT {gsel}
+    SUM(CAST(1 AS BIGINT) << CAST(53 - register AS INT)) AS s_nonzero,
+    COUNT(*) AS n_buckets
+  FROM regs{(' GROUP BY ' + g) if g else ''})
+SELECT {gsel}
+  ROUND((0.7213 / (1.0 + 1.079 / {float(HLL_M)})) * {float(HLL_M * HLL_M)}
+        * {float(1 << 53)}
+        / CAST(s_nonzero + ({HLL_M} - n_buckets)
+               * (CAST(1 AS BIGINT) << 53) AS DOUBLE), 2) AS hll_distinct
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch (deterministic, engine-portable)
+# ---------------------------------------------------------------------------
+#
+# The mergeable fixed-size alternative to an exact per-group sort:
+# one (min, max, count) pass fixes the bin geometry, one combinable
+# count-per-bin pass builds the sketch (≤ nbins rows per group survive
+# the shuffle), and a quantile is read off the cumulative counts with
+# linear interpolation inside the hit bin. Bin counts are integers and
+# the interpolation is a single chain of correctly-rounded double ops on
+# identical operands, so the DuckDB oracle reproduces the estimate
+# bitwise — unlike approx_percentile's engine-internal KLL/GK sketch.
+#
+# Accuracy: error is bounded by one bin width, i.e. (max-min)/nbins —
+# a resolution guarantee rather than a rank guarantee (t-digest/KLL give
+# rank bounds but are not portable across engines deterministically).
+
+HIST_NBINS = 128
+
+
+def hist_bins(
+    df: DataFrame, value_col: str, group_cols: list[str], nbins: int = HIST_NBINS
+) -> DataFrame:
+    """Per-group histogram (group..., bin, cnt) plus the geometry columns
+    (mn, w, n). Two shuffles, both map-side combinable; the geometry join
+    broadcasts (one row per group)."""
+    v = F.col(value_col).cast("double")
+    geom = df.groupBy(*group_cols).agg(
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+        F.count(v).alias("n"),
+    ).select(
+        *group_cols,
+        "mn",
+        "n",
+        ((F.col("mx") - F.col("mn")) / F.lit(float(nbins))).alias("w"),
+    )
+    binned = df.filter(v.isNotNull()).join(F.broadcast(geom), group_cols).select(
+        *group_cols,
+        "mn",
+        "w",
+        "n",
+        F.least(
+            F.when(F.col("w") > 0, F.floor((v - F.col("mn")) / F.col("w")))
+            .otherwise(F.lit(0)),
+            F.lit(nbins - 1),
+        ).alias("bin"),
+    )
+    return binned.groupBy(*group_cols, "mn", "w", "n", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame, group_cols: list[str], qs: list[float]
+) -> DataFrame:
+    """Estimate every q in `qs` per group from a hist_bins() table, in
+    ONE pass (one window + one aggregate over the ≤ nbins-rows-per-group
+    sketch — the raw data is never touched again).
+
+    Rank target t = q·n. The hit bin is the first whose cumulative count
+    reaches t: min_by with a null-when-below-target ordering key (both
+    engines' min_by/arg_min skip null ordering keys); within the bin,
+    linear interpolation on the count fraction."""
+    from pyspark.sql import Window
+
+    cum = F.sum("cnt").over(
+        Window.partitionBy(*group_cols).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_cum = hist.select(
+        *group_cols, "mn", "w", "n", "bin", "cnt", cum.alias("cum")
+    )
+    aggs = []
+    for q in qs:
+        t = F.lit(q) * F.col("n").cast("double")
+        aggs.append(
+            F.min_by(
+                F.struct("bin", "cnt", "cum", "mn", "w"),
+                F.when(F.col("cum") >= t, F.col("bin")),
+            ).alias(f"_h{int(q * 100)}")
+        )
+    hit = with_cum.groupBy(*group_cols, "n").agg(*aggs)
+    outs = []
+    for q in qs:
+        hcol = F.col(f"_h{int(q * 100)}")
+        t = F.lit(q) * F.col("n").cast("double")
+        frac = (t - (hcol["cum"] - hcol["cnt"]).cast("double")) / hcol[
+            "cnt"
+        ].cast("double")
+        est = hcol["mn"] + hcol["w"] * (hcol["bin"].cast("double") + frac)
+        outs.append(F.round(est, 6).alias(f"hq{int(q * 100)}"))
+    return hit.select(*group_cols, *outs)
+
+
+def hist_quantiles_oracle_sql(
+    source_sql: str,
+    value_expr: str,
+    group_exprs: list[str],
+    qs: list[float],
+    nbins: int = HIST_NBINS,
+) -> str:
+    """DuckDB twin of hist_bins→hist_quantiles: same bin geometry, same
+    cumulative-count hit-bin selection (arg_min FILTER mirrors min_by
+    with the null-below-target key), same interpolation op order."""
+    g = ", ".join(group_exprs)
+    gsel = (g + ", ") if g else ""
+    gby = f" GROUP BY {g}" if g else ""
+    hits = []
+    ests = []
+    for q in qs:
+        name = f"h{int(q * 100)}"
+        hits.append(
+            f"arg_min({{'bin': bin, 'cnt': cnt, 'cum': cum, 'mn': mn, 'w': w}}, bin)"
+            f" FILTER (WHERE cum >= {q!r} * n) AS {name}"
+        )
+        ests.append(
+            f"ROUND({name}.mn + {name}.w * ({name}.bin"
+            f" + ({q!r} * n - ({name}.cum - {name}.cnt)) / {name}.cnt), 6)"
+            f" AS hq{int(q * 100)}"
+        )
+    return f"""
+WITH src AS ({source_sql}),
+geom AS (
+  SELECT {gsel}MIN(CAST({value_expr} AS DOUBLE)) AS mn,
+         (MAX(CAST({value_expr} AS DOUBLE)) - MIN(CAST({value_expr} AS DOUBLE)))
+           / {float(nbins)} AS w,
+         COUNT({value_expr}) AS n
+  FROM src{gby}),
+binned AS (
+  SELECT {('s.' + ', s.'.join(group_exprs) + ', ') if g else ''}g.mn, g.w, g.n,
+    LEAST(CASE WHEN g.w > 0
+               THEN FLOOR((CAST({value_expr} AS DOUBLE) - g.mn) / g.w)
+               ELSE 0 END, {nbins - 1}) AS bin
+  FROM src s JOIN geom g ON {' AND '.join(f's.{e} IS NOT DISTINCT FROM g.{e}' for e in group_exprs) or 'TRUE'}
+  WHERE s.{value_expr} IS NOT NULL),
+hist AS (
+  SELECT {gsel}mn, w, n, bin, COUNT(*) AS cnt,
+    SUM(COUNT(*)) OVER (PARTITION BY {g if g else '1'} ORDER BY bin) AS cum
+  FROM binned GROUP BY {gsel}mn, w, n, bin),
+hit AS (
+  SELECT {gsel}n, {', '.join(hits)}
+  FROM hist GROUP BY {gsel}n)
+SELECT {gsel}{', '.join(ests)}
+FROM hit
+"""

@@ -90,7 +90,7 @@ _PRIORITY = [
     "q_ring_centroid",
     # -- sketches --
     "q_cms_user_counts",
-    "q_approx_suite",  # rows-only: approx_distinct + approx_percentiles
+    "q_approx_suite",  # portable HLL + histogram-quantile sketches (oracle-checked)
     # -- operator-family suites --
     "q_time_windows_suite",  # tumbling + sliding + session + gapfill
     "q_window_funcs_suite",  # lag/lead + range frame + running total + percentiles

@@ -1,5 +1,6 @@
-"""Analytics wave: HLL accuracy (its oracle is intentionally rows-only)
-and audio feature plumbing invariants."""
+"""Analytics wave: sketch accuracy/merge invariants (HLL, histogram
+quantiles, CMS — all oracle-checked since round 3) and audio feature
+plumbing invariants."""
 
 from __future__ import annotations
 
@@ -16,22 +17,33 @@ from nashville_etl_service_backup_spark.tables import load
 SF = "/root/testdata/sf0.001"
 
 
-def test_approx_distinct_within_rsd(spark):
-    est = {
-        r.l_returnflag: r.approx_parts
-        for r in q_approx_distinct(spark, SF).collect()
-    }
+def test_approx_distinct_within_error_bound(spark):
+    # sf0.01, not sf0.001: the raw HLL estimate (deliberately without
+    # the ln()-based small-range correction — see operators/sketch.py)
+    # is only meaningful for n ≳ 2.5·m = 640 distinct keys
+    rows = q_approx_distinct(spark, "/root/testdata/sf0.01").collect()
+    for r in rows:
+        # m=256 → ~6.5% standard error; 20% catches wiring bugs while
+        # tolerating an unlucky register draw on this fixed dataset
+        e = r.exact_parts
+        assert abs(r.hll_distinct - e) / e < 0.20, (r.l_returnflag, r.hll_distinct, e)
+
+
+def test_hll_merge_is_union_sketch(spark):
+    from nashville_etl_service_backup_spark.operators.sketch import (
+        hll_merge,
+        hll_registers,
+    )
+
     li = load(spark, SF, "lineitem")
-    exact = {
-        r.l_returnflag: r.n
-        for r in li.groupBy("l_returnflag")
-        .agg(F.countDistinct("l_partkey").alias("n"))
-        .collect()
+    whole = hll_registers(li, "l_partkey", ["l_returnflag"])
+    half_a = hll_registers(li.filter(F.col("l_orderkey") % 2 == 0), "l_partkey", ["l_returnflag"])
+    half_b = hll_registers(li.filter(F.col("l_orderkey") % 2 == 1), "l_partkey", ["l_returnflag"])
+    merged = hll_merge(half_a, half_b)
+    key = lambda r: (r.l_returnflag, r.bucket)
+    assert {key(r): r.register for r in whole.collect()} == {
+        key(r): r.register for r in merged.collect()
     }
-    assert est.keys() == exact.keys()
-    for k, e in exact.items():
-        # rsd=0.02 → generous 10% bound; catches gross sketch wiring bugs
-        assert abs(est[k] - e) / e < 0.10, (k, est[k], e)
 
 
 def test_audio_features_exact_semantics(spark):
@@ -67,11 +79,22 @@ def test_approx_percentiles_close_to_exact(spark):
     approx = {
         r["o_orderpriority"]: r for r in q_approx_percentiles(spark, sf).collect()
     }
+    from nashville_etl_service_backup_spark.operators.sketch import HIST_NBINS
+
+    stats = (
+        load(spark, sf, "orders")
+        .agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
+        .collect()[0]
+    )
+    bin_w = (stats.mx - stats.mn) / HIST_NBINS
     assert set(exact) == set(approx)
     for k in exact:
-        for e_col, a_col in [("p25", "ap25"), ("p50", "ap50"), ("p95", "ap95")]:
+        for e_col, a_col in [("p25", "hq25"), ("p50", "hq50"), ("p95", "hq95")]:
             e, a = exact[k][e_col], approx[k][a_col]
-            assert abs(a - e) / e < 0.02, (k, e_col, e, a)
+            # the equi-width sketch guarantees resolution of one bin
+            # width (plus the t=q·n vs rank-interpolation definition
+            # skew, sub-bin at these counts)
+            assert abs(a - e) <= 1.5 * bin_w, (k, e_col, e, a, bin_w)
 
 
 def test_cms_overcount_invariant_and_merge(spark):
