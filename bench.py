@@ -65,6 +65,9 @@ HEADLINE = [
     "llm_corpus_curation",
     "text_pack_bins",
     "q_cms_user_counts",
+    "q_approx_distinct",
+    "q_approx_percentiles",
+    "text_domain_cap",
     "multimodal_image_features",
     "q_grouping_sets",
     "q_skew_salted_join",

@@ -497,6 +497,51 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOMAIN_CAP = 30
+
+
+def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus cap — the C4/RefinedWeb curation step that stops
+    a handful of mega-domains from dominating the training mix: keep at
+    most DOMAIN_CAP docs per source (the domain analog in this corpus),
+    preferring higher quality score with doc_id as the deterministic
+    tiebreak; report per-source kept/total docs and token mass so the
+    downstream mixture sees what the cap removed.
+
+    100 TB shape: one hash shuffle on source + a per-domain sort for the
+    rank (sort-based window, spills — never OOMs); the aggregate output
+    is one row per domain. For a pathologic mega-domain the rank-by-
+    quality is the irreducible cost of 'keep the BEST N' (a cheaper
+    uniform cap would be the md5 stratified-sample operator instead)."""
+    from pyspark.sql import Window
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    qf = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        qf["quality"].alias("quality"),
+        qf["n_tokens"].alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    kept = F.col("rk") <= DOMAIN_CAP
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "kept_tokens"
+            ),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE training-corpus curation pipeline as ONE oracle-checked
     query — the shape a real pretraining-data job runs end to end:
@@ -629,6 +674,7 @@ QUERIES = {
     "llm_corpus_curation": llm_corpus_curation,
     "text_length_histogram": text_length_histogram,
     "text_chunk_windows": text_chunk_windows,
+    "text_domain_cap": text_domain_cap,
 }
 
 _TOKS_D = DUCK_TOKENS_DISTINCT.format(col="text")
@@ -1491,4 +1537,30 @@ SELECT seq_bucket, COUNT(*) AS n_docs,
   seq_bucket * COUNT(*) - CAST(SUM(n) AS BIGINT) AS padding_waste
 FROM b
 GROUP BY seq_bucket
+"""
+
+ORACLES["text_domain_cap"] = f"""
+WITH t AS (
+  SELECT doc_id, source, {_TOKS_O} AS tk FROM documents),
+s AS (
+  SELECT doc_id, source,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    ROUND(0.5*(CASE WHEN len(tk) > 0
+               THEN CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk) ELSE 0.0 END)
+        + 0.3*(1.0 - CASE WHEN len(tk) > 0
+               THEN CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','to')))
+                         AS DOUBLE)/len(tk) ELSE 0.0 END)
+        + 0.2*LEAST(len(tk)/300.0, 1.0), 6) AS quality
+  FROM t),
+r AS (
+  SELECT source, n_tokens,
+    ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM s)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN rk <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN rk <= 30 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM r GROUP BY source ORDER BY source
 """

@@ -390,6 +390,52 @@ def read_cms(spark: SparkSession, cms_path: str) -> DataFrame:
     )
 
 
+def incremental_hll(
+    spark: SparkSession,
+    events_path: str,
+    hll_path: str,
+    checkpoint_path: str,
+    key_col: str = "user_id",
+) -> StreamingQuery:
+    """Incrementally-maintained HyperLogLog over a stream: each
+    micro-batch builds its register partial (operators.sketch.
+    hll_registers, grouped by event_type) and writes it to
+    ``hll_path/batch_id=<id>/`` — same idempotent-replay layout as
+    incremental_cms (replay overwrites its own partial). Registers are
+    a commutative monoid under MAX, so distinct-count over the whole
+    unbounded stream = max-merge of the ≤ m-rows-per-group partials —
+    per-key state never exists anywhere."""
+    from nashville_etl_service_backup_spark.operators.sketch import hll_registers
+
+    schema = "event_id long, ts timestamp, event_type string, value double, user_id long"
+
+    def build_batch(batch: DataFrame, batch_id: int) -> None:
+        part = hll_registers(batch, key_col, ["event_type"])
+        part.write.mode("overwrite").parquet(
+            f"{hll_path.rstrip('/')}/batch_id={batch_id}"
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(events_path)
+        .writeStream.foreachBatch(build_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll(spark: SparkSession, hll_path: str) -> DataFrame:
+    """Merge all per-batch HLL register partials (max per bucket)."""
+    return (
+        spark.read.option("basePath", hll_path)
+        .parquet(hll_path)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+
+
 def read_rollup(
     spark: SparkSession,
     rollup_path: str,

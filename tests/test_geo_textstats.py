@@ -436,3 +436,36 @@ def test_chunk_token_windows(spark):
     assert d1[2][2] == hashlib.md5(" ".join(toks[96:100]).encode()).hexdigest()
     assert by_doc[2] == [(0, 3, hashlib.md5(b"a b c").hexdigest())]
     assert 3 not in by_doc
+
+
+def test_domain_cap_semantics(spark):
+    """The cap keeps min(n_docs, 30) per source, and the kept token mass
+    equals the sum over the 30 highest-quality docs (doc_id tiebreak)."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        quality_features,
+    )
+    from nashville_etl_service_backup_spark.queries.llmdata import (
+        DOMAIN_CAP,
+        text_domain_cap,
+    )
+    from nashville_etl_service_backup_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["source"]: r for r in text_domain_cap(spark, sf).collect()}
+    qf = quality_features(F.col("text"))
+    scored = (
+        load(spark, sf, "documents")
+        .select("doc_id", "source", qf["quality"].alias("q"), qf["n_tokens"].alias("nt"))
+        .collect()
+    )
+    by_src = {}
+    for r in scored:
+        by_src.setdefault(r["source"], []).append(r)
+    assert rows.keys() == by_src.keys()
+    for src, docs in by_src.items():
+        got = rows[src]
+        assert got["n_docs"] == len(docs)
+        assert got["n_kept"] == min(len(docs), DOMAIN_CAP)
+        top = sorted(docs, key=lambda r: (-r["q"], r["doc_id"]))[:DOMAIN_CAP]
+        assert got["kept_tokens"] == sum(r["nt"] for r in top)
+        assert got["total_tokens"] == sum(r["nt"] for r in docs)

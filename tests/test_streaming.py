@@ -378,3 +378,62 @@ def test_incremental_cms_matches_batch_sketch(spark, tmp_path):
         for r in cms_estimate(read_cms(spark, cmsp), keys, "user_id").collect()
     }
     assert est[1] >= 3 and est[2] >= 1 and est[3] >= 1
+
+
+def test_incremental_hll_matches_batch_sketch(spark, tmp_path):
+    """Streaming HLL register partials max-merged across batches == the
+    sketch built over all events at once (register monoid under max),
+    so the streamed estimate is exactly the batch estimate."""
+    from datetime import datetime
+
+    from nashville_etl_service_backup_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from nashville_etl_service_backup_spark.streaming.pipeline import (
+        incremental_hll,
+        read_hll,
+    )
+
+    src = str(tmp_path / "ev")
+    hllp = str(tmp_path / "hll")
+    ckpt = str(tmp_path / "hll_ckpt")
+
+    def write(rows, ids):
+        spark.createDataFrame(
+            [
+                (i, datetime.fromisoformat(ts), et, 1.0, u)
+                for i, (ts, et, u) in zip(ids, rows)
+            ],
+            "event_id long, ts timestamp, event_type string, value double, user_id long",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write(
+        [("2024-01-01T10:00:00", "click", 1), ("2024-01-01T10:01:00", "click", 2),
+         ("2024-01-01T10:02:00", "view", 2)],
+        [1, 2, 3],
+    )
+    incremental_hll(spark, src, hllp, ckpt).awaitTermination(120)
+    write(
+        [("2024-01-01T11:00:00", "click", 2), ("2024-01-01T11:01:00", "view", 7)],
+        [4, 5],
+    )
+    incremental_hll(spark, src, hllp, ckpt).awaitTermination(120)
+
+    streamed = read_hll(spark, hllp)
+    whole = hll_registers(
+        spark.read.parquet(src), "user_id", ["event_type"]
+    )
+    key = lambda r: (r["event_type"], r["bucket"])
+    assert {key(r): r["register"] for r in streamed.collect()} == {
+        key(r): r["register"] for r in whole.collect()
+    }
+    est = {
+        r["event_type"]: r["hll_distinct"]
+        for r in hll_estimate(streamed, ["event_type"]).collect()
+    }
+    batch_est = {
+        r["event_type"]: r["hll_distinct"]
+        for r in hll_estimate(whole, ["event_type"]).collect()
+    }
+    assert est == batch_est
