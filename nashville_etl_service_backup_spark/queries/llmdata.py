@@ -542,6 +542,56 @@ def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHARDS = 8
+
+
+def text_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding — the dataloader-prep
+    step between curation and training: global training order is
+    md5(doc_id) (seedless, uniform, partition-count-invariant), shard =
+    order-hash mod N_SHARDS, position-in-shard = rank of the order hash
+    within the shard. Output pins the plan per shard: doc count, char
+    mass, the first/last docs in training order, and an order-sensitive
+    checksum sum((pos mod 8191)·(hash mod 8191)) mod 1e9+7 — any
+    reordering, drop, or duplicate flips it, so two independent runs
+    (or engines) can prove they would feed batches identically.
+
+    100 TB shape: one narrow hash map + one rank window per shard
+    (sort-based, spills) + a combinable aggregate; nothing but scalars
+    leaves the executors. The checksum accumulates in DECIMAL(38,0)
+    (exact, order-independent sum) before the final mod."""
+    from pyspark.sql import Window
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        h.alias("h"),
+        (h % N_SHARDS).alias("shard"),
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("h", "doc_id")
+    )
+    ranked = keyed.withColumn("pos", pos)
+    term = ((F.col("pos") % 8191) * (F.col("h") % 8191)).cast("decimal(38,0)")
+    return (
+        ranked.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min_by("doc_id", "pos").alias("first_doc"),
+            F.max_by("doc_id", "pos").alias("last_doc"),
+            (F.sum(term) % F.lit(1000000007).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
 def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE training-corpus curation pipeline as ONE oracle-checked
     query — the shape a real pretraining-data job runs end to end:
@@ -675,6 +725,7 @@ QUERIES = {
     "text_length_histogram": text_length_histogram,
     "text_chunk_windows": text_chunk_windows,
     "text_domain_cap": text_domain_cap,
+    "text_shard_plan": text_shard_plan,
 }
 
 _TOKS_D = DUCK_TOKENS_DISTINCT.format(col="text")
@@ -1563,4 +1614,23 @@ SELECT source,
   CAST(SUM(CASE WHEN rk <= 30 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM r GROUP BY source ORDER BY source
+"""
+
+ORACLES["text_shard_plan"] = """
+WITH k AS (
+  SELECT doc_id, n_chars,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents),
+r AS (
+  SELECT doc_id, n_chars, h, h % 8 AS shard,
+    ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+  FROM k)
+SELECT shard,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+  arg_min(doc_id, pos) AS first_doc,
+  arg_max(doc_id, pos) AS last_doc,
+  CAST(SUM(CAST((pos % 8191) * (h % 8191) AS DECIMAL(38,0)))
+       % 1000000007 AS BIGINT) AS order_checksum
+FROM r GROUP BY shard ORDER BY shard
 """

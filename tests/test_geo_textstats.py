@@ -469,3 +469,52 @@ def test_domain_cap_semantics(spark):
         top = sorted(docs, key=lambda r: (-r["q"], r["doc_id"]))[:DOMAIN_CAP]
         assert got["kept_tokens"] == sum(r["nt"] for r in top)
         assert got["total_tokens"] == sum(r["nt"] for r in docs)
+
+
+def test_shard_plan_partition_invariant_and_order_sensitive(spark):
+    """The shard plan is identical whatever the input partitioning, and
+    the order checksum detects a dropped document (membership AND order
+    are pinned, not just counts)."""
+    from nashville_etl_service_backup_spark.queries.llmdata import text_shard_plan
+    from nashville_etl_service_backup_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    base = {r["shard"]: r.asDict() for r in text_shard_plan(spark, sf).collect()}
+
+    import nashville_etl_service_backup_spark.queries.llmdata as L
+    import nashville_etl_service_backup_spark.tables as T
+
+    orig = T.load
+
+    def load_repart(spark_, sf_, name):
+        df = orig(spark_, sf_, name)
+        return df.repartition(7) if name == "documents" else df
+
+    L.load, T.load = load_repart, T.load
+    try:
+        again = {
+            r["shard"]: r.asDict() for r in text_shard_plan(spark, sf).collect()
+        }
+    finally:
+        L.load = orig
+    assert base == again
+
+    def load_drop(spark_, sf_, name):
+        df = orig(spark_, sf_, name)
+        if name == "documents":
+            df = df.filter(F.col("doc_id") != 17)
+        return df
+
+    L.load = load_drop
+    try:
+        dropped = {
+            r["shard"]: r.asDict() for r in text_shard_plan(spark, sf).collect()
+        }
+    finally:
+        L.load = orig
+    changed = [s for s in base if base[s] != dropped.get(s)]
+    assert changed, "dropping a doc must flip at least one shard row"
+    for s in changed:
+        assert base[s]["order_checksum"] != dropped[s]["order_checksum"] or (
+            base[s]["n_docs"] != dropped[s]["n_docs"]
+        )
