@@ -65,6 +65,7 @@ HEADLINE = [
     "llm_corpus_curation",
     "text_pack_bins",
     "q_cms_user_counts",
+    "sim_ann_pq",
     "q_approx_distinct",
     "q_approx_percentiles",
     "text_domain_cap",

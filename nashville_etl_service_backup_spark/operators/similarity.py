@@ -472,3 +472,221 @@ def semantic_dedup_pairs(
     else:
         scored = scored.filter(F.col("cosine") >= threshold)
     return scored.select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+#
+# Jégou, Douze, Schmid 2011, "Product quantization for nearest neighbor
+# search": split each vector into m subvectors, learn a small codebook
+# per subspace, store each vector as m one-byte codes, and answer
+# queries in the compressed domain via an asymmetric distance
+# computation (ADC) — the query stays exact, every corpus vector is
+# approximated by its per-block codeword. This is THE storage story for
+# ANN at 100 TB: 64 float32 dims (256 B) become m=4 codes (4 B), and
+# the scan ranks against a per-query table of m×k precomputed block
+# scores instead of touching raw vectors.
+#
+# This implementation is the spherical / inner-product flavor coherent
+# with the rest of this module: per-block codebooks are trained by the
+# SAME deterministic Lloyd's spherical k-means as the IVF quantizer
+# (sum-centroids of round(x,6) components — exact decimal arithmetic,
+# engine-portable), encoding assigns each block to its highest-cosine
+# codeword (ties → larger code, same rule as ivf_assign), and the ADC
+# score estimates the inner product exactly blockwise:
+#
+#   q·x = Σ_b q_b·x_b  ≈  Σ_b q_b·mean(codeword members)
+#       = Σ_b dot(q_b, sum_cv) / n_members        (double division —
+#         no decimal mean, so both engines reproduce it bitwise)
+#
+# with the Σ over blocks written as a fixed-order chain, never a
+# shuffle-order-dependent aggregate.
+
+
+def normalize(vec: Column) -> Column:
+    """L2-normalize (x / ||x||) — double division per component, engine-
+    deterministic. After this, inner product == cosine, which is what
+    makes the blockwise ADC estimate rank like the exact cosine."""
+    n = norm(vec)
+    return F.transform(vec, lambda x: x / n)
+
+
+def _pq_blocks(df: DataFrame, m: int, sub: int, id_col: str) -> DataFrame:
+    """(id, block, v[sub]) — every vector exploded into its m slices in
+    one narrow pass."""
+    slices = F.array(
+        *[F.slice(F.col("v"), b * sub + 1, sub) for b in range(m)]
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(slices).alias("block", "v")
+    )
+
+
+def _pq_assign(blocks: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Block-aware codeword assignment: per (vector, block), the
+    highest-cosine codeword (ties → larger code — ivf_assign's rule).
+    Codebooks broadcast; norms hoisted out of the candidate loop."""
+    e = blocks.withColumn("_nv", norm(F.col("v")))
+    c = cents.select(
+        F.col("block").alias("_cb"), "cent_id", "cv",
+    ).withColumn("_nc", norm(F.col("cv")))
+    scored = e.join(
+        F.broadcast(c), e["block"] == c["_cb"]
+    ).withColumn(
+        "_c", dot(F.col("v"), F.col("cv")) / (F.col("_nv") * F.col("_nc"))
+    )
+    best = scored.groupBy(id_col, "block").agg(
+        F.max(F.struct(F.col("_c").alias("c"), F.col("cent_id").alias("cid"))).alias("_m")
+    )
+    return best.select(id_col, "block", F.col("_m.cid").alias("cent_id"))
+
+
+def pq_fit(
+    base: DataFrame,
+    m: int = 8,
+    k: int = 64,
+    iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Train all m per-block codebooks JOINTLY in one block-exploded
+    pipeline (the block id is just one more grouping key — m separate
+    fits would pay m× the job overhead for identical math), then return
+    (codes, codebook):
+
+      codes    : (id, block, cent_id) — the compressed corpus, lazily
+                 recomputed from the broadcast codebook (a production
+                 deployment materializes this m-bytes-per-vector table
+                 and drops the floats);
+      codebook : (block, cent_id, cv, n) — the model artifact
+                 (m·k rows), eagerly materialized into a LocalRelation
+                 exactly like the IVF quantizer.
+
+    Per-block math is identical to kmeans_centroids + ivf_assign:
+    sum-centroids of round(x,6) components in exact DECIMAL(30,12)
+    (order-independent, engine-portable), cosine assignment with
+    ties → larger code."""
+    from nashville_etl_service_backup_spark.operators import track_persist
+
+    sub = dim // m
+    blocks = track_persist(_pq_blocks(base, m, sub, id_col))
+    r6 = F.transform(F.col("v"), lambda x: F.round(x, 6))
+    cents = blocks.filter(F.col(id_col) < k).select(
+        "block", F.col(id_col).alias("cent_id"), r6.alias("cv")
+    )
+    spark = base.sparkSession
+    for _ in range(iters):
+        assigned = _pq_assign(blocks, cents, id_col)
+        sums = (
+            blocks.join(assigned, [id_col, "block"])
+            .select("block", "cent_id", F.posexplode(r6).alias("idx", "x"))
+            .groupBy("block", "cent_id", "idx")
+            .agg(F.sum(F.col("x").cast("decimal(30,12)")).alias("s"))
+        )
+        cents = (
+            sums.groupBy("block", "cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("idx", "s"))).alias("a"))
+            .select(
+                "block",
+                "cent_id",
+                F.transform("a", lambda t: t["s"].cast("double")).alias("cv"),
+            )
+        )
+    cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
+    codes = _pq_assign(blocks, cents, id_col)
+    counts = spark.createDataFrame(
+        codes.groupBy("block", "cent_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect(),
+        "block int, cent_id long, n long",
+    )
+    codebook = cents.join(counts, ["block", "cent_id"])
+    return codes, codebook
+
+
+def pq_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    codes: int = 64,
+    iters: int = 1,
+    shortlist: int = 100,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """PQ ADC top-k with exact re-rank (Jégou, Douze, Schmid 2011,
+    "Product quantization for nearest neighbor search" — the spherical
+    / inner-product flavor coherent with this module):
+
+      1. L2-normalize (inner product == cosine afterwards);
+      2. fit m per-block spherical-k-means codebooks (pq_fit) and
+         encode the corpus as (id, block, code);
+      3. ADC: per block, a `codes`-row score table
+         s = dot(q_block, sum_cv)/n ≈ q_block·centroid-mean, computed
+         IN-ENGINE from the broadcast query and the model artifact —
+         double division, no decimal mean, so both engines reproduce
+         it bitwise;
+      4. per-vector score = fixed-order chain sum of its m block
+         scores (never a shuffle-order-dependent aggregate): pivot the
+         m (block, code) rows to columns, then s0+s1+...;
+      5. ADC top-`shortlist` heap, exact-cosine re-rank of the
+         shortlist against the RAW vectors (cosine is normalization-
+         invariant), top-k.
+
+    100 TB plan: the scan feeds one narrow explode + one broadcast
+    join + one combinable pivot-aggregate + a TakeOrderedAndProject
+    heap; the re-rank reads `shortlist` raw vectors via a broadcast
+    semi-join. Storage story: m bytes of codes replace 4·dim bytes of
+    floats at scan time (32× here before byte-packing)."""
+    sub = dim // m
+    v = as_double(F.col(vec_col))
+    raw = emb.select(F.col(id_col), *extra_cols, v.alias("v"))
+    nv = normalize(F.col("v"))
+    base = raw.select(F.col(id_col), nv.alias("v"))
+    code_df, codebook = pq_fit(
+        base, m=m, k=codes, iters=iters, dim=dim, id_col=id_col
+    )
+
+    qn = query.select(normalize(F.col("qv")).alias("qv"))
+    qblocks = _pq_blocks(qn.select(F.lit(0).alias("_qid"), F.col("qv").alias("v")), m, sub, "_qid")
+    contribs = (
+        codebook.join(
+            F.broadcast(qblocks.select("block", F.col("v").alias("qb"))),
+            "block",
+        )
+        .select(
+            "block",
+            "cent_id",
+            (dot(F.col("qb"), F.col("cv")) / F.col("n")).alias("s"),
+        )
+    )
+    scored = code_df.join(F.broadcast(contribs), ["block", "cent_id"])
+    pivoted = scored.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("block") == b, F.col("s"))).alias(f"s{b}")
+            for b in range(m)
+        ]
+    )
+    score = F.col("s0")
+    for b in range(1, m):
+        score = score + F.col(f"s{b}")
+    short = (
+        pivoted.withColumn("_adc", score)
+        .orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    rerank = (
+        raw.join(F.broadcast(short), id_col, "left_semi")
+        .crossJoin(F.broadcast(query))
+        .withColumn("_cos", cosine(F.col("v"), F.col("qv")))
+    )
+    return (
+        rerank.orderBy(F.desc("_cos"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, *extra_cols, F.round("_cos", 4).alias("cosine"))
+    )

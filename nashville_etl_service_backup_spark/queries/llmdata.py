@@ -210,6 +210,33 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 for vec_id=42: L2-normalize,
+    8 blocks × 64 spherical-k-means codewords, one-projection encoding
+    against literal codebooks, blockwise ADC inner-product scoring in
+    the compressed domain, exact-cosine re-rank of the ADC top-100
+    (operators.similarity.pq_topk — the 100 TB storage story: m bytes
+    of codes replace the raw floats at scan time; only the 100-row
+    re-rank reads vectors). The oracle unrolls the eight per-block
+    k-means fits + the fixed-order block-score sum + the re-rank in
+    SQL; recall@10 vs brute force pinned in tests."""
+    from nashville_etl_service_backup_spark.operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 42).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    return pq_topk(
+        emb.filter(F.col("vec_id") != 42),
+        query,
+        k=10,
+        m=8,
+        codes=64,
+        iters=1,
+        shortlist=100,
+    )
+
+
 def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring aggregated per language."""
     docs = load(spark, sf_dir, "documents")
@@ -777,58 +804,61 @@ def _srp_bucket_sql(vec: str, n_planes: int) -> str:
     )
 
 
-def _cos_sql(a: str, b: str) -> str:
+def _cos_sql(a: str, b: str, dims: int = 64) -> str:
     return (
-        f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+        f"list_sum(list_transform(range(1, {dims + 1}), i -> {a}[i] * {b}[i]))"
         f" / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
         f" * sqrt(list_sum(list_transform({b}, x -> x*x))))"
     )
 
 
-def _kmeans_chain(iters: int) -> str:
-    """Lloyd's-k-means CTE chain (ac1..cents{iters} + fac/fassign) — the
-    exact SQL mirror of operators.similarity.kmeans_centroids +
-    ivf_assign, shared by the IVF and SemDeDup oracles. Assumes CTEs
-    ``base`` (vec_id, v) and ``cents0`` (cent_id, cv) are already
-    defined. Centroids are exact DECIMAL(30,12) sums of round(x, 6)
-    member components (sum ≡ mean under cosine; the pre-round avoids
-    the Spark-HALF_UP vs DuckDB-half-even decimal-tie divergence);
-    assignments break cosine ties toward the larger cent_id."""
+def _kmeans_chain(iters: int, prefix: str = "", dims: int = 64) -> str:
+    """Lloyd's-k-means CTE chain ({p}ac1..{p}cents{iters} +
+    {p}fac/{p}fassign) — the exact SQL mirror of
+    operators.similarity.kmeans_centroids + ivf_assign, shared by the
+    IVF, SemDeDup, and (per-block, via prefix/dims) PQ oracles. Assumes
+    CTEs ``{p}base`` (vec_id, v) and ``{p}cents0`` (cent_id, cv) are
+    already defined. Centroids are exact DECIMAL(30,12) sums of
+    round(x, 6) member components (sum ≡ mean under cosine; the
+    pre-round avoids the Spark-HALF_UP vs DuckDB-half-even decimal-tie
+    divergence); assignments break cosine ties toward the larger
+    cent_id."""
+    p = prefix
     parts = []
     for t in range(1, iters + 1):
         parts.append(
             f""",
-ac{t} AS (
-  SELECT b.vec_id, c.cent_id, {_cos_sql('b.v', 'c.cv')} AS c
-  FROM base b, cents{t - 1} c),
-assign{t} AS (
+{p}ac{t} AS (
+  SELECT b.vec_id, c.cent_id, {_cos_sql('b.v', 'c.cv', dims)} AS c
+  FROM {p}base b, {p}cents{t - 1} c),
+{p}assign{t} AS (
   SELECT vec_id, cent_id FROM (
     SELECT vec_id, cent_id,
       ROW_NUMBER() OVER (PARTITION BY vec_id
                          ORDER BY c DESC, cent_id DESC) AS rn
-    FROM ac{t}) WHERE rn = 1),
-sums{t} AS (
+    FROM {p}ac{t}) WHERE rn = 1),
+{p}sums{t} AS (
   SELECT a.cent_id, r.i AS idx,
          SUM(CAST(round(b.v[r.i], 6) AS DECIMAL(30,12))) AS s
-  FROM base b, assign{t} a, range(1, 65) r(i)
+  FROM {p}base b, {p}assign{t} a, range(1, {dims + 1}) r(i)
   WHERE b.vec_id = a.vec_id
   GROUP BY 1, 2),
-cents{t} AS (
+{p}cents{t} AS (
   SELECT cent_id, list(CAST(s AS DOUBLE) ORDER BY idx) AS cv
-  FROM sums{t} GROUP BY cent_id)"""
+  FROM {p}sums{t} GROUP BY cent_id)"""
         )
-    last = f"cents{iters}"
+    last = f"{p}cents{iters}"
     parts.append(
         f""",
-fac AS (
-  SELECT b.vec_id, c.cent_id, {_cos_sql('b.v', 'c.cv')} AS c
-  FROM base b, {last} c),
-fassign AS (
+{p}fac AS (
+  SELECT b.vec_id, c.cent_id, {_cos_sql('b.v', 'c.cv', dims)} AS c
+  FROM {p}base b, {last} c),
+{p}fassign AS (
   SELECT vec_id, cent_id FROM (
     SELECT vec_id, cent_id,
       ROW_NUMBER() OVER (PARTITION BY vec_id
                          ORDER BY c DESC, cent_id DESC) AS rn
-    FROM fac) WHERE rn = 1)"""
+    FROM {p}fac) WHERE rn = 1)"""
     )
     return "".join(parts)
 
@@ -1634,3 +1664,70 @@ SELECT shard,
        % 1000000007 AS BIGINT) AS order_checksum
 FROM r GROUP BY shard ORDER BY shard
 """
+
+
+_NORM_SQL = "list_transform({v}, x -> x / sqrt(list_sum(list_transform({v}, y -> y*y))))"
+
+
+def _pq_oracle(
+    m: int = 8, sub: int = 8, k: int = 64, iters: int = 1,
+    qid: int = 42, shortlist: int = 100, topk: int = 10,
+) -> str:
+    """sim_ann_pq oracle: L2-normalize, m per-block spherical-k-means
+    fits (the shared chain, prefixed b0..b{m-1} over sub-dim slices),
+    per-block ADC score tables dot(qn_b, sum_cv)/n, the fixed-order
+    block-score sum mirroring the Spark expression tree, the ADC
+    top-`shortlist` heap, and an exact-cosine re-rank over the raw
+    vectors (cosine is normalization-invariant)."""
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM v WHERE vec_id = {qid}),
+qn AS (SELECT {_NORM_SQL.format(v='qv')} AS qv FROM q),
+allbase AS (SELECT * FROM v WHERE vec_id <> {qid}),
+nbase AS (SELECT vec_id, {_NORM_SQL.format(v='v')} AS v FROM allbase)"""
+    ]
+    for b in range(m):
+        lo, hi = b * sub + 1, (b + 1) * sub
+        parts.append(
+            f""",
+b{b}base AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM nbase),
+b{b}cents0 AS (
+  SELECT vec_id AS cent_id, list_transform(v, x -> round(x, 6)) AS cv
+  FROM b{b}base WHERE vec_id < {k})"""
+        )
+        parts.append(_kmeans_chain(iters, prefix=f"b{b}", dims=sub))
+        parts.append(
+            f""",
+b{b}n AS (SELECT cent_id, COUNT(*) AS n FROM b{b}fassign GROUP BY 1),
+b{b}s AS (
+  SELECT f.vec_id,
+    list_sum(list_transform(range(1, {sub + 1}),
+                            i -> qn.qv[{b * sub} + i] * c.cv[i])) / n.n AS s
+  FROM b{b}fassign f
+  JOIN b{b}cents{iters} c USING (cent_id)
+  JOIN b{b}n n USING (cent_id), qn)"""
+        )
+    score = "b0s.s"
+    for b in range(1, m):
+        score = f"({score} + b{b}s.s)"
+    joins = " ".join(f"JOIN b{b}s ON a.vec_id = b{b}s.vec_id" for b in range(m))
+    parts.append(
+        f""",
+short AS (
+  SELECT a.vec_id FROM nbase a {joins}
+  ORDER BY {score} DESC, a.vec_id ASC
+  LIMIT {shortlist}),
+cand AS (
+  SELECT b.vec_id, b.label, {_cos_sql('b.v', 'q.qv')} AS c
+  FROM allbase b JOIN short USING (vec_id), q)
+SELECT vec_id, label, ROUND(c, 4) AS cosine
+FROM cand
+ORDER BY c DESC, vec_id ASC
+LIMIT {topk}"""
+    )
+    return "".join(parts)
+
+
+QUERIES["sim_ann_pq"] = sim_ann_pq
+ORACLES["sim_ann_pq"] = _pq_oracle()
