@@ -69,6 +69,7 @@ HEADLINE = [
     "q_approx_distinct",
     "q_approx_percentiles",
     "text_domain_cap",
+    "text_bpe_merges",
     "multimodal_image_features",
     "q_grouping_sets",
     "q_skew_salted_join",

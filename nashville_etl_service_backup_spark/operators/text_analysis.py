@@ -11,7 +11,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nashville_etl_service_backup_spark.functions.text import (
@@ -763,3 +763,99 @@ def chunk_token_windows(
         F.size("_c").cast("long").alias("n_chunk_tokens"),
         F.md5(F.array_join("_c", " ")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich, Haddow, Birch 2016, "Neural machine
+# translation of rare words with subword units")
+# ---------------------------------------------------------------------------
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus,
+    distributed the way the classic trainer is: on the WORD HISTOGRAM,
+    not the raw text — 100 TB of text collapses to one (word, freq)
+    table (a single map-side-combinable shuffle), and every subsequent
+    pass is a narrow op over that small table.
+
+    Representation: each word is a '|'-sentineled symbol string
+    ('abc' → '|a|b|c|'; tokens are [a-z0-9]+ so '|' never collides).
+    Per round: count adjacent symbol pairs weighted by word freq, pick
+    the most frequent pair (ties → lexicographically smallest), and
+    apply the merge with ONE literal string replace — sequential
+    left-to-right replacement reproduces greedy BPE exactly (after a
+    merge the new symbol can't re-match its own left half, because
+    left+right != left).
+
+    The chosen pair is collected per round (a 1-row model artifact,
+    like the k-means centroids); the pair SELECTION and the per-round
+    vocab size stay in-engine, and the DuckDB oracle re-derives the
+    entire merge sequence dynamically in SQL — the collected literals
+    must agree with the oracle's own choices for the hash to match.
+
+    Output: (step, lhs, rhs, freq, vocab_size) — one row per learned
+    merge, vocab_size = distinct symbols after applying it."""
+    from functools import reduce
+
+    from nashville_etl_service_backup_spark.functions.text import tokenize
+    from nashville_etl_service_backup_spark.operators import track_persist
+
+    words = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # The histogram is tiny relative to the corpus (even a 100 TB crawl
+    # has a vocab in the millions, a few hundred MB) — collapse it to a
+    # handful of partitions so each of the n_merges rounds is a
+    # couple-of-tasks job, not 32 near-empty tasks × 2 stages.
+    words = track_persist(
+        words.coalesce(4).select(
+            F.concat(F.lit("|"), F.regexp_replace("w", "(.)", r"$1|")).alias("s"),
+            "freq",
+        )
+    )
+
+    def syms(col: Column) -> Column:
+        return F.filter(F.split(col, r"\|"), lambda x: x != "")
+
+    cur = F.col("s")
+    step_frames = []
+    for t in range(n_merges):
+        sy = syms(cur)
+        n = F.size(sy)
+        pairs = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(sy, 1, n - 1),
+                F.slice(sy, 2, n - 1),
+                lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        top = (
+            words.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )[0]
+        l, r, fq = top["l"], top["r"], int(top["freq"])
+        cur = F.replace(cur, F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|"))
+        vocab = words.select(F.explode(syms(cur)).alias("sym")).agg(
+            F.count_distinct("sym").alias("vocab_size")
+        )
+        step_frames.append(
+            vocab.select(
+                F.lit(t).alias("step"),
+                F.lit(l).alias("lhs"),
+                F.lit(r).alias("rhs"),
+                F.lit(fq).cast("long").alias("freq"),
+                "vocab_size",
+            )
+        )
+    return reduce(DataFrame.unionAll, step_frames).orderBy("step")

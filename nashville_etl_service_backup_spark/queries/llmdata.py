@@ -1731,3 +1731,63 @@ LIMIT {topk}"""
 
 QUERIES["sim_ann_pq"] = sim_ann_pq
 ORACLES["sim_ann_pq"] = _pq_oracle()
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first 8 BPE merges over the documents corpus
+    (operators.text_analysis.bpe_train): word-histogram trainer, greedy
+    most-frequent-pair selection with lexicographic tiebreak, literal
+    sentinel-replace merge application. The oracle re-derives the whole
+    merge SEQUENCE dynamically in SQL — each round's chosen pair feeds
+    the next round's replace — so a single divergent choice anywhere in
+    the chain flips the hash."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_train(docs, text_col="text", n_merges=8)
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    parts = [
+        f"""WITH tok AS (
+  SELECT unnest({_TOKS_O}) AS w FROM documents),
+w0 AS MATERIALIZED (
+  SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s,
+         COUNT(*) AS freq
+  FROM tok GROUP BY w)"""
+    ]
+    for t in range(n_merges):
+        parts.append(
+            f""",
+sy{t} AS (
+  SELECT list_filter(string_split(s, '|'), x -> x <> '') AS sy, freq
+  FROM w{t}),
+pc{t} AS (
+  SELECT p.l AS l, p.r AS r, SUM(freq) AS freq FROM (
+    SELECT unnest(list_transform(range(1, len(sy)),
+                                 i -> {{'l': sy[i], 'r': sy[i+1]}})) AS p,
+           freq
+    FROM sy{t}) GROUP BY 1, 2),
+top{t} AS MATERIALIZED (
+  SELECT l, r, freq FROM pc{t} ORDER BY freq DESC, l ASC, r ASC LIMIT 1),
+w{t + 1} AS MATERIALIZED (
+  SELECT replace(w.s, '|' || t.l || '|' || t.r || '|',
+                      '|' || t.l || t.r || '|') AS s, w.freq AS freq
+  FROM w{t} w, top{t} t),
+v{t} AS (
+  SELECT COUNT(DISTINCT sym) AS vocab_size FROM (
+    SELECT unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS sym
+    FROM w{t + 1}))"""
+        )
+    selects = [
+        f"""SELECT {t} AS step, t.l AS lhs, t.r AS rhs,
+       CAST(t.freq AS BIGINT) AS freq, v.vocab_size
+FROM top{t} t, v{t} v"""
+        for t in range(n_merges)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY step")
+    return "".join(parts)
+
+
+QUERIES["text_bpe_merges"] = text_bpe_merges
+ORACLES["text_bpe_merges"] = _bpe_oracle()

@@ -518,3 +518,54 @@ def test_shard_plan_partition_invariant_and_order_sensitive(spark):
         assert base[s]["order_checksum"] != dropped[s]["order_checksum"] or (
             base[s]["n_docs"] != dropped[s]["n_docs"]
         )
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed trainer must learn the same merge sequence as a
+    straightforward single-process BPE over the same word histogram
+    (greedy most-frequent pair, lexicographic tiebreak, left-to-right
+    merge application)."""
+    import re
+    from collections import Counter
+
+    from nashville_etl_service_backup_spark.operators.text_analysis import bpe_train
+
+    texts = [
+        "the theme there is the theater",
+        "she sells sea shells by the sea shore",
+        "the these theses 123 1234",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    hist = Counter()
+    for t in texts:
+        hist.update(re.sub(r"[^a-z0-9]+", " ", t.lower()).split())
+
+    expected = []
+    state = {w: list(w) for w in hist}
+    for step in range(6):
+        pc = Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += hist[w]
+        (l, r), fq = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, l, r, fq))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["freq"])
+        for r in bpe_train(docs, n_merges=6).collect()
+    ]
+    assert got == expected
+    vocab_sizes = [r["vocab_size"] for r in bpe_train(docs, n_merges=6).collect()]
+    final_syms = {s for syms in state.values() for s in syms}
+    assert vocab_sizes[-1] == len(final_syms)
