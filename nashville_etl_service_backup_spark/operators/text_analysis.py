@@ -770,6 +770,11 @@ def chunk_token_windows(
 # translation of rare words with subword units")
 # ---------------------------------------------------------------------------
 
+# replace-all repetitions per merge application; converges the sentinel
+# representation to the full greedy merge for words up to 2^(passes+1)
+# chars (see bpe_train docstring)
+_BPE_APPLY_PASSES = 6
+
 
 def bpe_train(
     docs: DataFrame,
@@ -786,10 +791,19 @@ def bpe_train(
     ('abc' → '|a|b|c|'; tokens are [a-z0-9]+ so '|' never collides).
     Per round: count adjacent symbol pairs weighted by word freq, pick
     the most frequent pair (ties → lexicographically smallest), and
-    apply the merge with ONE literal string replace — sequential
-    left-to-right replacement reproduces greedy BPE exactly (after a
-    merge the new symbol can't re-match its own left half, because
-    left+right != left).
+    apply the merge with ``_BPE_APPLY_PASSES`` repetitions of one
+    literal replace-all. A single replace-all is NOT enough: the
+    trailing '|' of a match is the leading '|' of the next occurrence
+    ('banana' + merge (a,n): one pass yields [b,an,a,n,a]), so the
+    replace is repeated to a fixpoint. For l != r the occurrences are
+    pairwise disjoint and the fixpoint merges them ALL — exactly the
+    canonical greedy application — and each pass at least halves the
+    blocked chain, so ceil(log2(word_len/2)) passes converge (6 passes
+    cover words up to 128 chars). Known divergence: a self-pair
+    (l == r) over an odd run of >= 5 repeats can settle on a different
+    maximal matching than the left-aligned canonical one ('aaaaa' →
+    [aa,a,aa] vs [aa,aa,a]); the oracle applies the identical passes,
+    so the engines always agree with each other.
 
     The chosen pair is collected per round (a 1-row model artifact,
     like the k-means centroids); the pair SELECTION and the per-round
@@ -845,7 +859,8 @@ def bpe_train(
             .collect()
         )[0]
         l, r, fq = top["l"], top["r"], int(top["freq"])
-        cur = F.replace(cur, F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|"))
+        for _ in range(_BPE_APPLY_PASSES):
+            cur = F.replace(cur, F.lit(f"|{l}|{r}|"), F.lit(f"|{l}{r}|"))
         vocab = words.select(F.explode(syms(cur)).alias("sym")).agg(
             F.count_distinct("sym").alias("vocab_size")
         )
@@ -859,3 +874,224 @@ def bpe_train(
             )
         )
     return reduce(DataFrame.unionAll, step_frames).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span audit, temperature mixture, importance resampling,
+# BPE merge application
+# ---------------------------------------------------------------------------
+
+
+def _ordered_ngrams(tokens: Column, n: int) -> Column:
+    """Positional (non-distinct) word n-grams from an ordered token
+    array — like dedup.shingles but KEEPING duplicates, because the
+    duplicated-span audit weighs n-gram POSITIONS, not the n-gram set."""
+    if n == 1:
+        return tokens
+    return F.transform(
+        F.slice(tokens, 1, F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", *([x] + [F.get(tokens, i + j) for j in range(1, n)])
+        ),
+    )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span mass — the shuffle-friendly
+    approximation of exact-substring dedup (Lee, Ippolito et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of a document's word n-gram POSITIONS whose n-gram also
+    occurs in >= ``min_docs`` documents. ExactSubstr builds a corpus
+    suffix array (inherently sequential); the n-gram-position variant
+    captures the same per-doc "how much of me is boilerplate/copied"
+    signal with only equi-shuffles.
+
+    Scale shape: grams are md5-hashed before anything moves, so the
+    per-doc gram count and the global doc-frequency aggregate shuffle
+    (32-char hash, id, count) rows — never text; both aggregations are
+    map-side combinable and the join is a pure equi-join on the hash.
+
+    Output: (id, n_grams, n_dup_grams, dup_frac) for EVERY input doc
+    (docs shorter than n tokens get 0/0/NULL)."""
+    grams = F.transform(_ordered_ngrams(tokenize(F.col(text_col)), n), F.md5)
+    dg = (
+        docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dfreq = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("ndocs"))
+    per_doc = (
+        dg.join(dfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("_ng"),
+            F.sum(
+                F.when(F.col("ndocs") >= min_docs, F.col("c")).otherwise(0)
+            ).alias("_nd"),
+        )
+    )
+    ng = F.coalesce(F.col("_ng"), F.lit(0)).cast("long")
+    nd = F.coalesce(F.col("_nd"), F.lit(0)).cast("long")
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            ng.alias("n_grams"),
+            nd.alias("n_dup_grams"),
+            F.when(
+                ng > 0, F.round(nd.cast("double") / ng.cast("double"), 6)
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def temperature_mixture_rates(docs: DataFrame, group_col: str) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) group sampling rates — the
+    mT5 / XLM-R low-resource-upsampling formula (Xue et al. 2021;
+    Conneau et al. 2020): rate_g ∝ p_g^alpha with p_g the group's
+    corpus share, normalized over groups. alpha is FIXED at 0.5 so the
+    exponentiation is sqrt — IEEE-754 requires sqrt (unlike pow) to be
+    correctly rounded, so the rates are bit-identical across engines
+    with no epsilon; the normalizer sums round(sqrt(p), 9) through
+    DECIMAL so it is order-exact.
+
+    Scale shape: one map-side-combinable count per group + two
+    broadcast single-row aggregates (total, normalizer); nothing else
+    moves.
+
+    Output: (group, n_docs, p_corpus, samp_rate, expected_docs) with
+    expected_docs = floor(rate * N)."""
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("_N"))
+    s = F.round(
+        F.sqrt(F.col("n_docs").cast("double") / F.col("_N").cast("double")), 9
+    ).cast("decimal(18,9)")
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        group_col, "n_docs", "_N", s.alias("_s")
+    )
+    z = scored.agg(F.sum("_s").alias("_Z"))
+    rate = F.round(F.col("_s").cast("double") / F.col("_Z").cast("double"), 6)
+    return scored.crossJoin(F.broadcast(z)).select(
+        group_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.col("n_docs").cast("double") / F.col("_N").cast("double"), 6
+        ).alias("p_corpus"),
+        rate.alias("samp_rate"),
+        F.floor(rate * F.col("_N").cast("double")).cast("long").alias(
+            "expected_docs"
+        ),
+    )
+
+
+def importance_resample(
+    docs: DataFrame,
+    id_col: str,
+    group_col: str,
+    target_shares: dict[str, int],
+    sample_num: int = 1,
+    sample_den: int = 2,
+    n_buckets: int = 100_000,
+) -> DataFrame:
+    """DSIR-style deterministic importance resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    reduced to group granularity): draw a ``sample_num/sample_den``
+    sized corpus whose GROUP distribution approaches ``target_shares``
+    (integer percentages) instead of the corpus distribution, by
+    accepting each doc with probability
+    min(1, (t_g/100) * desired_total / n_g).
+
+    The accept rule is exact INTEGER arithmetic on a salted md5 hash
+    bucket (no float thresholds, no engine RNG):
+
+        keep  <=>  bucket * 100 * n_g  <  t_g * desired_total * n_buckets
+
+    so membership is stable under re-partitioning, backfill, and engine
+    choice. Overflow bound: lhs fits in int64 while
+    n_g < 2^63 / (100 * n_buckets) ≈ 9e11 docs per group at the default
+    n_buckets — beyond any single group in a 100 TB corpus; shrink
+    n_buckets if ever exceeded.
+
+    Scale shape: one map-side-combinable group count, broadcast to a
+    narrow filter over the corpus — no wide shuffle of documents.
+
+    Output: the kept (id, group) set."""
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
+    tot = counts.agg(F.sum("_ng").alias("_N"))
+    tmap = F.create_map(
+        *[F.lit(x) for kv in target_shares.items() for x in kv]
+    )
+    joined = docs.join(F.broadcast(counts), group_col).crossJoin(
+        F.broadcast(tot)
+    )
+    desired = F.floor(
+        F.col("_N").cast("double") * sample_num / sample_den
+    ).cast("long")
+    b = hash_bucket(
+        F.concat(F.lit("dsir:"), F.col(id_col).cast("string")), n_buckets
+    )
+    t = F.coalesce(tmap[F.col(group_col)], F.lit(0)).cast("long")
+    keep = (b * 100 * F.col("_ng")) < (t * desired * n_buckets)
+    return joined.filter(keep).select(id_col, group_col)
+
+
+def bpe_segment_counts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply a trained BPE merge table to every token and report the
+    per-document segmentation size — the tokenizer-APPLY twin of
+    bpe_train (same Sennrich et al. 2016 semantics, same '|'-sentinel
+    word representation, same ``_BPE_APPLY_PASSES``-repeated literal
+    replace-all per merge; see bpe_train for the fixpoint-convergence
+    argument and the odd-self-run caveat). Merges are applied in rank
+    order, which reproduces the lowest-rank-first greedy loop: an
+    earlier merge's pair can never reappear after a later merge
+    consumes one of its symbols.
+
+    The merge table is a model artifact (the output of bpe_train or an
+    offline trainer) baked into the plan as literals — the encode pass
+    itself is a pure narrow JVM projection: no shuffle, no UDF, no
+    Python. (A Zipf-aware variant would encode DISTINCT words and join
+    back — one extra shuffle traded for ~50× less string work; at
+    typical doc sizes the narrow form wins until vocabularies repeat
+    heavily within a partition.)
+
+    Output: (id, n_words, n_bpe_tokens, fertility) with fertility =
+    round(n_bpe_tokens / n_words, 6) (NULL for empty docs)."""
+    toks = tokenize(F.col(text_col))
+
+    def encode(w: Column) -> Column:
+        s = F.concat(F.lit("|"), F.regexp_replace(w, "(.)", r"$1|"))
+        for left, right in merges:
+            for _ in range(_BPE_APPLY_PASSES):
+                s = F.replace(
+                    s, F.lit(f"|{left}|{right}|"), F.lit(f"|{left}{right}|")
+                )
+        return s
+
+    def n_syms(w: Column) -> Column:
+        return F.size(F.filter(F.split(encode(w), r"\|"), lambda x: x != ""))
+
+    total = F.aggregate(
+        F.transform(toks, n_syms), F.lit(0), lambda acc, x: acc + x
+    )
+    nw = F.size(toks).cast("long")
+    nb = total.cast("long")
+    return docs.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        nb.alias("n_bpe_tokens"),
+        F.when(
+            nw > 0, F.round(nb.cast("double") / nw.cast("double"), 6)
+        ).alias("fertility"),
+    )

@@ -1747,6 +1747,19 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, text_col="text", n_merges=8)
 
 
+def _rep_chain(var: str, passes: int) -> str:
+    """Repeat the sentinel pair-merge replace `passes` times — the SQL
+    mirror of text_analysis._BPE_APPLY_PASSES (fixpoint convergence for
+    consecutive pair occurrences; see bpe_train docstring)."""
+    s = var
+    for _ in range(passes):
+        s = (
+            f"replace({s}, '|' || t.l || '|' || t.r || '|',"
+            f" '|' || t.l || t.r || '|')"
+        )
+    return s
+
+
 def _bpe_oracle(n_merges: int = 8) -> str:
     parts = [
         f"""WITH tok AS (
@@ -1771,8 +1784,7 @@ pc{t} AS (
 top{t} AS MATERIALIZED (
   SELECT l, r, freq FROM pc{t} ORDER BY freq DESC, l ASC, r ASC LIMIT 1),
 w{t + 1} AS MATERIALIZED (
-  SELECT replace(w.s, '|' || t.l || '|' || t.r || '|',
-                      '|' || t.l || t.r || '|') AS s, w.freq AS freq
+  SELECT {_rep_chain('w.s', 6)} AS s, w.freq AS freq
   FROM w{t} w, top{t} t),
 v{t} AS (
   SELECT COUNT(DISTINCT sym) AS vocab_size FROM (
@@ -1791,3 +1803,153 @@ FROM top{t} t, v{t} v"""
 
 QUERIES["text_bpe_merges"] = text_bpe_merges
 ORACLES["text_bpe_merges"] = _bpe_oracle()
+
+
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span mass: the fraction of word 5-gram
+    positions whose 5-gram occurs in >= 2 documents — the equi-shuffle
+    approximation of ExactSubstr dedup (Lee et al. 2022); see
+    operators.text_analysis.duplicated_span_stats for the scale shape."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        duplicated_span_stats,
+    )
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    return duplicated_span_stats(docs, "doc_id", "text", n=5, min_docs=2)
+
+
+def text_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) language sampling rates — the
+    mT5/XLM-R low-resource-upsampling mixture; sqrt keeps the rates
+    bit-identical cross-engine (see temperature_mixture_rates)."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        temperature_mixture_rates,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_mixture_rates(docs, "lang")
+
+
+# DSIR target language shares (integer percent, sums to 100): upsample
+# the non-English languages relative to the en-dominant corpus.
+_DSIR_SHARES = {"en": 30, "zh": 20, "es": 20, "de": 15, "fr": 15}
+
+
+def text_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style deterministic importance resampling toward the fixed
+    target language distribution, half-corpus budget — exact-integer
+    accept rule on a salted md5 bucket (see importance_resample)."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        importance_resample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return importance_resample(
+        docs, "doc_id", "lang", _DSIR_SHARES, sample_num=1, sample_den=2
+    )
+
+
+# fixed BPE merge table for the encode query — a model artifact baked
+# into the plan as literals, like the IVF centroids or the ANN query
+# vector (training's output is pinned separately by text_bpe_merges)
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"),
+    ("a", "n"), ("r", "e"), ("o", "n"), ("s", "t"),
+]
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: segment every document with the fixed 8-merge
+    BPE table and report per-doc word count, BPE token count, and
+    fertility (tokens per word) — a pure narrow JVM projection, no
+    shuffle/UDF (see bpe_segment_counts)."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        bpe_segment_counts,
+    )
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    return bpe_segment_counts(docs, "doc_id", "text", _BPE_MERGES)
+
+
+QUERIES["text_dup_spans"] = text_dup_spans
+QUERIES["text_alpha_mixture"] = text_alpha_mixture
+QUERIES["text_dsir_sample"] = text_dsir_sample
+QUERIES["text_bpe_encode"] = text_bpe_encode
+
+ORACLES["text_dup_spans"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_O} AS tk FROM documents),
+g AS (
+  SELECT doc_id,
+    md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])) AS gram
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+        FROM tok WHERE len(tk) >= 5)),
+dg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+dfq AS (SELECT gram, COUNT(*) AS ndocs FROM dg GROUP BY 1),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS ng,
+         CAST(SUM(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS BIGINT) AS nd
+  FROM dg JOIN dfq USING (gram) GROUP BY 1)
+SELECT d.doc_id,
+  COALESCE(ng, 0) AS n_grams,
+  COALESCE(nd, 0) AS n_dup_grams,
+  CASE WHEN COALESCE(ng, 0) > 0
+       THEN ROUND(CAST(nd AS DOUBLE) / ng, 6) END AS dup_frac
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+ORACLES["text_alpha_mixture"] = """
+WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS N FROM c),
+s AS (SELECT lang, n_docs, N,
+        CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE) / N), 9)
+             AS DECIMAL(18,9)) AS s
+      FROM c, t),
+z AS (SELECT SUM(s) AS Z FROM s)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+  ROUND(CAST(n_docs AS DOUBLE) / N, 6) AS p_corpus,
+  ROUND(CAST(s AS DOUBLE) / CAST(Z AS DOUBLE), 6) AS samp_rate,
+  CAST(FLOOR(ROUND(CAST(s AS DOUBLE) / CAST(Z AS DOUBLE), 6) * N)
+       AS BIGINT) AS expected_docs
+FROM s, z
+"""
+
+_DSIR_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _DSIR_SHARES.items()
+)
+ORACLES["text_dsir_sample"] = f"""
+WITH c AS (SELECT lang, COUNT(*) AS ng FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(ng) AS BIGINT) AS N FROM c),
+d AS (SELECT CAST(FLOOR(CAST(N AS DOUBLE) * 1 / 2) AS BIGINT) AS desired
+      FROM t)
+SELECT doc_id, lang
+FROM documents
+JOIN c USING (lang), d
+WHERE (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       % 100000) * 100 * ng
+    < (CASE lang {_DSIR_CASE} ELSE 0 END) * desired * 100000
+"""
+
+
+def _bpe_encode_chain(var: str) -> str:
+    s = f"'|' || regexp_replace({var}, '(.)', '\\1|', 'g')"
+    for left, right in _BPE_MERGES:
+        for _ in range(6):  # mirrors text_analysis._BPE_APPLY_PASSES
+            s = f"replace({s}, '|{left}|{right}|', '|{left}{right}|')"
+    return s
+
+
+ORACLES["text_bpe_encode"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_O} AS tk FROM documents),
+e AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(tk, w ->
+      len(list_filter(string_split({_bpe_encode_chain('w')}, '|'),
+                      x -> x <> '')))), 0) AS BIGINT) AS nb
+  FROM tok)
+SELECT doc_id, n_words, nb AS n_bpe_tokens,
+  CASE WHEN n_words > 0
+       THEN ROUND(CAST(nb AS DOUBLE) / n_words, 6) END AS fertility
+FROM e
+"""

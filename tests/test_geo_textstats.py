@@ -569,3 +569,176 @@ def test_bpe_train_matches_reference_implementation(spark):
     vocab_sizes = [r["vocab_size"] for r in bpe_train(docs, n_merges=6).collect()]
     final_syms = {s for syms in state.values() for s in syms}
     assert vocab_sizes[-1] == len(final_syms)
+
+
+def test_bpe_merge_application_handles_consecutive_pairs(spark):
+    """Fixpoint-repeated replace must merge CONSECUTIVE occurrences of
+    a pair — 'banana' + (a,n) is the canonical trap: a single
+    replace-all consumes the shared sentinel and leaves [b,an,a,n,a]."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        bpe_segment_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "banana"), (1, "anananan"), (2, "aaaa"), (3, "queue")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_segment_counts(
+            docs, "doc_id", "text", [("a", "n")]
+        ).collect()
+    }
+    # banana -> b an an a (4); anananan -> an an an an (4);
+    # aaaa untouched by (a,n) (4); queue untouched (5)
+    assert got == {0: (1, 4), 1: (1, 4), 2: (1, 4), 3: (1, 5)}
+
+    got2 = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_segment_counts(
+            docs, "doc_id", "text", [("a", "a"), ("aa", "aa")]
+        ).collect()
+    }
+    # aaaa -> aa aa -> aaaa (1): even self-run converges exactly
+    assert got2[2] == 1
+
+
+def test_bpe_segment_counts_matches_reference(spark):
+    """Rank-ordered merge application must equal the canonical greedy
+    per-word loop (lowest rank first, left-to-right) on l != r merges."""
+    import re
+
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        bpe_segment_counts,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("in", "g")]
+    texts = [
+        "the theme is banana bread",
+        "singing in the rain brings things",
+        "900 thin pythons amid the anthem",
+    ]
+
+    def encode_word(w):
+        syms = list(w)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    expected = {}
+    for d, t in enumerate(texts):
+        words = re.sub(r"[^a-z0-9]+", " ", t.lower()).split()
+        n_bpe = sum(len(encode_word(w)) for w in words)
+        expected[d] = (len(words), n_bpe)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_segment_counts(docs, "doc_id", "text", merges).collect()
+    }
+    assert got == expected
+
+
+def test_duplicated_span_stats(spark):
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        duplicated_span_stats,
+    )
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " alpha beta"),          # 3 grams, 1 shared
+            (1, shared),                           # 1 gram, shared
+            (2, "totally different text here now"),  # 1 gram, unique
+            (3, "shorty"),                         # < 5 tokens -> 0 grams
+            (4, shared + " " + shared),            # 7 grams; all dup?
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_frac"])
+        for r in duplicated_span_stats(
+            docs, "doc_id", "text", n=5, min_docs=2
+        ).collect()
+    }
+    assert rows[3] == (0, 0, None)
+    assert rows[2] == (1, 0, 0.0)
+    assert rows[1] == (1, 1, 1.0)
+    # doc 0: grams = [one..five, two..alpha, three..beta]; only the
+    # first occurs elsewhere
+    assert rows[0] == (3, 1, round(1 / 3, 6))
+    # doc 4: 'one two three four five one two three four five' has 6
+    # grams appearing once in-doc plus 'one..five' twice; every gram
+    # that also appears in docs 0/1 counts, plus the wrap-around grams
+    # are unique to doc 4 (in >=1 doc only) -> dup mass = the two
+    # 'one..five' positions (docs 0,1 share it)
+    n_g, n_d, frac = rows[4]
+    assert n_g == 6
+    assert n_d == 2
+    assert frac == round(2 / 6, 6)
+
+
+def test_temperature_mixture_rates(spark):
+    import math
+
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        temperature_mixture_rates,
+    )
+
+    rows = [(i, "en") for i in range(90)] + [(i + 100, "fr") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r["lang"]: r
+        for r in temperature_mixture_rates(docs, "lang").collect()
+    }
+    s_en = round(math.sqrt(0.9), 9)
+    s_fr = round(math.sqrt(0.1), 9)
+    z = s_en + s_fr  # exact at 9dp in binary? use decimal-style sum
+    assert got["en"]["n_docs"] == 90 and got["fr"]["n_docs"] == 10
+    assert got["en"]["p_corpus"] == 0.9
+    assert got["fr"]["p_corpus"] == 0.1
+    assert got["en"]["samp_rate"] == round(s_en / z, 6)
+    assert got["fr"]["samp_rate"] == round(s_fr / z, 6)
+    # upsampling: fr rate above its corpus share, en below
+    assert got["fr"]["samp_rate"] > 0.1 and got["en"]["samp_rate"] < 0.9
+    assert got["en"]["expected_docs"] == math.floor(
+        round(s_en / z, 6) * 100
+    )
+
+
+def test_importance_resample_exact_membership(spark):
+    import hashlib as _h
+
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        importance_resample,
+    )
+
+    rows = [(i, "en") for i in range(80)] + [(i + 100, "fr") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    shares = {"en": 40, "fr": 60}
+    got = {
+        r["doc_id"]
+        for r in importance_resample(
+            docs, "doc_id", "lang", shares, 1, 2
+        ).collect()
+    }
+    n = {"en": 80, "fr": 20}
+    desired = 50
+    expected = set()
+    for i, lang in rows:
+        b = int(_h.md5(f"dsir:{i}".encode()).hexdigest()[:8], 16) % 100_000
+        if b * 100 * n[lang] < shares[lang] * desired * 100_000:
+            expected.add(i)
+    assert got == expected
+    # the rare group is upsampled: fr accept rate min(1, .6*50/20)=1.0
+    assert all(i in got for i, lang in rows if lang == "fr")
