@@ -70,6 +70,12 @@ HEADLINE = [
     "q_approx_percentiles",
     "text_domain_cap",
     "text_bpe_merges",
+    "text_bpe_encode",
+    "text_dup_spans",
+    "text_alpha_mixture",
+    "text_dsir_sample",
+    "text_snapshot_delta",
+    "hybrid_search_rrf",
     "multimodal_image_features",
     "q_grouping_sets",
     "q_skew_salted_join",

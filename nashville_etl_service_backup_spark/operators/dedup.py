@@ -513,3 +513,31 @@ def resolve_duplicates(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    fp_col: str,
+) -> DataFrame:
+    """Corpus snapshot diff for incremental refresh: classify every id
+    across two snapshot frames (id, fingerprint) as added / removed /
+    changed / unchanged — the operator an incremental crawl or re-scrape
+    pipeline runs before deciding what to re-embed, re-tokenize, or
+    re-dedup.
+
+    Scale shape: ONE full-outer equi-join on the id — fingerprints (not
+    text) are the only payload; with both snapshots bucketed by id the
+    join is exchange-free. Output: (id, status) for the union of ids."""
+    o = old.select(F.col(id_col), F.col(fp_col).alias("_fp_old"))
+    nw = new.select(F.col(id_col), F.col(fp_col).alias("_fp_new"))
+    status = (
+        F.when(F.col("_fp_old").isNull(), "added")
+        .when(F.col("_fp_new").isNull(), "removed")
+        .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return o.join(nw, id_col, "full_outer").select(
+        F.col(id_col), status.alias("status")
+    )

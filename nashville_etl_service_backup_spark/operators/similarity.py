@@ -690,3 +690,58 @@ def pq_topk(
         .limit(k)
         .select(id_col, *extra_cols, F.round("_cos", 4).alias("cosine"))
     )
+
+
+def rrf_fuse(
+    frames: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke, Buettcher 2009) of
+    ranked candidate lists — the standard hybrid-retrieval combiner
+    (lexical BM25 + dense ANN for RAG): each retriever contributes
+    1/(rrf_k + rank) for ids it returned, ranks from (score DESC, id)
+    with id as the deterministic tiebreak; absent ids contribute 0.
+
+    Cross-engine exactness: ranks are integers, each 1/(60+r) division
+    and the few-term sum are single correctly-rounded IEEE ops, so the
+    fused score is bit-identical everywhere before the final round(6).
+
+    Scale shape: the inputs are top-N candidate lists (already reduced
+    by the heavy retrievers — BM25's broadcast-stats scan, the ANN
+    index probes), so every window/join here is over N rows per
+    retriever, not the corpus. Returns the top-``k``
+    (id, rank_0..rank_{m-1}, rrf) rows."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    ranked = []
+    for i, (df, score_col) in enumerate(frames):
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        ranked.append(
+            df.select(
+                F.col(id_col),
+                F.row_number().over(w).cast("long").alias(f"rank_{i}"),
+            )
+        )
+    joined = reduce(
+        lambda a, b: a.join(b, id_col, "full_outer"), ranked
+    )
+    score = None
+    for i in range(len(frames)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"rank_{i}")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    return (
+        joined.select(
+            id_col,
+            *[F.col(f"rank_{i}") for i in range(len(frames))],
+            F.round(score, 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1953,3 +1953,129 @@ SELECT doc_id, n_words, nb AS n_bpe_tokens,
        THEN ROUND(CAST(nb AS DOUBLE) / n_words, 6) END AS fertility
 FROM e
 """
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 (terms spark/window/vector) fused
+    with dense cosine top-50 (query vec_id=0) by reciprocal-rank fusion
+    — the standard RAG retrieval combiner; see similarity.rrf_fuse."""
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    bm25 = bm25_topk(
+        docs, "doc_id", "text", ["spark", "window", "vector"], k=50
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    cos = cosine_topk(
+        emb.filter(F.col("vec_id") != 0), query, k=50, extra_cols=()
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse([(bm25, "bm25"), (cos, "cosine")], id_col="doc_id", k=10)
+
+
+def text_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-refresh snapshot diff: two deterministic snapshot
+    views of the documents table (ids dropped on either side, a 1-in-13
+    content revision) classified added/removed/changed/unchanged via one
+    fingerprint full-outer join; see dedup.snapshot_delta."""
+    from nashville_etl_service_backup_spark.operators.dedup import (
+        snapshot_delta,
+    )
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        content_fingerprint,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id", content_fingerprint(F.col("text")).alias("fp")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.col("text"), F.lit(" revised edition")),
+    ).otherwise(F.col("text"))
+    new = docs.filter(F.col("doc_id") % 19 != 5).select(
+        "doc_id", content_fingerprint(new_text).alias("fp")
+    )
+    return snapshot_delta(old, new, "doc_id", "fp")
+
+
+QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
+QUERIES["text_snapshot_delta"] = text_snapshot_delta
+
+ORACLES["hybrid_search_rrf"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_O} AS tk FROM documents),
+d AS (
+  SELECT doc_id, len(tk) AS dl,
+    len(list_filter(tk, x -> x = 'spark'))  AS tf_0,
+    len(list_filter(tk, x -> x = 'window')) AS tf_1,
+    len(list_filter(tk, x -> x = 'vector')) AS tf_2
+  FROM t),
+s AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+    SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+    SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+    SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+  FROM d),
+bm AS (
+  SELECT doc_id, ROUND(
+      ln(1.0 + (n_docs - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5))
+        * CAST(tf_0 AS DOUBLE) * (1.2 + 1.0)
+        / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+    + ln(1.0 + (n_docs - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5))
+        * CAST(tf_1 AS DOUBLE) * (1.2 + 1.0)
+        / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+    + ln(1.0 + (n_docs - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5))
+        * CAST(tf_2 AS DOUBLE) * (1.2 + 1.0)
+        / (CAST(tf_2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+    , 6) AS bm25
+  FROM d, s
+  ORDER BY bm25 DESC, doc_id ASC
+  LIMIT 50),
+bmr AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_0
+  FROM bm),
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> 0),
+sc AS (
+  SELECT vec_id AS doc_id, {_cos_sql('v', 'qv')} AS c
+  FROM base, q
+  ORDER BY c DESC, vec_id ASC
+  LIMIT 50),
+cr AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY ROUND(c, 4) DESC, doc_id ASC) AS rank_1
+  FROM sc),
+f AS (
+  SELECT COALESCE(bmr.doc_id, cr.doc_id) AS doc_id, rank_0, rank_1,
+    ROUND(COALESCE(1.0 / (60 + rank_0), 0.0)
+        + COALESCE(1.0 / (60 + rank_1), 0.0), 6) AS rrf
+  FROM bmr FULL OUTER JOIN cr ON bmr.doc_id = cr.doc_id)
+SELECT doc_id, rank_0, rank_1, rrf
+FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+_FP_SQL = "md5(trim(regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g')))"
+ORACLES["text_snapshot_delta"] = f"""
+WITH o AS (
+  SELECT doc_id, {_FP_SQL.format(t='text')} AS fp
+  FROM documents WHERE doc_id % 17 <> 3),
+n AS (
+  SELECT doc_id,
+    {_FP_SQL.format(t="CASE WHEN doc_id % 13 = 0 THEN text || ' revised edition' ELSE text END")} AS fp
+  FROM documents WHERE doc_id % 19 <> 5)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.fp IS NULL THEN 'added'
+       WHEN n.fp IS NULL THEN 'removed'
+       WHEN o.fp <> n.fp THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""

@@ -350,3 +350,48 @@ def test_pq_adc_rerank_recall(spark):
             ).collect()
         }
         assert len(truth & got) >= 7, (sf, len(truth & got))
+
+
+def test_rrf_fuse(spark):
+    """RRF combines ranks with 1/(60+r); absent ids contribute 0; ties
+    broken by id."""
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        rrf_fuse,
+    )
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, s1 double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8), (1, 0.7)], "doc_id long, s2 double"
+    )
+    rows = {
+        r["doc_id"]: (r["rank_0"], r["rank_1"], r["rrf"])
+        for r in rrf_fuse([(a, "s1"), (b, "s2")], k=10).collect()
+    }
+    assert rows[1] == (1, 3, round(1 / 61 + 1 / 63, 6))
+    assert rows[2] == (2, 1, round(1 / 62 + 1 / 61, 6))
+    assert rows[3] == (3, None, round(1 / 63, 6))
+    assert rows[4] == (None, 2, round(1 / 62, 6))
+    # doc 2 wins: best combined ranks
+    top = sorted(rows.items(), key=lambda kv: (-kv[1][2], kv[0]))[0][0]
+    assert top == 2
+
+
+def test_snapshot_delta(spark):
+    from nashville_etl_service_backup_spark.operators.dedup import (
+        snapshot_delta,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, fp string"
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_delta(old, new, "doc_id", "fp").collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
