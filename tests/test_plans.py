@@ -257,3 +257,66 @@ def test_filter_funnel_udf_only_on_survivors(spark):
     # one Arrow stage (tree line + detail line in formatted output)
     assert plan.count("ArrowEvalPython (") == 1
     assert "Union" in plan
+
+
+def test_dup_spans_hashed_equi_join_no_text_shuffle(spark):
+    """Duplicated-span audit: candidate aggregation and the doc-frequency
+    join move only (md5 hash, id, count) — document text never crosses an
+    Exchange — and every join is an equi-join."""
+    plan = plan_of(spark, "text_dup_spans")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_bpe_encode_is_narrow_jvm_projection(spark):
+    """Tokenizer apply: no hash/range shuffle and zero Python stages —
+    the whole merge chain stays in JVM expressions. (The one allowed
+    Exchange is spread()'s round-robin fan-out of the single-split test
+    scan, a no-op on multi-split production inputs.)"""
+    plan = plan_of(spark, "text_bpe_encode")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_sample_broadcasts_counts_no_wide_shuffle(spark):
+    """Importance resampling: the per-group count joins back by
+    broadcast; the corpus itself is never hash-repartitioned."""
+    plan = plan_of(spark, "text_dsir_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        # only the tiny group-count aggregate may hash-shuffle
+        assert "doc_id" not in m.group(1)
+
+
+def test_hybrid_rrf_windows_over_candidates_only(spark):
+    """RRF fusion: the single-partition windows run over top-50
+    candidate lists (bounded by the retrievers' TakeOrderedAndProject
+    heaps), never over the corpus."""
+    plan = plan_of(spark, "hybrid_search_rrf")
+    assert "TakeOrderedAndProject" in plan  # both retrievers reduce first
+    assert "CartesianProduct" not in plan
+    # final fuse is a top-k heap too, not a global sort of fused rows
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_snapshot_delta_single_equi_join(spark):
+    """Snapshot diff: one full-outer equi-join on the id, fingerprints
+    (not text) as the only payload."""
+    plan = plan_of(spark, "text_snapshot_delta")
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
