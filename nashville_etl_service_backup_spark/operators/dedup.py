@@ -96,19 +96,18 @@ def exact_dedup(df: DataFrame, id_col: str, fingerprint: Column) -> DataFrame:
     )
 
 
-def lsh_near_dup_pairs(
+def _signature_frame(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_n: int = 2,
-    num_hashes: int = 4,
-    bands: int = 2,
-    threshold: float = 0.6,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs verified by exact Jaccard.
-
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
-    """
+    """(doc_id, sh, bands) frame shared by the batch pair-finder and the
+    streaming signature store: shingle sets plus the banded md5-slice
+    MinHash band-hash array (NULL bands for shingle-less docs). Callers
+    persist/materialize as their access pattern requires."""
     rows_per_band = num_hashes // bands
     toks = tokenize(F.col("_txt"))
     sh = shingles(toks, shingle_n)
@@ -143,6 +142,44 @@ def lsh_near_dup_pairs(
         )
         for b in range(bands)
     ]
+    return shingled.withColumn("_mins", mins).select(
+        "doc_id",
+        "sh",
+        F.when(F.size("sh") > 0, F.array(*band_cols)).alias("bands"),
+    )
+
+
+def band_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    num_hashes: int = 4,
+    bands: int = 2,
+) -> DataFrame:
+    """Exploded LSH index entries (doc_id, band_idx, band_hash) — the
+    persistable signature-store rows the streaming near-dup gate appends
+    and probes (same md5-slice MinHash math as lsh_near_dup_pairs, so a
+    store built here and a batch dedup over the same corpus agree on
+    candidates)."""
+    return _signature_frame(
+        df, id_col, text_col, shingle_n, num_hashes, bands
+    ).select("doc_id", F.posexplode("bands").alias("band_idx", "band_hash"))
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    num_hashes: int = 4,
+    bands: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact Jaccard.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
     # The signature frame feeds three plan branches (band explode + both
     # sides of the verify join): persist it so the signature pipeline
     # runs once, not 4×. At 100 TB this is the standard "materialize
@@ -152,12 +189,7 @@ def lsh_near_dup_pairs(
     from nashville_etl_service_backup_spark.operators import track_persist
 
     base = track_persist(
-        shingled.withColumn("_mins", mins)
-        .select(
-            "doc_id",
-            "sh",
-            F.when(F.size("sh") > 0, F.array(*band_cols)).alias("bands"),
-        )
+        _signature_frame(df, id_col, text_col, shingle_n, num_hashes, bands)
     )
     # candidate generation: explode bands, equi-join on (band_idx, hash)
     b = base.select(

@@ -491,3 +491,114 @@ def compact_rollup(
     shutil.move(tmp, f"{root}/{final}")  # atomic same-fs rename
     for entry in old:
         shutil.rmtree(f"{root}/{entry}")
+
+
+def incremental_lsh_dedup(
+    spark: SparkSession,
+    docs_path: str,
+    sig_path: str,
+    audit_path: str,
+    checkpoint_path: str,
+    shingle_n: int = 2,
+    num_hashes: int = 4,
+    bands: int = 2,
+) -> StreamingQuery:
+    """T4 for NEAR-duplicates: a cross-batch MinHash-LSH gate over a
+    persistent signature store. Each micro-batch of (doc_id, text) is
+    banded-minhash signed (operators.dedup.band_signatures — the same
+    md5-slice math as the batch pair-finder); docs sharing ANY
+    (band_idx, band_hash) with a PREVIOUS batch's stored signatures are
+    flagged near-dup candidates and their signatures are NOT appended,
+    so the store accumulates one signature set per novel document.
+
+    Idempotent replay (the incremental_rollup layout): the batch writes
+    only its own ``sig_path/batch_id=<id>/`` and
+    ``audit_path/batch_id=<id>/`` with directory overwrite, and the
+    store probe EXCLUDES the current batch_id — so an at-least-once
+    replay after a crash between sink write and checkpoint commit
+    re-derives the same novelty verdicts (its own half-written
+    signatures cannot flag it as a duplicate of itself).
+
+    Within-batch near-dups intentionally both land in the store: intra-
+    batch resolution is the batch operator's job (lsh_near_dup_pairs →
+    connected components) — this gate handles corpus-vs-new novelty.
+
+    Scale shape: signatures are (id, band_idx, 17-char hash) rows —
+    text never lands in the store; the probe is a band-key equi-semi-
+    join (broadcast when the batch is small vs the store, the common
+    case); at production scale the store would be bucketed by band_hash
+    so the probe is exchange-free on the store side.
+
+    Audit rows: (batch_id, n_docs, n_dup_candidates) per batch, merged
+    by :func:`read_dedup_audit`."""
+    from nashville_etl_service_backup_spark.operators.dedup import (
+        band_signatures,
+    )
+
+    schema = "doc_id long, text string"
+
+    def gate_batch(batch: DataFrame, batch_id: int) -> None:
+        sig = band_signatures(
+            batch, "doc_id", "text", shingle_n, num_hashes, bands
+        ).persist()
+        try:
+            try:
+                store = batch.sparkSession.read.option(
+                    "basePath", sig_path
+                ).parquet(sig_path)
+            except AnalysisException as exc:
+                # only PATH-ABSENT is cold start; re-raise anything else
+                # (the blanket-except failure class round-2 ADVICE flagged)
+                if "PATH_NOT_FOUND" not in str(exc) and (
+                    "does not exist" not in str(exc)
+                ):
+                    raise
+                store = None
+            if store is not None:
+                prior = store.filter(F.col("batch_id") != batch_id)
+                dup_ids = (
+                    sig.join(prior, ["band_idx", "band_hash"], "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                )
+            else:
+                dup_ids = sig.select("doc_id").limit(0)
+            novel = sig.join(dup_ids, "doc_id", "left_anti")
+            novel.select("doc_id", "band_idx", "band_hash").write.mode(
+                "overwrite"
+            ).parquet(f"{sig_path.rstrip('/')}/batch_id={batch_id}")
+            ids = batch.select("doc_id").distinct()
+            flagged = ids.join(
+                dup_ids.withColumn("_d", F.lit(1)), "doc_id", "left"
+            )
+            audit = flagged.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.coalesce(F.col("_d"), F.lit(0))).alias(
+                    "n_dup_candidates"
+                ),
+            )
+            audit.write.mode("overwrite").parquet(
+                f"{audit_path.rstrip('/')}/batch_id={batch_id}"
+            )
+        finally:
+            sig.unpersist()
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(docs_path)
+        .writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_dedup_audit(spark: SparkSession, audit_path: str) -> DataFrame:
+    """Per-batch novelty audit, one row per processed micro-batch."""
+    return (
+        spark.read.option("basePath", audit_path)
+        .parquet(audit_path)
+        .select("batch_id", "n_docs", "n_dup_candidates")
+        .orderBy("batch_id")
+    )

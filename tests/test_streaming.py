@@ -437,3 +437,76 @@ def test_incremental_hll_matches_batch_sketch(spark, tmp_path):
         for r in hll_estimate(whole, ["event_type"]).collect()
     }
     assert est == batch_est
+
+
+def test_incremental_lsh_dedup_gate(spark, tmp_path):
+    """Cross-batch near-dup gate: batch-2 docs colliding with stored
+    band signatures are flagged and kept out of the store; replaying a
+    batch (crash between sink write and checkpoint commit) re-derives
+    identical verdicts."""
+    import os
+
+    from nashville_etl_service_backup_spark.streaming.pipeline import (
+        incremental_lsh_dedup,
+        read_dedup_audit,
+    )
+
+    src = str(tmp_path / "docs")
+    sig = str(tmp_path / "sigs")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run_gate():
+        q = incremental_lsh_dedup(spark, src, sig, audit, ckpt)
+        q.awaitTermination(120)
+        # AvailableNow termination and checkpoint-lock deregistration
+        # are not atomic: stop() blocks until the query is fully gone,
+        # so the next restart of the same checkpoint cannot race it
+        q.stop()
+
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different subject matter entirely here"),
+    ]
+    b2 = [
+        (3, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        (4, "yet another wholly novel document body text"),
+    ]
+    write(b1)
+    run_gate()
+    write(b2)
+    run_gate()
+
+    rows = {
+        r["batch_id"]: (r["n_docs"], r["n_dup_candidates"])
+        for r in read_dedup_audit(spark, audit).collect()
+    }
+    assert rows == {0: (2, 0), 1: (2, 1)}
+    stored = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", sig).parquet(sig).collect()
+    }
+    assert stored == {1, 2, 4}  # the near-dup (3) never enters the store
+
+    # replay batch 1: drop its checkpoint commit so the restarted stream
+    # re-executes the same offsets — verdicts and store must not change
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_gate()
+    rows = {
+        r["batch_id"]: (r["n_docs"], r["n_dup_candidates"])
+        for r in read_dedup_audit(spark, audit).collect()
+    }
+    assert rows == {0: (2, 0), 1: (2, 1)}
+    stored = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", sig).parquet(sig).collect()
+    }
+    assert stored == {1, 2, 4}
