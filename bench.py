@@ -76,6 +76,7 @@ HEADLINE = [
     "text_dsir_sample",
     "text_snapshot_delta",
     "hybrid_search_rrf",
+    "text_html_extract",
     "multimodal_image_features",
     "q_grouping_sets",
     "q_skew_salted_join",

@@ -1095,3 +1095,99 @@ def bpe_segment_counts(
             nw > 0, F.round(nb.cast("double") / nw.cast("double"), 6)
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (trafilatura/jusText-lite)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible (no backreferences, no lookaround) so the Java-regex
+# Spark plan and the RE2 DuckDB oracle match byte-for-byte.
+_HTML_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+_HTML_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+_HTML_HEAD_RE = r"(?is)<head[^>]*>.*?</head>"
+_HTML_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+_HTML_ANCHOR_RE = r"(?is)<a[^>]*>(.*?)</a>"
+_HTML_BREAK_RE = r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/table)[^>]*>"
+_HTML_TAG_RE = r"<[^>]*>"
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+    ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+]
+
+
+def _decode_entities(c: Column) -> Column:
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _collapse_ws(c: Column) -> Column:
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_extract(
+    docs: DataFrame,
+    id_col: str,
+    html_col: str,
+    min_words: int = 3,
+) -> DataFrame:
+    """Main-content extraction from raw HTML — the trafilatura/jusText
+    recipe reduced to deterministic, engine-portable regex algebra:
+
+      1. drop <script>/<style> blocks (dotall, non-greedy);
+      2. capture <title>, then drop the whole <head> so metadata never
+         leaks into the body text; audit every anchor's inner text;
+      3. turn block-level closers (</p>, </div>, </li>, </hN>, <br>, …)
+         into newlines so document line structure survives;
+      4. strip remaining tags, decode the six common entities,
+         collapse whitespace per line;
+      5. keep lines with >= ``min_words`` words — the jusText-style
+         short-line boilerplate heuristic (nav/footer links are short).
+
+    Everything is Java-and-RE2-safe regex + HOFs — one narrow JVM pass,
+    no UDF, no shuffle; at 100 TB this runs fused onto the scan.
+
+    Output: (id, title, n_links, link_char_frac, n_lines_kept,
+    n_text_chars, text_md5) where link_char_frac = anchor-text chars /
+    total text chars (round 6, NULL when the page has no text)."""
+    raw = F.col(html_col)
+    s1 = F.regexp_replace(
+        F.regexp_replace(raw, _HTML_SCRIPT_RE, " "), _HTML_STYLE_RE, " "
+    )
+    title = _collapse_ws(
+        _decode_entities(F.regexp_extract(s1, _HTML_TITLE_RE, 1))
+    )
+    s1 = F.regexp_replace(s1, _HTML_HEAD_RE, " ")
+    anchor_texts = F.transform(
+        F.regexp_extract_all(s1, F.lit(_HTML_ANCHOR_RE), 1),
+        lambda a: _collapse_ws(
+            _decode_entities(F.regexp_replace(a, _HTML_TAG_RE, " "))
+        ),
+    )
+    link_chars = F.aggregate(
+        anchor_texts, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    s2 = F.regexp_replace(s1, _HTML_BREAK_RE, "\n")
+    s3 = _decode_entities(F.regexp_replace(s2, _HTML_TAG_RE, " "))
+    lines = F.transform(F.split(s3, "\n"), _collapse_ws)
+    kept = F.filter(
+        lines,
+        lambda l: (l != "") & (F.size(F.split(l, " ")) >= min_words),
+    )
+    text = F.array_join(kept, "\n")
+    total_chars = F.length(_collapse_ws(F.regexp_replace(s3, "\n", " ")))
+    return docs.select(
+        F.col(id_col),
+        title.alias("title"),
+        F.size(F.regexp_extract_all(s1, F.lit(_HTML_ANCHOR_RE), 1))
+        .cast("long")
+        .alias("n_links"),
+        F.when(
+            total_chars > 0,
+            F.round(link_chars.cast("double") / total_chars, 6),
+        ).alias("link_char_frac"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        total_chars.cast("long").alias("n_text_chars"),
+        F.md5(text).alias("text_md5"),
+    )

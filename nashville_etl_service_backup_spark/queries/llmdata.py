@@ -2079,3 +2079,115 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
        ELSE 'unchanged' END AS status
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
+
+
+_HTML_NAV = '<div class="nav"><a href="/">Home</a> <a href="/up">Up</a></div>'
+_HTML_EXTRA = '<li><a href="/arch">Archive &amp; tags</a></li>'
+_HTML_SCRIPT = (
+    '<script type="text/javascript">var n = 1; if (n < 2) { n = 3; }</script>'
+)
+_HTML_TAIL = (
+    '</p><p>terms &amp; conditions apply</p>'
+    '<div class="footer"><a href="/contact">Contact</a></div></body></html>'
+)
+
+
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction over deterministically synthesized HTML
+    pages (title + nav links + optional script noise + the document body
+    + an entity-bearing footer), the trafilatura/jusText-lite recipe —
+    see operators.text_analysis.html_extract. The synthetic wrapper
+    plays the role the md5-fake media bytes play for the multimodal
+    queries: the EXTRACTION algebra is the thing under test."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        html_extract,
+    )
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; friends</title><style>p { margin: 0; }</style></head><body>"),
+        F.lit(_HTML_NAV),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_HTML_EXTRA)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_HTML_SCRIPT)).otherwise(F.lit("")),
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit(_HTML_TAIL),
+    )
+    return html_extract(
+        docs.select("doc_id", html.alias("html")), "doc_id", "html"
+    )
+
+
+QUERIES["text_html_extract"] = text_html_extract
+
+
+def _duck_entities(expr: str) -> str:
+    for ent, ch in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''"),
+    ):
+        expr = f"replace({expr}, '{ent}', '{ch}')"
+    return expr
+
+
+def _html_oracle() -> str:
+    nav = _HTML_NAV.replace("'", "''")
+    extra = _HTML_EXTRA.replace("'", "''")
+    script = _HTML_SCRIPT.replace("'", "''")
+    tail = _HTML_TAIL.replace("'", "''")
+    collapse = "trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
+    s1 = (
+        "regexp_replace(regexp_replace(html,"
+        " '(?is)<script[^>]*>.*?</script>', ' ', 'g'),"
+        " '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    )
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || ' &amp; friends</title><style>p {{ margin: 0; }}</style></head><body>'
+    || '{nav}'
+    || CASE WHEN doc_id % 3 = 0 THEN '{extra}' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN '{script}' ELSE '' END
+    || '<p>' || text || '{tail}' AS html
+  FROM documents),
+s AS (
+  SELECT doc_id, {s1} AS s1 FROM pages),
+sh AS (
+  SELECT doc_id, s1,
+    regexp_replace(s1, '(?is)<head[^>]*>.*?</head>', ' ', 'g') AS s1b
+  FROM s),
+parts AS (
+  SELECT doc_id,
+    {_duck_entities("regexp_extract(s1, '(?is)<title[^>]*>(.*?)</title>', 1)")} AS title_raw,
+    list_transform(
+      regexp_extract_all(s1b, '(?is)<a[^>]*>(.*?)</a>', 1),
+      a -> {collapse.format(e=_duck_entities("regexp_replace(a, '<[^>]*>', ' ', 'g')"))}
+    ) AS anchors,
+    {_duck_entities("regexp_replace(regexp_replace(s1b, '(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/table)[^>]*>', chr(10), 'g'), '<[^>]*>', ' ', 'g')")} AS s3
+  FROM sh),
+ln AS (
+  SELECT doc_id, title_raw, anchors, s3,
+    list_filter(
+      list_transform(string_split(s3, chr(10)),
+                     l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))),
+      l -> l <> '' AND len(string_split(l, ' ')) >= 3) AS kept,
+    length(trim(regexp_replace(regexp_replace(s3, chr(10), ' ', 'g'),
+                               '\\s+', ' ', 'g'))) AS total_chars
+  FROM parts)
+SELECT doc_id,
+  trim(regexp_replace(title_raw, '\\s+', ' ', 'g')) AS title,
+  CAST(len(anchors) AS BIGINT) AS n_links,
+  CASE WHEN total_chars > 0 THEN
+    ROUND(CAST(COALESCE(list_sum(list_transform(anchors, a -> length(a))), 0)
+               AS DOUBLE) / total_chars, 6) END AS link_char_frac,
+  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+  CAST(total_chars AS BIGINT) AS n_text_chars,
+  md5(array_to_string(kept, chr(10))) AS text_md5
+FROM ln
+"""
+
+
+ORACLES["text_html_extract"] = _html_oracle()

@@ -742,3 +742,36 @@ def test_importance_resample_exact_membership(spark):
     assert got == expected
     # the rare group is upsampled: fr accept rate min(1, .6*50/20)=1.0
     assert all(i in got for i, lang in rows if lang == "fr")
+
+
+def test_html_extract(spark):
+    """Script/style removal, title + entity decode, link audit, and the
+    short-line boilerplate filter, pinned on a handcrafted page."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        html_extract,
+    )
+
+    page = (
+        "<html><head><title>My &amp; Your Page</title>"
+        "<style>body { color: red; }</style></head><body>"
+        '<div class="nav"><a href="/">Home</a> <a href="/up">Up</a></div>'
+        "<script>if (1 < 2) { alert('x'); }</script>"
+        "<p>this paragraph has plenty of words to keep</p>"
+        "<p>tiny one</p>"
+        '<div class="footer"><a href="/c">Contact &amp; help</a></div>'
+        "</body></html>"
+    )
+    docs = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    r = html_extract(docs, "doc_id", "html").collect()[0]
+    assert r["title"] == "My & Your Page"
+    assert r["n_links"] == 3
+    # head (title+style) never leaks into body text; kept lines: nav
+    # "Home Up" (2 words, dropped), the long paragraph (kept), "tiny
+    # one" (dropped), footer "Contact & help" (3 words, kept)
+    assert r["n_lines_kept"] == 2
+    anchors = ["Home", "Up", "Contact & help"]
+    total = len("Home Up this paragraph has plenty of words to keep tiny one Contact & help")
+    assert r["n_text_chars"] == total
+    assert r["link_char_frac"] == round(
+        sum(len(a) for a in anchors) / total, 6
+    )
