@@ -77,6 +77,7 @@ HEADLINE = [
     "text_snapshot_delta",
     "hybrid_search_rrf",
     "text_html_extract",
+    "text_url_normalize",
     "multimodal_image_features",
     "q_grouping_sets",
     "q_skew_salted_join",

@@ -1191,3 +1191,52 @@ def html_extract(
         total_chars.cast("long").alias("n_text_chars"),
         F.md5(text).alias("text_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + domain extraction (crawl-curation companions)
+# ---------------------------------------------------------------------------
+
+# tracking params dropped during canonicalization (the common CC/C4
+# URL-dedup hygiene set); RE2-safe alternation
+_URL_TRACKING = r"(?:utm_[a-z]+|gclid|fbclid|ref)"
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL for URL-level dedup / blocklist joins:
+
+      1. trim, drop the #fragment;
+      2. lowercase scheme://host (path/query case is significant);
+      3. strip default ports (:80 for http, :443 for https);
+      4. remove tracking query params (utm_*, gclid, fbclid, ref) —
+         a bounded replace chain handles up to 3 consecutive ones;
+      5. tidy separators ('?&' → '?', trailing '?'/'&'/'/' dropped).
+
+    Pure RE2-safe regex (no lookaround — port stripping enumerates the
+    three follow contexts instead), so the DuckDB twin reproduces the
+    canonical form byte-for-byte; one narrow JVM map."""
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    pre = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    u = F.concat(F.lower(pre), F.substr(u, F.length(pre) + F.lit(1)))
+    for scheme, port in (("http", "80"), ("https", "443")):
+        for ctx, repl in (("/", "$1/"), (r"\?", "$1?"), ("$", "$1")):
+            u = F.regexp_replace(
+                u, f"^({scheme}://[^/:?#]+):{port}{ctx}", repl
+            )
+    for _ in range(3):
+        u = F.regexp_replace(u, f"([?&]){_URL_TRACKING}=[^&]*&", "$1")
+    u = F.regexp_replace(u, f"[?&]{_URL_TRACKING}=[^&]*$", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    return F.regexp_replace(u, r"^(.*[^/])/$", "$1")
+
+
+def url_domain(norm_url: Column) -> Column:
+    """Registrable-domain approximation from a normalized URL: the last
+    two dot-labels of the host (a public-suffix list would refine
+    co.uk-style hosts; the two-label form is the deterministic,
+    dependency-free variant)."""
+    host = F.regexp_extract(
+        norm_url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1
+    )
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)

@@ -2191,3 +2191,105 @@ FROM ln
 
 
 ORACLES["text_html_extract"] = _html_oracle()
+
+
+_URL_BLOCKLIST = ["src3.com", "src7.org", "src12.com"]
+
+
+def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable-domain extraction + blocklist
+    verdict over deterministically synthesized messy URLs (upper-case
+    scheme/host, default ports, tracking params, fragments, trailing
+    slashes) — the crawl-side hygiene pass before URL-level dedup; see
+    operators.text_analysis.normalize_url / url_domain."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        normalize_url,
+        url_domain,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.when(d % 11 == 0, "HTTPS://").otherwise(F.lit("https://")),
+        F.lit("WWW."),
+        F.col("source"),
+        F.when(d % 2 == 0, ".com").otherwise(F.lit(".org")),
+        F.when(d % 7 == 0, ":443").otherwise(F.lit("")),
+        F.lit("/posts/"),
+        d.cast("string"),
+        F.when(d % 13 == 0, "/").otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
+        .when(d % 5 == 1, F.concat(F.lit("?id="), d.cast("string"), F.lit("&utm_medium=email")))
+        .when(d % 5 == 2, F.lit("?gclid=abc123"))
+        .when(d % 5 == 3, F.lit("#section-2"))
+        .otherwise(F.lit("")),
+    )
+    norm = normalize_url(raw)
+    dom = url_domain(norm)
+    status = F.when(dom.isin(*_URL_BLOCKLIST), "blocked").otherwise(
+        F.lit("kept")
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_url"),
+        dom.alias("domain"),
+        status.alias("status"),
+    )
+
+
+QUERIES["text_url_normalize"] = text_url_normalize
+
+
+def _duck_norm_url(var: str) -> str:
+    """DuckDB mirror of operators.text_analysis.normalize_url — same
+    step order, \\1-style replacement backrefs, explicit 'g' flags."""
+    pre = "regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
+    u = f"regexp_replace(trim({var}), '#.*$', '', 'g')"
+    u = (
+        f"lower({pre.format(u=u)}) || "
+        f"substr({u}, length({pre.format(u=u)}) + 1)"
+    )
+    for scheme, port in (("http", "80"), ("https", "443")):
+        for ctx, repl in (("/", r"\1/"), (r"\?", r"\1?"), ("$", r"\1")):
+            u = (
+                f"regexp_replace({u}, "
+                f"'^({scheme}://[^/:?#]+):{port}{ctx}', '{repl}', 'g')"
+            )
+    trk = "(?:utm_[a-z]+|gclid|fbclid|ref)"
+    for _ in range(3):
+        u = f"regexp_replace({u}, '([?&]){trk}=[^&]*&', '\\1', 'g')"
+    u = f"regexp_replace({u}, '[?&]{trk}=[^&]*$', '', 'g')"
+    u = f"regexp_replace({u}, '\\?&', '?', 'g')"
+    u = f"regexp_replace({u}, '[?&]$', '', 'g')"
+    return f"regexp_replace({u}, '^(.*[^/])/$', '\\1', 'g')"
+
+
+ORACLES["text_url_normalize"] = f"""
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 11 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+    || 'WWW.' || source
+    || (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+    || '/posts/' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END)
+    || (CASE doc_id % 5
+        WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+        WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=email'
+        WHEN 2 THEN '?gclid=abc123'
+        WHEN 3 THEN '#section-2'
+        ELSE '' END) AS u0
+  FROM documents),
+n AS (
+  SELECT doc_id, {_duck_norm_url('u0')} AS norm_url FROM raw),
+d AS (
+  SELECT doc_id, norm_url,
+    regexp_extract(
+      regexp_extract(norm_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+      '([^.]+\\.[^.]+)$', 1) AS domain
+  FROM n)
+SELECT doc_id, norm_url, domain,
+  CASE WHEN domain IN ({", ".join("'" + b + "'" for b in _URL_BLOCKLIST)})
+       THEN 'blocked' ELSE 'kept' END AS status
+FROM d
+"""

@@ -775,3 +775,35 @@ def test_html_extract(spark):
     assert r["link_char_frac"] == round(
         sum(len(a) for a in anchors) / total, 6
     )
+
+
+def test_normalize_url_and_domain(spark):
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        normalize_url,
+        url_domain,
+    )
+
+    cases = [
+        # (raw, expected_norm, expected_domain)
+        ("HTTPS://WWW.Example.COM:443/a/b?x=1#frag",
+         "https://www.example.com/a/b?x=1", "example.com"),
+        ("http://site.org:80/", "http://site.org", "site.org"),
+        ("https://a.b.co/p?utm_source=x&utm_medium=y&id=7",
+         "https://a.b.co/p?id=7", "b.co"),
+        ("https://x.com/p?id=7&utm_campaign=z", "https://x.com/p?id=7",
+         "x.com"),
+        ("https://x.com/p?gclid=abc", "https://x.com/p", "x.com"),
+        ("https://x.com/deep/path/", "https://x.com/deep/path", "x.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i long, url string"
+    )
+    from pyspark.sql import functions as F
+
+    out = df.select(
+        "i",
+        normalize_url(F.col("url")).alias("n"),
+    ).withColumn("d", url_domain(F.col("n")))
+    got = {r["i"]: (r["n"], r["d"]) for r in out.collect()}
+    for i, (_, n, d) in enumerate(cases):
+        assert got[i] == (n, d), (i, got[i], (n, d))
