@@ -78,6 +78,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "text_html_extract",
     "text_url_normalize",
+    "llm_tokenize_pack",
     "multimodal_image_features",
     "q_grouping_sets",
     "q_skew_salted_join",

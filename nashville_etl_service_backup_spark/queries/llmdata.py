@@ -2293,3 +2293,75 @@ SELECT doc_id, norm_url, domain,
        THEN 'blocked' ELSE 'kept' END AS status
 FROM d
 """
+
+
+def llm_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataloader-prep composition: quality funnel → BPE tokenization
+    (the fixed 8-merge table) → concatenate-then-chunk packing into
+    384-token context windows across 8 hash streams, reported as
+    per-pack occupancy. Pins the funnel→tokenizer→packer CHAIN — the
+    batch-shaping pipeline a pretraining loader runs — the way
+    llm_corpus_curation pins the funnel→dedup→split chain."""
+    from pyspark.sql.window import Window
+
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        bpe_segment_counts,
+        hash_bucket,
+    )
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    _, survivors = _funnel_split(docs, keep_cols=("doc_id",))
+    kept = survivors.filter(F.col("late_verdict") == "kept").select(
+        "doc_id", "text"
+    )
+    counts = bpe_segment_counts(kept, "doc_id", "text", _BPE_MERGES).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    base = counts.withColumn("stream", hash_bucket(F.col("doc_id"), 8))
+    w = Window.partitionBy("stream").orderBy("doc_id")
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = base.withColumn("start_offset", start).withColumn(
+        "pack_id", F.floor(F.col("start_offset") / F.lit(384.0)).cast("long")
+    )
+    return (
+        packed.groupBy("stream", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("stream", "pack_id")
+    )
+
+
+QUERIES["llm_tokenize_pack"] = llm_tokenize_pack
+
+ORACLES["llm_tokenize_pack"] = f"""
+WITH {_FUNNEL_CTES},
+keptd AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN rv ON d.doc_id = rv.doc_id
+  WHERE rv.verdict = 'kept'),
+cnt AS (
+  SELECT doc_id,
+    CAST(COALESCE(list_sum(list_transform({_TOKS_O}, w ->
+      len(list_filter(string_split({_bpe_encode_chain('w')}, '|'),
+                      x -> x <> '')))), 0) AS BIGINT) AS n_tokens,
+    CAST(list_sum(list_transform(range(1, 9), i ->
+      (strpos('0123456789abcdef',
+              substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+      * pow(16, 8 - i))) AS BIGINT) % 8 AS stream
+  FROM keptd),
+o AS (
+  SELECT doc_id, n_tokens, stream,
+    SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  FROM cnt)
+SELECT stream, CAST(floor(start_offset / 384.0) AS BIGINT) AS pack_id,
+  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM o
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
