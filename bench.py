@@ -79,6 +79,7 @@ HEADLINE = [
     "text_html_extract",
     "text_url_normalize",
     "llm_tokenize_pack",
+    "sim_ann_jl",
     "multimodal_image_features",
     "q_grouping_sets",
     "q_skew_salted_join",

@@ -2365,3 +2365,64 @@ FROM o
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def sim_ann_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via Johnson–Lindenstrauss compression: 64→32-dim
+    md5-derived projection, projected-cosine top-100 shortlist,
+    exact-cosine re-rank — the training-free compression rung of the
+    similarity ladder (see similarity.jl_topk). Exact-oracled: the 16
+    projection planes are embedded as float literals on both sides."""
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        jl_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    return jl_topk(emb.filter(F.col("vec_id") != 0), query, k=10)
+
+
+QUERIES["sim_ann_jl"] = sim_ann_jl
+
+
+def _jl_oracle(out_dim: int = 32, shortlist: int = 100, k: int = 10) -> str:
+    plane_defs = ", ".join(
+        f"{_float_plane_list(100 + j)} AS jp{j}" for j in range(out_dim)
+    )
+    pv = ", ".join(
+        f"list_sum(list_transform(range(1, 65), i -> v[i] * jp{j}[i])) AS pv{j}"
+        for j in range(out_dim)
+    )
+    qv = ", ".join(
+        f"list_sum(list_transform(range(1, 65), i -> qv[i] * jp{j}[i])) AS qp{j}"
+        for j in range(out_dim)
+    )
+    pvl = "[" + ", ".join(f"pv{j}" for j in range(out_dim)) + "]"
+    qpl = "[" + ", ".join(f"qp{j}" for j in range(out_dim)) + "]"
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (SELECT {plane_defs}),
+q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+proj AS (
+  SELECT vec_id, label, v, {pv}
+  FROM v, planes WHERE vec_id <> 0),
+qproj AS (SELECT {qv} FROM q, planes),
+pc AS (
+  SELECT vec_id, label, v,
+    {_cos_sql(pvl, qpl, out_dim)} AS pcos
+  FROM proj, qproj),
+short AS (
+  SELECT vec_id, label, v FROM pc
+  ORDER BY pcos DESC, vec_id ASC LIMIT {shortlist}),
+rer AS (
+  SELECT s.vec_id, s.label, {_cos_sql('s.v', 'q.qv')} AS c
+  FROM short s, q)
+SELECT vec_id, label, ROUND(c, 4) AS cosine
+FROM rer ORDER BY c DESC, vec_id ASC LIMIT {k}
+"""
+
+
+ORACLES["sim_ann_jl"] = _jl_oracle()

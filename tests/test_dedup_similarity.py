@@ -395,3 +395,32 @@ def test_snapshot_delta(spark):
         for r in snapshot_delta(old, new, "doc_id", "fp").collect()
     }
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_jl_topk_recall_vs_bruteforce(spark):
+    """JL-compressed shortlist + exact re-rank must recover most of the
+    true top-10 (the 16-dim projection preserves angles within the JL
+    bound; re-rank makes hits exact)."""
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        as_double,
+        cosine_topk,
+        jl_topk,
+    )
+    from nashville_etl_service_backup_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    base = emb.filter(F.col("vec_id") != 0)
+    truth = {r["vec_id"] for r in cosine_topk(base, query, k=10).collect()}
+    got = {r["vec_id"] for r in jl_topk(base, query, k=10).collect()}
+    assert len(truth & got) >= 7
+    # exactness of hits: re-ranked cosines equal brute-force cosines
+    t = {r["vec_id"]: r["cosine"] for r in cosine_topk(base, query, k=10).collect()}
+    g = {r["vec_id"]: r["cosine"] for r in jl_topk(base, query, k=10).collect()}
+    for vid in truth & got:
+        assert t[vid] == g[vid]
