@@ -86,6 +86,7 @@ HEADLINE = [
     "q_ring_centroid",
     "q_funnel",
     "q_cohort_retention",
+    "q_scd2_customers",
 ]
 
 

@@ -194,3 +194,62 @@ def write_partitioned(
     (PartitionFilters), the Spark replacement for the reference's
     `(source, event_date, name)` btree-assisted scans."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    from_col: str = "valid_from",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: apply a batch of updates
+    to a versioned dimension, opening a new version for every key whose
+    tracked attributes actually CHANGED (no-op updates are dropped) and
+    closing the superseded version.
+
+    Input contract: ``current`` carries (key, attrs..., valid_from) —
+    the full version history so far; ``updates`` carries (key, attrs...,
+    valid_from) with the batch's effective timestamp. Output: (key,
+    attrs..., valid_from, valid_to, is_current) where valid_to is the
+    next version's valid_from (NULL while current) and is_current is
+    1/0 — the standard warehouse SCD2 shape (Kimball).
+
+    Scale shape: change detection is one equi-join of the update batch
+    against only the CURRENT version rows (is-latest via max-window per
+    key — map-side combinable agg + broadcastable when the batch is
+    small); versioning is a per-key window over the (tiny) per-key
+    version chain, shuffled by key once. No full-history rewrite: at
+    production scale the output is partitioned by is_current so closing
+    a version touches two partitions."""
+    from pyspark.sql.window import Window
+
+    latest = Window.partitionBy(key_col)
+    cur_latest = (
+        current.withColumn("_max_from", F.max(from_col).over(latest))
+        .filter(F.col(from_col) == F.col("_max_from"))
+        .drop("_max_from")
+    )
+    changed = F.lit(False)
+    upd = updates.alias("u").join(
+        cur_latest.alias("c"), on=key_col, how="left"
+    )
+    for a in attr_cols:
+        changed = changed | ~F.col(f"u.{a}").eqNullSafe(F.col(f"c.{a}"))
+    new_rows = upd.filter(
+        F.col(f"c.{from_col}").isNull() | changed
+    ).select(key_col, *[F.col(f"u.{a}") for a in attr_cols], f"u.{from_col}")
+    versions = current.select(key_col, *attr_cols, from_col).unionByName(
+        new_rows
+    )
+    w = Window.partitionBy(key_col).orderBy(from_col)
+    valid_to = F.lead(from_col).over(w)
+    return versions.select(
+        key_col,
+        *attr_cols,
+        from_col,
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).cast("int").alias(
+            "is_current"
+        ),
+    )

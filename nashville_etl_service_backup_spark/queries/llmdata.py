@@ -2426,3 +2426,79 @@ FROM rer ORDER BY c DESC, vec_id ASC LIMIT {k}
 
 
 ORACLES["sim_ann_jl"] = _jl_oracle()
+
+
+def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintenance (Kimball type-2) over the customer
+    dimension: a two-deep synthetic version history (every 11th key
+    already has a second version) merged with an update batch where
+    every 13th key changes market segment and every 17th key is a
+    NO-OP update (must open no version); see plans.load.scd2_merge."""
+    from nashville_etl_service_backup_spark.plans.load import scd2_merge
+
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.lit("2025-01-01").alias("valid_from"),
+    )
+    second = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        "c_custkey", "c_mktsegment",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("2025-03-01").alias("valid_from"),
+    )
+    current = base.unionByName(second)
+    updates = cust.filter(
+        (F.col("c_custkey") % 13 == 0) | (F.col("c_custkey") % 17 == 0)
+    ).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 13 == 0, "MACHINERY")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(
+            F.col("c_custkey") % 11 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        F.lit("2025-06-01").alias("valid_from"),
+    )
+    return scd2_merge(
+        current, updates, "c_custkey", ["c_mktsegment", "c_acctbal"]
+    )
+
+
+QUERIES["q_scd2_customers"] = q_scd2_customers
+
+ORACLES["q_scd2_customers"] = """
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal, '2025-01-01' AS valid_from
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_acctbal + 100.0, '2025-03-01'
+  FROM customer WHERE c_custkey % 11 = 0),
+upd AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 13 = 0 THEN 'MACHINERY' ELSE c_mktsegment END
+      AS c_mktsegment,
+    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END
+      AS c_acctbal,
+    '2025-06-01' AS valid_from
+  FROM customer WHERE c_custkey % 13 = 0 OR c_custkey % 17 = 0),
+latest AS (
+  SELECT * FROM (
+    SELECT cur.*,
+      ROW_NUMBER() OVER (PARTITION BY c_custkey
+                         ORDER BY valid_from DESC) AS rn
+    FROM cur) WHERE rn = 1),
+chg AS (
+  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal, u.valid_from
+  FROM upd u JOIN latest c USING (c_custkey)
+  WHERE u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+     OR u.c_acctbal IS DISTINCT FROM c.c_acctbal),
+vers AS (
+  SELECT * FROM cur UNION ALL SELECT * FROM chg)
+SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+  LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
+    AS valid_to,
+  CAST(CASE WHEN LEAD(valid_from) OVER (PARTITION BY c_custkey
+                                        ORDER BY valid_from) IS NULL
+       THEN 1 ELSE 0 END AS INT) AS is_current
+FROM vers
+"""

@@ -139,3 +139,40 @@ def test_jdbc_upsert_on_conflict_do_nothing(spark, tmp_path):
     assert set(rows) == {"u1", "u2", "u3"}
     assert rows["u2"] in ("Show B", "Show B dup")  # first batch won
     assert rows["u2"] != "CHANGED"  # conflict row NOT applied
+
+
+def test_scd2_merge(spark):
+    """Changed keys open a new version and close the old; no-op updates
+    open nothing; brand-new keys insert as current."""
+    from nashville_etl_service_backup_spark.plans.load import scd2_merge
+
+    current = spark.createDataFrame(
+        [
+            (1, "A", 10.0, "2025-01-01"),
+            (2, "B", 20.0, "2025-01-01"),
+            (2, "C", 20.0, "2025-03-01"),  # key 2 already versioned
+            (3, "D", 30.0, "2025-01-01"),
+        ],
+        "k long, seg string, bal double, valid_from string",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "A2", 10.0, "2025-06-01"),  # changed segment
+            (2, "C", 20.0, "2025-06-01"),   # no-op vs latest (C)
+            (3, "D", 30.0, "2025-06-01"),   # no-op
+            (4, "E", 40.0, "2025-06-01"),   # brand-new key
+        ],
+        "k long, seg string, bal double, valid_from string",
+    )
+    out = scd2_merge(current, updates, "k", ["seg", "bal"])
+    rows = {
+        (r["k"], r["valid_from"]): (r["seg"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    }
+    assert rows[(1, "2025-01-01")] == ("A", "2025-06-01", 0)
+    assert rows[(1, "2025-06-01")] == ("A2", None, 1)
+    assert rows[(2, "2025-01-01")] == ("B", "2025-03-01", 0)
+    assert rows[(2, "2025-03-01")] == ("C", None, 1)  # no-op: stays open
+    assert rows[(3, "2025-01-01")] == ("D", None, 1)
+    assert rows[(4, "2025-06-01")] == ("E", None, 1)
+    assert len(rows) == 6
