@@ -87,6 +87,7 @@ HEADLINE = [
     "q_funnel",
     "q_cohort_retention",
     "q_scd2_customers",
+    "q_bloom_prune_join",
 ]
 
 

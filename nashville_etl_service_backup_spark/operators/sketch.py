@@ -366,3 +366,80 @@ hit AS (
 SELECT {gsel}{', '.join(ests)}
 FROM hit
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (deterministic, engine-portable) + broadcast-bitmap pruning
+# ---------------------------------------------------------------------------
+#
+# Bloom 1970, "Space/time trade-offs in hash coding with allowable
+# errors". The set-membership sketch behind engine-side semi-join
+# reduction (Spark's own spark.sql.optimizer.runtimeFilter.* injects
+# exactly this shape at planning time; this is the explicit, portable
+# twin). Positions are md5-derived via the same `_bucket` seed-hash the
+# CMS uses, so a DuckDB oracle derives the identical bit set and the
+# verdicts hash-match.
+#
+# Guarantees: NO false negatives ever (every inserted key's k positions
+# are set); false-positive rate ≈ (1 - e^(-k·n/m))^k for n inserted
+# keys — callers size m accordingly. Bits form a commutative monoid
+# under OR (union+distinct here), so per-partition / per-day filters
+# merge exactly.
+
+BLOOM_K = 4
+BLOOM_M = 1024
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, k: int = BLOOM_K, m: int = BLOOM_M
+) -> DataFrame:
+    """Set-bit positions (pos) of the filter over df[key_col]: one
+    narrow k-way explode + a distinct capped at m rows — the sketch
+    never exceeds m rows regardless of input size."""
+    key = F.col(key_col).cast("string")
+    return (
+        df.select(
+            F.explode(
+                F.array(*[_bucket(key, i, m) for i in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Union + distinct: set bits form a commutative monoid under OR,
+    so filters built over disjoint (or overlapping) slices combine into
+    exactly the filter of the union."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.distinct()
+
+
+def bloom_bitstring(bloom: DataFrame, m: int = BLOOM_M) -> str:
+    """Materialize the ≤m-row position frame as an m-char '0'/'1'
+    string — the broadcast-able model artifact (m/8 bytes of real
+    payload; like the IVF centroid table, this is a justified collect:
+    the driver only ever sees the fixed-size sketch, never data)."""
+    pos = {r["pos"] for r in bloom.collect()}
+    return "".join("1" if i in pos else "0" for i in range(m))
+
+
+def bloom_might_contain(
+    bits: str, key: Column, k: int = BLOOM_K, m: int = BLOOM_M
+) -> Column:
+    """Pure narrow membership verdict against a bloom_bitstring: AND of
+    k substring probes into the broadcast bit literal — zero shuffle,
+    zero join on the probe side. This is the scan-side pruning shape:
+    stick it in a filter() and the big table never shuffles for the
+    semi-join."""
+    key = key.cast("string")
+    verdict = F.lit(True)
+    for i in range(k):
+        # substring is 1-based; _bucket yields [0, m)
+        probe = F.substring(
+            F.lit(bits), (_bucket(key, i, m) + 1).cast("int"), F.lit(1)
+        )
+        verdict = verdict & (probe == "1")
+    return verdict

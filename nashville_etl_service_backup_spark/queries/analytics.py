@@ -265,9 +265,57 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(true, "user_id").orderBy("user_id")
 
 
+
+
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: build a 1024-bit / 4-hash
+    filter over the BUILDING-segment customer keys, broadcast it as a
+    bit-literal, and gate the orders fact scan with a pure narrow
+    membership verdict (zero shuffle on the probe side — the explicit,
+    engine-portable twin of Spark's runtime bloom-filter join pruning).
+    Per priority bucket: total rows, bloom survivors, exact semi-join
+    survivors, and false positives — the no-false-negatives guarantee
+    means exact_match ≤ bloom_pass row-for-row."""
+    from nashville_etl_service_backup_spark.operators.sketch import (
+        bloom_bitstring,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bits = bloom_bitstring(bloom_build(dim, "c_custkey"))
+    orders = load(spark, sf_dir, "orders")
+    exact = dim.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+        "_ex", F.lit(1)
+    )
+    flagged = orders.select(
+        "o_orderpriority",
+        "o_custkey",
+        bloom_might_contain(bits, F.col("o_custkey"))
+        .cast("int")
+        .alias("bloom_pass"),
+    ).join(F.broadcast(exact), "o_custkey", "left")
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("total_orders"),
+            F.sum("bloom_pass").alias("bloom_pass"),
+            F.sum(F.coalesce(F.col("_ex"), F.lit(0))).alias("exact_match"),
+            F.sum(
+                F.when(
+                    (F.col("bloom_pass") == 1) & F.col("_ex").isNull(), 1
+                ).otherwise(0)
+            ).alias("false_positives"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_cms_user_counts": q_cms_user_counts,
+    "q_bloom_prune_join": q_bloom_prune_join,
     "q_grouping_sets": q_grouping_sets,
     "q_skew_salted_join": q_skew_salted_join,
     "q_ring_centroid": q_ring_centroid,
@@ -338,8 +386,38 @@ _APPROX_PCT_ORACLE = hist_quantiles_oracle_sql(
     [0.25, 0.5, 0.95],
 )
 
+
+_BLOOM_ORACLE = f"""
+WITH dim AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+bloom AS (
+  SELECT DISTINCT {_cms_bucket_sql('c_custkey', 'r.i', 1024)} AS pos
+  FROM dim, range(0, 4) r(i)),
+probe AS (
+  SELECT o.o_orderkey, o.o_orderpriority, o.o_custkey,
+         SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hits
+  FROM (SELECT o_orderkey, o_orderpriority, o_custkey,
+          {_cms_bucket_sql('o_custkey', 'r.i', 1024)} AS pos
+        FROM orders, range(0, 4) r(i)) o
+  LEFT JOIN bloom b USING (pos)
+  GROUP BY 1, 2, 3),
+flag AS (
+  SELECT o_orderpriority,
+    CASE WHEN hits = 4 THEN 1 ELSE 0 END AS bloom_pass,
+    CASE WHEN o_custkey IN (SELECT c_custkey FROM dim) THEN 1 ELSE 0 END AS ex
+  FROM probe)
+SELECT o_orderpriority,
+  COUNT(*) AS total_orders,
+  CAST(SUM(bloom_pass) AS BIGINT) AS bloom_pass,
+  CAST(SUM(ex) AS BIGINT) AS exact_match,
+  CAST(SUM(CASE WHEN bloom_pass = 1 AND ex = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS false_positives
+FROM flag GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLES = {
     "q_cms_user_counts": _CMS_ORACLE,
+    "q_bloom_prune_join": _BLOOM_ORACLE,
     "q_lag_lead": """
 SELECT event_id, user_id,
   LAG(event_id) OVER w AS prev_event_id,

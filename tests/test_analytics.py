@@ -135,3 +135,31 @@ def test_cms_overcount_invariant_and_merge(spark):
         (r["row_idx"], r["bucket"]): r["cnt"] for r in cms.collect()
     }
     assert merged == whole
+
+
+def test_bloom_filter_no_false_negatives_and_merge(spark):
+    """Every inserted key passes (no false negatives — the bloom
+    guarantee); merging per-slice filters equals the filter of the
+    union (OR-monoid)."""
+    from nashville_etl_service_backup_spark.operators.sketch import (
+        bloom_bitstring,
+        bloom_build,
+        bloom_merge,
+        bloom_might_contain,
+    )
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 40).withColumnRenamed("id", "k")
+    b = spark.range(40, 80).withColumnRenamed("id", "k")
+    merged = bloom_merge(bloom_build(a, "k"), bloom_build(b, "k"))
+    whole = bloom_build(a.unionByName(b), "k")
+    assert {r["pos"] for r in merged.collect()} == {
+        r["pos"] for r in whole.collect()
+    }
+    bits = bloom_bitstring(whole)
+    hits = (
+        a.unionByName(b)
+        .select(bloom_might_contain(bits, F.col("k")).alias("ok"))
+        .collect()
+    )
+    assert all(r["ok"] for r in hits)
