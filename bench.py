@@ -88,6 +88,7 @@ HEADLINE = [
     "q_cohort_retention",
     "q_scd2_customers",
     "q_bloom_prune_join",
+    "q_profile_events",
 ]
 
 

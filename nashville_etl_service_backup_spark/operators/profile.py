@@ -1,0 +1,72 @@
+"""Data-quality profiling: per-column completeness / cardinality /
+range stats in ONE aggregation pass (the Deequ/`ANALYZE TABLE` shape —
+the generalization of the reference's per-run field-validation counters,
+transform_data.py required-field checks).
+
+Scale shape: every metric is an aggregate over the same scan — one job,
+one map-side-combinable aggregate (the exact distinct counts ride
+Spark's Expand operator: one shuffle total, rows multiplied by the
+column count, the standard multi-count-distinct plan). The result is
+exactly ``len(cols)`` rows however large the input. At 100 TB swap the
+exact count_distinct for the portable HLL sketch (operators/sketch.py
+``hll_registers``) column-by-column if the Expand multiplication bites;
+the output contract is unchanged.
+
+Cross-engine determinism: MIN/MAX aggregate the NATIVE values (never
+pre-stringified — lexicographic order diverges from numeric order) and
+only the final scalar is stringified: numerics via round(x,6) →
+DECIMAL(28,6) → string (the repo-wide formula), timestamps via a
+micros-precision format, everything else via plain cast; completeness
+is one correctly-rounded double division of exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"double", "float", "int", "bigint", "smallint", "tinyint"}
+
+
+def _stringify(c: Column, dtype: str) -> Column:
+    """Engine-portable stringification of an aggregated scalar."""
+    if dtype in _NUMERIC or dtype.startswith("decimal"):
+        return F.round(c.cast("double"), 6).cast("decimal(28,6)").cast("string")
+    if dtype.startswith("timestamp"):
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    return c.cast("string")
+
+
+def profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One row per profiled column: (column, n_rows, n_null,
+    completeness, n_distinct, min_val, max_val)."""
+    dtypes = dict(df.dtypes)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"_rows_{c}"),
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).alias(f"_mn_{c}"),
+            F.max(F.col(c)).alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_rows_{c}").alias("n_rows"),
+                (F.col(f"_rows_{c}") - F.col(f"_nn_{c}")).alias("n_null"),
+                F.round(
+                    F.col(f"_nn_{c}").cast("double")
+                    / F.col(f"_rows_{c}").cast("double"),
+                    6,
+                ).alias("completeness"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                _stringify(F.col(f"_mn_{c}"), dtypes[c]).alias("min_val"),
+                _stringify(F.col(f"_mx_{c}"), dtypes[c]).alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

@@ -312,10 +312,31 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (operators/profile.py) of the serving
+    events view — per-column completeness, exact cardinality, min/max —
+    with a derived purchase_value column (value is only meaningful for
+    purchase events) so null-rate accounting is exercised on real
+    gaps. One aggregation pass; output is exactly one row per column."""
+    from nashville_etl_service_backup_spark.operators.profile import profile
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    return profile(
+        ev, ["event_id", "ts", "user_id", "event_type", "value",
+             "purchase_value"]
+    ).orderBy("column")
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_cms_user_counts": q_cms_user_counts,
     "q_bloom_prune_join": q_bloom_prune_join,
+    "q_profile_events": q_profile_events,
     "q_grouping_sets": q_grouping_sets,
     "q_skew_salted_join": q_skew_salted_join,
     "q_ring_centroid": q_ring_centroid,
@@ -415,9 +436,51 @@ FROM flag GROUP BY 1 ORDER BY 1
 """
 
 
+
+_PROFILE_ORACLE = """
+WITH src AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+    CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+  FROM events),
+a AS (SELECT COUNT(*) AS n,
+  COUNT(event_id) AS nn_event_id, COUNT(DISTINCT event_id) AS nd_event_id, MIN(event_id) AS mn_event_id, MAX(event_id) AS mx_event_id,
+  COUNT(ts) AS nn_ts, COUNT(DISTINCT ts) AS nd_ts, MIN(ts) AS mn_ts, MAX(ts) AS mx_ts,
+  COUNT(user_id) AS nn_user_id, COUNT(DISTINCT user_id) AS nd_user_id, MIN(user_id) AS mn_user_id, MAX(user_id) AS mx_user_id,
+  COUNT(event_type) AS nn_event_type, COUNT(DISTINCT event_type) AS nd_event_type, MIN(event_type) AS mn_event_type, MAX(event_type) AS mx_event_type,
+  COUNT(value) AS nn_value, COUNT(DISTINCT value) AS nd_value, MIN(value) AS mn_value, MAX(value) AS mx_value,
+  COUNT(purchase_value) AS nn_purchase_value, COUNT(DISTINCT purchase_value) AS nd_purchase_value, MIN(purchase_value) AS mn_purchase_value, MAX(purchase_value) AS mx_purchase_value
+  FROM src)
+SELECT 'event_id' AS "column", n AS n_rows, n - nn_event_id AS n_null,
+  ROUND(CAST(nn_event_id AS DOUBLE) / CAST(n AS DOUBLE), 6) AS completeness,
+  nd_event_id AS n_distinct, CAST(CAST(ROUND(CAST(mn_event_id AS DOUBLE), 6) AS DECIMAL(28,6)) AS VARCHAR) AS min_val, CAST(CAST(ROUND(CAST(mx_event_id AS DOUBLE), 6) AS DECIMAL(28,6)) AS VARCHAR) AS max_val FROM a
+UNION ALL
+SELECT 'ts' AS "column", n AS n_rows, n - nn_ts AS n_null,
+  ROUND(CAST(nn_ts AS DOUBLE) / CAST(n AS DOUBLE), 6) AS completeness,
+  nd_ts AS n_distinct, strftime(mn_ts, '%Y-%m-%d %H:%M:%S.%f') AS min_val, strftime(mx_ts, '%Y-%m-%d %H:%M:%S.%f') AS max_val FROM a
+UNION ALL
+SELECT 'user_id' AS "column", n AS n_rows, n - nn_user_id AS n_null,
+  ROUND(CAST(nn_user_id AS DOUBLE) / CAST(n AS DOUBLE), 6) AS completeness,
+  nd_user_id AS n_distinct, CAST(CAST(ROUND(CAST(mn_user_id AS DOUBLE), 6) AS DECIMAL(28,6)) AS VARCHAR) AS min_val, CAST(CAST(ROUND(CAST(mx_user_id AS DOUBLE), 6) AS DECIMAL(28,6)) AS VARCHAR) AS max_val FROM a
+UNION ALL
+SELECT 'event_type' AS "column", n AS n_rows, n - nn_event_type AS n_null,
+  ROUND(CAST(nn_event_type AS DOUBLE) / CAST(n AS DOUBLE), 6) AS completeness,
+  nd_event_type AS n_distinct, CAST(mn_event_type AS VARCHAR) AS min_val, CAST(mx_event_type AS VARCHAR) AS max_val FROM a
+UNION ALL
+SELECT 'value' AS "column", n AS n_rows, n - nn_value AS n_null,
+  ROUND(CAST(nn_value AS DOUBLE) / CAST(n AS DOUBLE), 6) AS completeness,
+  nd_value AS n_distinct, CAST(CAST(ROUND(CAST(mn_value AS DOUBLE), 6) AS DECIMAL(28,6)) AS VARCHAR) AS min_val, CAST(CAST(ROUND(CAST(mx_value AS DOUBLE), 6) AS DECIMAL(28,6)) AS VARCHAR) AS max_val FROM a
+UNION ALL
+SELECT 'purchase_value' AS "column", n AS n_rows, n - nn_purchase_value AS n_null,
+  ROUND(CAST(nn_purchase_value AS DOUBLE) / CAST(n AS DOUBLE), 6) AS completeness,
+  nd_purchase_value AS n_distinct, CAST(CAST(ROUND(CAST(mn_purchase_value AS DOUBLE), 6) AS DECIMAL(28,6)) AS VARCHAR) AS min_val, CAST(CAST(ROUND(CAST(mx_purchase_value AS DOUBLE), 6) AS DECIMAL(28,6)) AS VARCHAR) AS max_val FROM a
+ORDER BY "column"
+"""
+
+
 ORACLES = {
     "q_cms_user_counts": _CMS_ORACLE,
     "q_bloom_prune_join": _BLOOM_ORACLE,
+    "q_profile_events": _PROFILE_ORACLE,
     "q_lag_lead": """
 SELECT event_id, user_id,
   LAG(event_id) OVER w AS prev_event_id,

@@ -163,3 +163,23 @@ def test_bloom_filter_no_false_negatives_and_merge(spark):
         .collect()
     )
     assert all(r["ok"] for r in hits)
+
+
+def test_profile_operator(spark):
+    """Completeness counts nulls; min/max are NUMERIC (not
+    lexicographic) for numeric columns; one row per profiled column."""
+    from nashville_etl_service_backup_spark.operators.profile import profile
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(100.0, "a"), (9.0, "b"), (None, "b"), (23.5, None)],
+        "v double, s string",
+    )
+    out = {r["column"]: r for r in profile(df, ["v", "s"]).collect()}
+    assert out["v"]["n_rows"] == 4 and out["v"]["n_null"] == 1
+    assert out["v"]["completeness"] == 0.75
+    assert out["v"]["n_distinct"] == 3
+    # numeric min/max: 9 < 100 numerically though '100...' < '9...'
+    assert out["v"]["min_val"] == "9.000000"
+    assert out["v"]["max_val"] == "100.000000"
+    assert out["s"]["min_val"] == "a" and out["s"]["max_val"] == "b"
