@@ -89,6 +89,7 @@ HEADLINE = [
     "q_scd2_customers",
     "q_bloom_prune_join",
     "q_profile_events",
+    "q_fuzzy_match_parts",
 ]
 
 

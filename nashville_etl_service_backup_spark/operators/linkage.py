@@ -1,0 +1,64 @@
+"""Fuzzy record linkage: blocked edit-distance matching.
+
+The reference deduplicates events on the EXACT key (name, date, venue)
+(load_data.py insert-if-absent); this operator is the fuzzy
+generalization — classic record linkage (Fellegi & Sunter 1969) with
+the standard blocking/candidate/score/resolve pipeline:
+
+1. block     — a cheap deterministic key (first token + coarse length
+               bucket by default) so candidates come from ONE equi-join,
+               never an all-pairs product;
+2. score     — Levenshtein distance on the candidate pairs only
+               (F.levenshtein: JVM-side, whole-stage codegen);
+3. resolve   — best match per probe row via a row_number window over
+               (distance, key) — deterministic tie-break.
+
+Scale shape: the only shuffle is the equi-join on the block key plus
+one window partitioned by probe key. Work is O(Σ block² ) — the block
+key bounds candidate counts exactly the way the MinHash bands bound the
+near-dup joins (dedup.py); pick a tighter block_fn (more tokens, finer
+length buckets) when blocks grow. Nothing here is O(n²) across blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def default_block_key(name: Column) -> Column:
+    """First token, lowercased — drop-last-char / suffix typos never
+    escape the block. Swap in a (token, length-bucket) pair or a
+    phonetic key for other error models."""
+    return F.lower(F.split(name, " ")[0])
+
+
+def blocked_fuzzy_join(
+    probe: DataFrame,
+    catalog: DataFrame,
+    probe_name: str,
+    catalog_name: str,
+    max_dist: int = 3,
+    block_fn=default_block_key,
+) -> DataFrame:
+    """Candidate pairs (probe.*, catalog.*, dist) with edit distance ≤
+    max_dist, generated via the block-key equi-join only."""
+    p = probe.withColumn("_blk", block_fn(F.col(probe_name)))
+    c = catalog.withColumn("_blk", block_fn(F.col(catalog_name)))
+    cand = p.join(c, "_blk").drop("_blk")
+    dist = F.levenshtein(F.col(probe_name), F.col(catalog_name))
+    return cand.withColumn("dist", dist).filter(F.col("dist") <= max_dist)
+
+
+def resolve_best_match(
+    pairs: DataFrame, probe_key: str, catalog_key: str
+) -> DataFrame:
+    """One row per probe key: the minimum-distance candidate,
+    deterministic tie-break on the catalog key."""
+    w = Window.partitionBy(probe_key).orderBy("dist", catalog_key)
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

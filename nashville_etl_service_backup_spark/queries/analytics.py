@@ -332,11 +332,42 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+
+
+def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (operators/linkage.py): every 7th part name
+    is perturbed (last char dropped — a suffix typo) and linked back to
+    the clean catalog via block-key equi-join + Levenshtein ≤ 3 + a
+    deterministic best-match resolve. The fuzzy generalization of the
+    reference's exact (name, date, venue) dedup key."""
+    from nashville_etl_service_backup_spark.operators.linkage import (
+        blocked_fuzzy_join,
+        resolve_best_match,
+    )
+
+    part = load(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("d_key"),
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("d_name"),
+    )
+    clean = part.select("p_partkey", "p_name")
+    pairs = blocked_fuzzy_join(dirty, clean, "d_name", "p_name", max_dist=3)
+    best = resolve_best_match(pairs, "d_key", "p_partkey")
+    return best.select(
+        "d_key",
+        "d_name",
+        F.col("p_partkey").alias("matched_partkey"),
+        F.col("p_name").alias("matched_name"),
+        "dist",
+    ).orderBy("d_key")
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_cms_user_counts": q_cms_user_counts,
     "q_bloom_prune_join": q_bloom_prune_join,
     "q_profile_events": q_profile_events,
+    "q_fuzzy_match_parts": q_fuzzy_match_parts,
     "q_grouping_sets": q_grouping_sets,
     "q_skew_salted_join": q_skew_salted_join,
     "q_ring_centroid": q_ring_centroid,
@@ -477,10 +508,36 @@ ORDER BY "column"
 """
 
 
+
+_FUZZY_ORACLE = """
+WITH dirty AS (
+  SELECT p_partkey AS d_key,
+    substring(p_name, 1, length(p_name) - 1) AS d_name,
+    lower(split_part(p_name, ' ', 1)) AS blk
+  FROM part WHERE p_partkey % 7 = 0),
+clean AS (
+  SELECT p_partkey, p_name, lower(split_part(p_name, ' ', 1)) AS blk
+  FROM part),
+cand AS (
+  SELECT d.d_key, d.d_name, c.p_partkey, c.p_name,
+    levenshtein(d.d_name, c.p_name) AS dist
+  FROM dirty d JOIN clean c USING (blk)
+  WHERE levenshtein(d.d_name, c.p_name) <= 3),
+rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY d_key
+                               ORDER BY dist, p_partkey) AS rn
+  FROM cand)
+SELECT d_key, d_name, p_partkey AS matched_partkey, p_name AS matched_name,
+  dist
+FROM rn WHERE rn = 1 ORDER BY d_key
+"""
+
+
 ORACLES = {
     "q_cms_user_counts": _CMS_ORACLE,
     "q_bloom_prune_join": _BLOOM_ORACLE,
     "q_profile_events": _PROFILE_ORACLE,
+    "q_fuzzy_match_parts": _FUZZY_ORACLE,
     "q_lag_lead": """
 SELECT event_id, user_id,
   LAG(event_id) OVER w AS prev_event_id,

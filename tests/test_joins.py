@@ -176,3 +176,30 @@ def test_scd2_merge(spark):
     assert rows[(3, "2025-01-01")] == ("D", None, 1)
     assert rows[(4, "2025-06-01")] == ("E", None, 1)
     assert len(rows) == 6
+
+
+def test_blocked_fuzzy_join_and_resolve(spark):
+    """Candidates come only from the block equi-join; best match picks
+    the minimum distance with a deterministic tie-break."""
+    from nashville_etl_service_backup_spark.operators.linkage import (
+        blocked_fuzzy_join,
+        resolve_best_match,
+    )
+
+    catalog = spark.createDataFrame(
+        [(1, "ryman auditorium"), (2, "ryman auditorim"),
+         (3, "bridgestone arena")],
+        "ck long, cname string",
+    )
+    probe = spark.createDataFrame(
+        [(10, "ryman auditoriu"), (11, "exit in")],
+        "pk long, pname string",
+    )
+    pairs = blocked_fuzzy_join(probe, catalog, "pname", "cname", max_dist=3)
+    got = {(r["pk"], r["ck"]): r["dist"] for r in pairs.collect()}
+    # same block 'ryman': both catalog rows are candidates; 'exit in'
+    # has no block partner and 'bridgestone' is never compared
+    assert got == {(10, 1): 1, (10, 2): 1}
+    best = resolve_best_match(pairs, "pk", "ck").collect()
+    assert len(best) == 1
+    assert (best[0]["pk"], best[0]["ck"]) == (10, 1)  # tie → lower key
