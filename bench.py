@@ -90,6 +90,7 @@ HEADLINE = [
     "q_bloom_prune_join",
     "q_profile_events",
     "q_fuzzy_match_parts",
+    "q_pagerank_suppliers",
 ]
 
 

@@ -1,0 +1,111 @@
+"""Graph analytics beyond connected components (operators/dedup.py):
+fixed-iteration PageRank as pure DataFrame algebra.
+
+PageRank (Brin & Page 1998) with damping d: rank'(v) = (1-d)/n +
+d · Σ_{u→v} rank(u)/outdeg(u), iterated a FIXED number of rounds —
+the same determinism device as the IVF k-means quantizer
+(similarity.py): a fixed iteration count unrolls into SQL, so the
+DuckDB oracle replays the identical computation and hash-matches.
+
+Cross-engine float determinism: per-round contribution sums are exact —
+each contribution is round(rank/outdeg, 12) cast DECIMAL(38,12) and the
+SUM happens in decimal (order-independent; a double sum would vary with
+Spark's partial-aggregation order), then ONE correctly-rounded double
+multiply/add chain per node: round((1-d)/n + d·sum, 12). Ranks are
+therefore bit-identical across engines and across runs at every round.
+
+Scale shape per round: one equi-join of the rank table (n rows) to the
+edge table on src + one map-side-combinable decimal-sum shuffle on dst.
+The edge table is scanned once per round — persist it (callers use
+operators.track_persist). Rank state never visits the driver; 5 rounds
+= 5 shuffles, each keyed exactly like a groupBy(dst).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_DAMPING = 0.85
+PR_SCALE = 12
+
+
+def pagerank(
+    edges: DataFrame,
+    n_nodes: int,
+    iterations: int = 5,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """Ranks after `iterations` rounds over `edges` (src, dst).
+
+    Contract: every node appears as a src at least once (no dangling
+    mass — true for any bidirected/bipartite-doubled edge list; add
+    self-loops otherwise), and n_nodes is the exact node count.
+    """
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    base = float(1.0 - damping) / float(n_nodes)
+    # engine-side ROUND, not Python's round(): Python rounds half-even,
+    # SQL ROUND half-up — the initial rank must use the same rule the
+    # oracle's ROUND(1.0/n) uses
+    ranks = nodes.withColumn(
+        "rank",
+        F.round(F.lit(1.0) / F.lit(float(n_nodes)), PR_SCALE),
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("outdeg"), PR_SCALE)
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(base)
+                + F.lit(damping)
+                * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                PR_SCALE,
+            ).alias("rank"),
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    damping: float = PR_DAMPING,
+) -> str:
+    """DuckDB twin: the fixed-iteration loop unrolled as CTEs — same
+    decimal contribution sums, same rounded double update per round."""
+    parts = [
+        f"edges AS ({edges_sql})",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, ROUND(1.0 / n, {PR_SCALE}) AS rank"
+        " FROM nodes, nn)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""s{i} AS (
+  SELECT e.dst AS node,
+    SUM(CAST(ROUND(r.rank / d.outdeg, {PR_SCALE}) AS DECIMAL(38,{PR_SCALE})))
+      AS s
+  FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""r{i + 1} AS (
+  SELECT nodes.node,
+    ROUND((1.0 - {damping!r}) / nn.n
+          + {damping!r} * COALESCE(CAST(s.s AS DOUBLE), 0.0), {PR_SCALE})
+      AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN s{i} s ON nodes.node = s.node)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iterations}"

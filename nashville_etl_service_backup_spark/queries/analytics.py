@@ -362,12 +362,38 @@ def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("d_key")
 
 
+
+
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py) over the REAL
+    part↔supplier bipartite graph from lineitem (both directions, so no
+    dangling mass): 5 rounds of decimal-exact contribution sums, then
+    the top-20 nodes by rank. The oracle unrolls the identical loop in
+    SQL CTEs — ranks are bit-identical across engines every round."""
+    from nashville_etl_service_backup_spark.operators import track_persist
+    from nashville_etl_service_backup_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    p = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+    sn = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    edges = track_persist(
+        pairs.select(p.alias("src"), sn.alias("dst")).unionByName(
+            pairs.select(sn.alias("src"), p.alias("dst"))
+        )
+    )
+    n = edges.select("src").distinct().count()  # scalar probe only
+    ranks = pagerank(edges, n, iterations=5)
+    return ranks.orderBy(F.col("rank").desc(), "node").limit(20)
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_cms_user_counts": q_cms_user_counts,
     "q_bloom_prune_join": q_bloom_prune_join,
     "q_profile_events": q_profile_events,
     "q_fuzzy_match_parts": q_fuzzy_match_parts,
+    "q_pagerank_suppliers": q_pagerank_suppliers,
     "q_grouping_sets": q_grouping_sets,
     "q_skew_salted_join": q_skew_salted_join,
     "q_ring_centroid": q_ring_centroid,
@@ -533,11 +559,31 @@ FROM rn WHERE rn = 1 ORDER BY d_key
 """
 
 
+
+from nashville_etl_service_backup_spark.operators.graph import (
+    pagerank_oracle_sql,
+)
+
+_PR_EDGES = """
+  SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS src,
+    's:' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem
+  UNION ALL
+  SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+    'p:' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+"""
+
+_PAGERANK_ORACLE = (
+    pagerank_oracle_sql(_PR_EDGES, iterations=5)
+    + "\nORDER BY rank DESC, node LIMIT 20"
+)
+
+
 ORACLES = {
     "q_cms_user_counts": _CMS_ORACLE,
     "q_bloom_prune_join": _BLOOM_ORACLE,
     "q_profile_events": _PROFILE_ORACLE,
     "q_fuzzy_match_parts": _FUZZY_ORACLE,
+    "q_pagerank_suppliers": _PAGERANK_ORACLE,
     "q_lag_lead": """
 SELECT event_id, user_id,
   LAG(event_id) OVER w AS prev_event_id,

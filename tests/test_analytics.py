@@ -183,3 +183,19 @@ def test_profile_operator(spark):
     assert out["v"]["min_val"] == "9.000000"
     assert out["v"]["max_val"] == "100.000000"
     assert out["s"]["min_val"] == "a" and out["s"]["max_val"] == "b"
+
+
+def test_pagerank_star_graph(spark):
+    """On a bidirected star (hub 0 ↔ leaves 1..4) the hub accumulates
+    the most rank and total mass is conserved (≈1)."""
+    from nashville_etl_service_backup_spark.operators.graph import pagerank
+
+    leaves = list(range(1, 5))
+    edges = spark.createDataFrame(
+        [("h", f"l{i}") for i in leaves] + [(f"l{i}", "h") for i in leaves],
+        "src string, dst string",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, 5, 5).collect()}
+    assert ranks["h"] == max(ranks.values())
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert len({ranks[f"l{i}"] for i in leaves}) == 1  # symmetry
