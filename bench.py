@@ -91,6 +91,8 @@ HEADLINE = [
     "q_profile_events",
     "q_fuzzy_match_parts",
     "q_pagerank_suppliers",
+    "q_mad_outliers",
+    "q_markov_transitions",
 ]
 
 

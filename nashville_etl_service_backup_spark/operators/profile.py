@@ -70,3 +70,50 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def mad_outliers(
+    df: DataFrame, value_col: str, group_cols: list[str], k: float = 3.0
+) -> DataFrame:
+    """Robust per-group outlier detection via median absolute deviation
+    (Hampel's rule): a point is an outlier when |x − median| >
+    k · 1.4826 · MAD (1.4826 scales MAD to σ under normality; k=3 is
+    the standard cut). Unlike z-scores, the median/MAD pair doesn't let
+    the outliers themselves inflate the threshold.
+
+    Two exact-percentile aggregation passes (Spark `percentile` and
+    DuckDB `quantile_cont` share the p·(n−1) interpolation — parity
+    proven by q_percentiles) with every intermediate rounded to 6dp so
+    the engines' classification edges agree bitwise; group medians join
+    back via broadcast (one row per group).
+
+    Scale shape: exact percentile is a per-group sort — the shuffles are
+    both on group_cols (AQE-coalesced); swap in the histogram-quantile
+    sketch (operators/sketch.py) for the medians when per-group sorts
+    are too hot at 100 TB."""
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*group_cols).agg(
+        F.round(F.percentile(v, F.lit(0.5)), 6).alias("_med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "_dev", F.round(F.abs(v - F.col("_med")), 6)
+    )
+    mad = dev.groupBy(*group_cols, "_med").agg(
+        F.round(F.percentile(F.col("_dev"), F.lit(0.5)), 6).alias("_mad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cutoff = F.round(F.lit(k * 1.4826) * F.col("_mad"), 6)
+    flagged = dev.join(
+        F.broadcast(mad.select(*group_cols, "_mad")), group_cols
+    ).withColumn("_cut", cutoff)
+    out = flagged.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("_dev") > F.col("_cut"), 1).otherwise(0)).alias(
+            "n_outliers"
+        ),
+        F.round(F.max("_dev"), 6).alias("max_dev"),
+    )
+    return (
+        mad.select(*group_cols, "n", F.col("_med").alias("median"),
+                   F.col("_mad").alias("mad"))
+        .join(out, group_cols)
+    )

@@ -387,6 +387,20 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.col("rank").desc(), "node").limit(20)
 
 
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit (operators/profile.py mad_outliers) of
+    event values per event type: median + MAD (Hampel k=3) with every
+    intermediate rounded so both engines classify identically."""
+    from nashville_etl_service_backup_spark.operators.profile import (
+        mad_outliers,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return mad_outliers(ev, "value", ["event_type"]).orderBy("event_type")
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_cms_user_counts": q_cms_user_counts,
@@ -394,6 +408,7 @@ QUERIES = {
     "q_profile_events": q_profile_events,
     "q_fuzzy_match_parts": q_fuzzy_match_parts,
     "q_pagerank_suppliers": q_pagerank_suppliers,
+    "q_mad_outliers": q_mad_outliers,
     "q_grouping_sets": q_grouping_sets,
     "q_skew_salted_join": q_skew_salted_join,
     "q_ring_centroid": q_ring_centroid,
@@ -578,12 +593,41 @@ _PAGERANK_ORACLE = (
 )
 
 
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type,
+    ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, m.med,
+    ROUND(ABS(CAST(e.value AS DOUBLE) - m.med), 6) AS dev
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, med,
+    ROUND(quantile_cont(dev, 0.5), 6) AS mad, COUNT(*) AS n
+  FROM dev GROUP BY event_type, med),
+out AS (
+  SELECT d.event_type,
+    SUM(CASE WHEN d.dev > ROUND(4.4478 * m.mad, 6) THEN 1 ELSE 0 END)
+      AS n_outliers,
+    ROUND(MAX(d.dev), 6) AS max_dev
+  FROM dev d JOIN mad m USING (event_type)
+  GROUP BY d.event_type)
+SELECT m.event_type, m.n, m.med AS median, m.mad,
+  CAST(o.n_outliers AS BIGINT) AS n_outliers, o.max_dev
+FROM mad m JOIN out o USING (event_type)
+ORDER BY m.event_type
+"""
+
+
 ORACLES = {
     "q_cms_user_counts": _CMS_ORACLE,
     "q_bloom_prune_join": _BLOOM_ORACLE,
     "q_profile_events": _PROFILE_ORACLE,
     "q_fuzzy_match_parts": _FUZZY_ORACLE,
     "q_pagerank_suppliers": _PAGERANK_ORACLE,
+    "q_mad_outliers": _MAD_ORACLE,
     "q_lag_lead": """
 SELECT event_id, user_id,
   LAG(event_id) OVER w AS prev_event_id,

@@ -159,14 +159,72 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for each
+    (previous event type → next event type) pair, the transition count
+    and row-normalized probability. One window shuffle on user_id (LAG
+    over the per-user timeline) + one combinable pair-count + a per-prev
+    normalizing window over the tiny |types|² matrix. The
+    path-analytics upgrade of q_funnel's fixed-order steps."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    total = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(total).cast("double"),
+            6,
+        ).alias("prob"),
+    ).orderBy("prev_type", "next_type")
+
+
 QUERIES = {
+    "q_markov_transitions": q_markov_transitions,
     "q_funnel": q_funnel,
     "q_cohort_retention": q_cohort_retention,
     "q_value_histogram": q_value_histogram,
     "q_stats_agg": q_stats_agg,
 }
 
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+    LAG(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev_type,
+    event_type AS next_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, next_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type)
+SELECT prev_type, next_type, n_transitions,
+  ROUND(CAST(n_transitions AS DOUBLE)
+        / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE),
+        6) AS prob
+FROM pairs
+ORDER BY prev_type, next_type
+"""
+
+
 ORACLES = {
+    "q_markov_transitions": _MARKOV_ORACLE,
     "q_funnel": """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t FROM events

@@ -199,3 +199,20 @@ def test_pagerank_star_graph(spark):
     assert ranks["h"] == max(ranks.values())
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
     assert len({ranks[f"l{i}"] for i in leaves}) == 1  # symmetry
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    """A planted extreme point is flagged; the tight cluster is not —
+    and the spike does NOT inflate the threshold (robustness)."""
+    from nashville_etl_service_backup_spark.operators.profile import (
+        mad_outliers,
+    )
+
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 1000.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, value double"
+    )
+    row = mad_outliers(df, "value", ["grp"]).collect()[0]
+    assert row["n"] == 8
+    assert row["n_outliers"] == 1  # only the 1000.0 spike
+    assert abs(row["median"] - 10.05) < 1e-9
