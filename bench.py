@@ -93,6 +93,9 @@ HEADLINE = [
     "q_pagerank_suppliers",
     "q_mad_outliers",
     "q_markov_transitions",
+    "text_tfidf_keywords",
+    "q_triangle_count",
+    "q_hll_setops",
 ]
 
 

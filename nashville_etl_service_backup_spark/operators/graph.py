@@ -109,3 +109,32 @@ def pagerank_oracle_sql(
   FROM nodes CROSS JOIN nn LEFT JOIN s{i} s ON nodes.node = s.node)"""
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iterations}"
+
+
+def triangle_list(edges: DataFrame) -> DataFrame:
+    """All triangles (a < b < c) in an undirected graph given as an
+    edge list (src, dst) — duplicates and orientation don't matter.
+
+    The classic distributed algorithm (Suri & Vassilvitskii 2011,
+    "Counting triangles and the curse of the last reducer"): canonical
+    a<b edges, wedge generation via ONE equi-join on the shared middle
+    vertex (a<b<c keeps each wedge unique), then a semi-join against
+    the edge list to keep only closed wedges. Every join is an
+    equi-join on vertex keys; work is Σ deg² for wedges — at scale,
+    orient edges by degree (low→high) to tame the last-reducer skew.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = canon.alias("e1")
+    e2 = canon.select(
+        F.col("a").alias("b"), F.col("b").alias("c")
+    ).alias("e2")
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    closing = canon.select(F.col("a"), F.col("b").alias("c"))
+    return wedges.join(closing, ["a", "c"], "left_semi")

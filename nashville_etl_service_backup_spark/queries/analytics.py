@@ -401,6 +401,88 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(ev, "value", ["event_type"]).orderBy("event_type")
 
 
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.py triangle_list) over a
+    deterministic circulant graph on the customer keys (edges k→k+1,
+    k→k+2, k→k+3 — every interior key closes exactly 3 triangles, so
+    the exact total is a sharp structural check). Wedge equi-join +
+    closing-edge semi-join; no driver-side graph state."""
+    from nashville_etl_service_backup_spark.operators.graph import (
+        triangle_list,
+    )
+
+    k = F.col("c_custkey")
+    cust = load(spark, sf_dir, "customer")
+    edges = None
+    for o in (1, 2, 3):
+        e = cust.select(k.alias("src"), (k + o).alias("dst"))
+        edges = e if edges is None else edges.unionByName(e)
+    tri = triangle_list(edges)
+    return (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .join(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+
+
+
+
+def q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set overlap WITHOUT a distinct-intersect shuffle:
+    inclusion–exclusion over the portable HLL — |A∩B| ≈ est(A) +
+    est(B) − est(A∪B), where the union sketch is a register MAX-merge
+    (the monoid; never re-reads the data). Here: parts shipped in 1994
+    vs 1995. The exact intersect rides along for error inspection."""
+    from nashville_etl_service_backup_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.year("l_shipdate").alias("yr"), F.col("l_partkey")
+        )
+        .filter(F.col("yr").isin(1996, 1997))
+    )
+    regs = hll_registers(li, "l_partkey", ["yr"])
+    by_year = hll_estimate(regs, ["yr"])
+    union_regs = regs.groupBy("bucket").agg(
+        F.max("register").alias("register")
+    )
+    est_u = hll_estimate(union_regs, []).select(
+        F.col("hll_distinct").alias("est_union")
+    )
+    a = by_year.filter(F.col("yr") == 1996).select(
+        F.col("hll_distinct").alias("est_1996")
+    )
+    b = by_year.filter(F.col("yr") == 1997).select(
+        F.col("hll_distinct").alias("est_1997")
+    )
+    exact = (
+        li.filter(F.col("yr") == 1996)
+        .select("l_partkey")
+        .intersect(li.filter(F.col("yr") == 1997).select("l_partkey"))
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        a.join(b)
+        .join(est_u)
+        .join(exact)
+        .select(
+            "est_1996",
+            "est_1997",
+            "est_union",
+            F.round(
+                F.col("est_1996") + F.col("est_1997") - F.col("est_union"),
+                2,
+            ).alias("est_overlap"),
+            "exact_overlap",
+        )
+    )
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_cms_user_counts": q_cms_user_counts,
@@ -409,6 +491,8 @@ QUERIES = {
     "q_fuzzy_match_parts": q_fuzzy_match_parts,
     "q_pagerank_suppliers": q_pagerank_suppliers,
     "q_mad_outliers": q_mad_outliers,
+    "q_triangle_count": q_triangle_count,
+    "q_hll_setops": q_hll_setops,
     "q_grouping_sets": q_grouping_sets,
     "q_skew_salted_join": q_skew_salted_join,
     "q_ring_centroid": q_ring_centroid,
@@ -621,6 +705,49 @@ ORDER BY m.event_type
 """
 
 
+
+_TRIANGLE_ORACLE = """
+WITH e AS (
+  SELECT c_custkey AS a, c_custkey + 1 AS b FROM customer
+  UNION ALL SELECT c_custkey, c_custkey + 2 FROM customer
+  UNION ALL SELECT c_custkey, c_custkey + 3 FROM customer),
+w AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e1.b = e2.a),
+t AS (
+  SELECT w.a, w.b, w.c FROM w
+  WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.c))
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+  (SELECT COUNT(*) FROM t) AS n_triangles
+"""
+
+
+
+_SETOPS_SRC = ("SELECT EXTRACT(year FROM l_shipdate) AS yr, l_partkey "
+               "FROM lineitem WHERE EXTRACT(year FROM l_shipdate) IN "
+               "(1996, 1997)")
+
+_HLL_SETOPS_ORACLE = f"""
+WITH a AS (
+  SELECT hll_distinct AS est_1996 FROM ({hll_oracle_sql(_SETOPS_SRC,
+      'l_partkey', ['yr'])}) WHERE yr = 1996),
+b AS (
+  SELECT hll_distinct AS est_1997 FROM ({hll_oracle_sql(_SETOPS_SRC,
+      'l_partkey', ['yr'])}) WHERE yr = 1997),
+u AS (
+  SELECT hll_distinct AS est_union FROM ({hll_oracle_sql(_SETOPS_SRC,
+      'l_partkey', [])})),
+x AS (
+  SELECT COUNT(*) AS exact_overlap FROM (
+    SELECT l_partkey FROM ({_SETOPS_SRC}) WHERE yr = 1996
+    INTERSECT
+    SELECT l_partkey FROM ({_SETOPS_SRC}) WHERE yr = 1997))
+SELECT est_1996, est_1997, est_union,
+  ROUND(est_1996 + est_1997 - est_union, 2) AS est_overlap, exact_overlap
+FROM a CROSS JOIN b CROSS JOIN u CROSS JOIN x
+"""
+
+
 ORACLES = {
     "q_cms_user_counts": _CMS_ORACLE,
     "q_bloom_prune_join": _BLOOM_ORACLE,
@@ -628,6 +755,8 @@ ORACLES = {
     "q_fuzzy_match_parts": _FUZZY_ORACLE,
     "q_pagerank_suppliers": _PAGERANK_ORACLE,
     "q_mad_outliers": _MAD_ORACLE,
+    "q_triangle_count": _TRIANGLE_ORACLE,
+    "q_hll_setops": _HLL_SETOPS_ORACLE,
     "q_lag_lead": """
 SELECT event_id, user_id,
   LAG(event_id) OVER w AS prev_event_id,

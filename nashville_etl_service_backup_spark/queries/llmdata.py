@@ -330,6 +330,48 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by smoothed TF-IDF
+    (sklearn formula: tf · (ln((N+1)/(df+1)) + 1), rounded like the
+    BM25 idf whose round-6 ln parity is already oracle-proven). Corpus
+    size N arrives via a broadcast single-row aggregate (the BM25 stats
+    pattern — never a collect); df comes from the same distinct
+    (doc, term) frame the tf counts use, so the term shuffle is paid
+    once. Top-3 per doc is a window over the per-doc term aggregate."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df_t, "term").join(F.broadcast(n_docs))
+    idf = (
+        F.log(
+            (F.col("n_docs").cast("double") + F.lit(1.0))
+            / (F.col("df").cast("double") + F.lit(1.0))
+        )
+        + F.lit(1.0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    )
+
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: Arrow-batched mapInPandas feature
     extraction over image-modality media (stub decoder, real plan)."""
@@ -724,6 +766,7 @@ QUERIES = {
     "text_split_counts": text_split_counts,
     "text_zscore_by_lang": text_zscore_by_lang,
     "text_top_terms": text_top_terms,
+    "text_tfidf_keywords": text_tfidf_keywords,
     "text_mixture_sample": text_mixture_sample,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2502,3 +2545,27 @@ SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
        THEN 1 ELSE 0 END AS INT) AS is_current
 FROM vers
 """
+
+ORACLES["text_tfidf_keywords"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_O}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dft AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+    ROUND(CAST(t.tf AS DOUBLE)
+          * (LN((CAST(n.n_docs AS DOUBLE) + 1.0)
+                / (CAST(d.df AS DOUBLE) + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf t JOIN dft d USING (term) CROSS JOIN nd n),
+r AS (
+  SELECT doc_id, term, tfidf,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+

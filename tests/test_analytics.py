@@ -216,3 +216,21 @@ def test_mad_outliers_flags_planted_spike(spark):
     assert row["n"] == 8
     assert row["n_outliers"] == 1  # only the 1000.0 spike
     assert abs(row["median"] - 10.05) < 1e-9
+
+
+def test_triangle_list_counts_k4(spark):
+    """K4 has exactly 4 triangles; a path graph has none; orientation
+    and duplicate edges don't change the answer."""
+    from nashville_etl_service_backup_spark.operators.graph import (
+        triangle_list,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]  # both dirs
+    df = spark.createDataFrame(k4, "src long, dst long")
+    tris = triangle_list(df).collect()
+    assert len(tris) == 4
+    assert all(r["a"] < r["b"] < r["c"] for r in tris)
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    assert triangle_list(path).count() == 0
