@@ -96,6 +96,9 @@ HEADLINE = [
     "text_tfidf_keywords",
     "q_triangle_count",
     "q_hll_setops",
+    "q_skew_report",
+    "q_chi_square",
+    "q_ewma_smoothing",
 ]
 
 

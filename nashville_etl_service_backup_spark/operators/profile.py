@@ -117,3 +117,88 @@ def mad_outliers(
                    F.col("_mad").alias("mad"))
         .join(out, group_cols)
     )
+
+
+def skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Join/shuffle-key skew audit: the pre-flight check for the
+    salting / AQE-skew-join decision (operators q_skew_salted_join).
+    One combinable per-key count, then one aggregate over the (distinct
+    keys)-sized count table: key count, total rows, avg/max rows per
+    key, p50/p99 of the per-key distribution, and max/avg skew ratio —
+    plus the heaviest key (deterministic tie-break on key value) via a
+    top-1 sort of the count table, broadcast back. The raw table is
+    scanned once; nothing driver-side."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    pct = F.percentile(F.col("n").cast("double"), F.lit([0.5, 0.99]))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_rows"),
+        F.round(F.element_at(pct, 1), 6).alias("p50_rows"),
+        F.round(F.element_at(pct, 2), 6).alias("p99_rows"),
+    )
+    top = (
+        counts.orderBy(F.desc("n"), F.asc(key_col))
+        .limit(1)
+        .select(
+            F.col(key_col).cast("string").alias("top_key"),
+            F.col("n").alias("top_key_rows"),
+        )
+    )
+    return stats.join(F.broadcast(top)).select(
+        "n_keys",
+        "total_rows",
+        F.round(
+            F.col("total_rows").cast("double")
+            / F.col("n_keys").cast("double"),
+            6,
+        ).alias("avg_rows"),
+        "max_rows",
+        "p50_rows",
+        "p99_rows",
+        F.round(
+            F.col("max_rows").cast("double")
+            / (F.col("total_rows").cast("double")
+               / F.col("n_keys").cast("double")),
+            6,
+        ).alias("skew_ratio"),
+        "top_key",
+        "top_key_rows",
+    )
+
+
+def chi_square(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square independence test between two categorical
+    columns: observed cell counts vs expected (row·col/n), statistic
+    Σ (o−e)²/e with each term rounded to 6dp and summed in DECIMAL so
+    partial-aggregation order can't move the total. One combinable
+    (a,b) count + two broadcast margin joins over the tiny contingency
+    table; dof = (|a|−1)(|b|−1)."""
+    obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o"))
+    row_m = obs.groupBy(col_a).agg(F.sum("o").alias("row_n"))
+    col_m = obs.groupBy(col_b).agg(F.sum("o").alias("col_n"))
+    total = obs.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct(F.col(col_a)).alias("ka"),
+        F.count_distinct(F.col(col_b)).alias("kb"),
+    )
+    cells = (
+        obs.join(F.broadcast(row_m), col_a)
+        .join(F.broadcast(col_m), col_b)
+        .join(F.broadcast(total))
+    )
+    e = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = F.round((F.col("o").cast("double") - e) * (F.col("o") - e) / e, 6)
+    return cells.groupBy("n", "ka", "kb").agg(
+        F.sum(term.cast("decimal(28,6)")).cast("double").alias("chi2"),
+    ).select(
+        F.col("n").alias("total_rows"),
+        ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("long").alias("dof"),
+        "chi2",
+    )

@@ -483,6 +483,62 @@ def q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit (operators/profile.py skew_report) of
+    events.user_id — the pre-flight diagnostic behind the
+    salting / AQE-skew-join decision q_skew_salted_join acts on."""
+    from nashville_etl_service_backup_spark.operators.profile import (
+        skew_report,
+    )
+
+    return skew_report(load(spark, sf_dir, "events"), "user_id")
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test (operators/profile.py
+    chi_square) between event type and a 4-way user cohort — the
+    categorical-association QA check over the contingency table."""
+    from nashville_etl_service_backup_spark.operators.profile import (
+        chi_square,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 4).cast("long")
+    )
+    return chi_square(ev, "event_type", "cohort")
+
+
+
+
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponential moving average (5-tap, decay 0.5) of each
+    sampled user's event values — the time-series smoothing window.
+    Weights are exact binary fractions (0.5^k), the tap chain is an
+    explicit LAG cascade (identical op order both engines), and the
+    normalizer counts only the taps that exist near the series start,
+    so the head of every series is exact, not zero-padded."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value").cast("double")
+    num = v
+    den = F.lit(1.0)
+    for k in (1, 2, 3, 4):
+        lagv = F.lag(v, k).over(w)
+        wt = F.lit(0.5 ** k)
+        num = num + wt * F.coalesce(lagv, F.lit(0.0))
+        den = den + F.when(lagv.isNotNull(), wt).otherwise(F.lit(0.0))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(v, 6).alias("value"),
+        F.round(num / den, 6).alias("ewma"),
+    ).orderBy("user_id", "event_id")
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_cms_user_counts": q_cms_user_counts,
@@ -493,6 +549,9 @@ QUERIES = {
     "q_mad_outliers": q_mad_outliers,
     "q_triangle_count": q_triangle_count,
     "q_hll_setops": q_hll_setops,
+    "q_skew_report": q_skew_report,
+    "q_chi_square": q_chi_square,
+    "q_ewma_smoothing": q_ewma_smoothing,
     "q_grouping_sets": q_grouping_sets,
     "q_skew_salted_join": q_skew_salted_join,
     "q_ring_centroid": q_ring_centroid,
@@ -748,6 +807,79 @@ FROM a CROSS JOIN b CROSS JOIN u CROSS JOIN x
 """
 
 
+
+_SKEW_ORACLE = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+stats AS (
+  SELECT COUNT(*) AS n_keys, SUM(n) AS total_rows, MAX(n) AS max_rows,
+    ROUND(quantile_cont(CAST(n AS DOUBLE), 0.5), 6) AS p50_rows,
+    ROUND(quantile_cont(CAST(n AS DOUBLE), 0.99), 6) AS p99_rows
+  FROM c),
+top AS (
+  SELECT CAST(user_id AS VARCHAR) AS top_key, n AS top_key_rows
+  FROM c ORDER BY n DESC, user_id ASC LIMIT 1)
+SELECT n_keys, CAST(total_rows AS BIGINT) AS total_rows,
+  ROUND(CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 6) AS avg_rows,
+  max_rows, p50_rows, p99_rows,
+  ROUND(CAST(max_rows AS DOUBLE)
+        / (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6)
+    AS skew_ratio,
+  top_key, top_key_rows
+FROM stats CROSS JOIN top
+"""
+
+_CHI2_ORACLE = """
+WITH src AS (
+  SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort FROM events),
+obs AS (
+  SELECT event_type, cohort, COUNT(*) AS o
+  FROM src GROUP BY event_type, cohort),
+rm AS (SELECT event_type, SUM(o) AS row_n FROM obs GROUP BY event_type),
+cm AS (SELECT cohort, SUM(o) AS col_n FROM obs GROUP BY cohort),
+tot AS (
+  SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS ka,
+    COUNT(DISTINCT cohort) AS kb
+  FROM obs),
+cells AS (
+  SELECT o.o, rm.row_n, cm.col_n, t.n, t.ka, t.kb,
+    CAST(rm.row_n AS DOUBLE) * CAST(cm.col_n AS DOUBLE)
+      / CAST(t.n AS DOUBLE) AS e
+  FROM obs o JOIN rm USING (event_type) JOIN cm USING (cohort)
+  CROSS JOIN tot t)
+SELECT CAST(MAX(n) AS BIGINT) AS total_rows,
+  CAST((MAX(ka) - 1) * (MAX(kb) - 1) AS BIGINT) AS dof,
+  CAST(SUM(CAST(ROUND((CAST(o AS DOUBLE) - e) * (o - e) / e, 6)
+                AS DECIMAL(28,6))) AS DOUBLE) AS chi2
+FROM cells
+"""
+
+
+
+_EWMA_ORACLE = """
+WITH src AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v
+  FROM events WHERE user_id % 50 = 0),
+lagged AS (
+  SELECT user_id, event_id, v,
+    LAG(v, 1) OVER w AS l1, LAG(v, 2) OVER w AS l2,
+    LAG(v, 3) OVER w AS l3, LAG(v, 4) OVER w AS l4
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id, ROUND(v, 6) AS value,
+  ROUND(
+    (v + 0.5 * COALESCE(l1, 0.0) + 0.25 * COALESCE(l2, 0.0)
+       + 0.125 * COALESCE(l3, 0.0) + 0.0625 * COALESCE(l4, 0.0))
+    / (1.0 + CASE WHEN l1 IS NOT NULL THEN 0.5 ELSE 0.0 END
+           + CASE WHEN l2 IS NOT NULL THEN 0.25 ELSE 0.0 END
+           + CASE WHEN l3 IS NOT NULL THEN 0.125 ELSE 0.0 END
+           + CASE WHEN l4 IS NOT NULL THEN 0.0625 ELSE 0.0 END), 6)
+    AS ewma
+FROM lagged
+ORDER BY user_id, event_id
+"""
+
+
 ORACLES = {
     "q_cms_user_counts": _CMS_ORACLE,
     "q_bloom_prune_join": _BLOOM_ORACLE,
@@ -757,6 +889,9 @@ ORACLES = {
     "q_mad_outliers": _MAD_ORACLE,
     "q_triangle_count": _TRIANGLE_ORACLE,
     "q_hll_setops": _HLL_SETOPS_ORACLE,
+    "q_skew_report": _SKEW_ORACLE,
+    "q_chi_square": _CHI2_ORACLE,
+    "q_ewma_smoothing": _EWMA_ORACLE,
     "q_lag_lead": """
 SELECT event_id, user_id,
   LAG(event_id) OVER w AS prev_event_id,

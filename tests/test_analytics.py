@@ -234,3 +234,28 @@ def test_triangle_list_counts_k4(spark):
         [(0, 1), (1, 2), (2, 3)], "src long, dst long"
     )
     assert triangle_list(path).count() == 0
+
+
+def test_skew_report_and_chi_square(spark):
+    """Skew ratio reflects the planted heavy key; chi-square is ~0 for
+    an exactly independent contingency table."""
+    from nashville_etl_service_backup_spark.operators.profile import (
+        chi_square,
+        skew_report,
+    )
+
+    rows = [(1,)] * 8 + [(2,), (3,), (4,), (5,)]
+    df = spark.createDataFrame(rows, "k long")
+    r = skew_report(df, "k").collect()[0]
+    assert r["n_keys"] == 5 and r["total_rows"] == 12
+    assert r["max_rows"] == 8 and r["top_key"] == "1"
+    assert abs(r["skew_ratio"] - 8 / 2.4) < 1e-6
+
+    # perfectly independent 2×2: chi2 exactly 0
+    ind = spark.createDataFrame(
+        [("a", 0)] * 2 + [("a", 1)] * 2 + [("b", 0)] * 3 + [("b", 1)] * 3,
+        "x string, y long",
+    )
+    c = chi_square(ind, "x", "y").collect()[0]
+    assert c["total_rows"] == 10 and c["dof"] == 1
+    assert abs(c["chi2"]) < 1e-9
