@@ -99,6 +99,8 @@ HEADLINE = [
     "q_skew_report",
     "q_chi_square",
     "q_ewma_smoothing",
+    "q_rolling_distinct",
+    "q_time_to_convert",
 ]
 
 

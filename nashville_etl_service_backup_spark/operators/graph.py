@@ -42,6 +42,12 @@ def pagerank(
     mass — true for any bidirected/bipartite-doubled edge list; add
     self-loops otherwise), and n_nodes is the exact node count.
     """
+    # hash-partition the edge table by src ONCE: every round's
+    # rank-to-edges equi-join then reuses this partitioning (only the
+    # small rank table moves per round) — the co-location pattern a
+    # bucketed edge table gives you at 100 TB. Callers persist edges
+    # (track_persist) so the repartition is paid once, not per round.
+    edges = edges.repartition("src")
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     base = float(1.0 - damping) / float(n_nodes)

@@ -43,10 +43,19 @@ def blocked_fuzzy_join(
     block_fn=default_block_key,
 ) -> DataFrame:
     """Candidate pairs (probe.*, catalog.*, dist) with edit distance ≤
-    max_dist, generated via the block-key equi-join only."""
+    max_dist, generated via the block-key equi-join only.
+
+    The join carries a length-band conjunct (|len(p) − len(c)| ≤
+    max_dist — a NECESSARY condition for edit distance ≤ max_dist, so
+    results are identical): it prunes candidates before the O(n·m)
+    Levenshtein runs, cutting the scoring cost inside wide blocks."""
     p = probe.withColumn("_blk", block_fn(F.col(probe_name)))
     c = catalog.withColumn("_blk", block_fn(F.col(catalog_name)))
-    cand = p.join(c, "_blk").drop("_blk")
+    band = (
+        F.abs(F.length(p[probe_name]) - F.length(c[catalog_name]))
+        <= max_dist
+    )
+    cand = p.join(c, (p["_blk"] == c["_blk"]) & band).drop("_blk")
     dist = F.levenshtein(F.col(probe_name), F.col(catalog_name))
     return cand.withColumn("dist", dist).filter(F.col("dist") <= max_dist)
 

@@ -373,7 +373,9 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nashville_etl_service_backup_spark.operators import track_persist
     from nashville_etl_service_backup_spark.operators.graph import pagerank
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    )
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     p = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
     sn = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
@@ -539,6 +541,73 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+
+
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day WITHOUT re-scanning 7 days
+    of raw events per output row: per-day HLL registers (one combinable
+    shuffle over the whole table), densified to the tiny day×bucket
+    grid, then a rangeBetween(-6, 0) window MAX per bucket — the
+    register monoid again, this time as a sliding merge. Exact rolling
+    distinct rides along for error inspection (at 100 TB you keep only
+    the sketch column; the register table is |days|·256 rows however
+    large the input)."""
+    from pyspark.sql.window import Window
+
+    from nashville_etl_service_backup_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    regs = hll_registers(ev, "user_id", ["day"])
+    days = ev.select("day").distinct()
+    grid = days.crossJoin(
+        spark.range(HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    )
+    dense = grid.join(regs, ["day", "bucket"], "left").select(
+        "day",
+        "bucket",
+        F.coalesce(F.col("register"), F.lit(0)).alias("register"),
+        F.datediff(F.col("day"), F.lit("2024-01-01")).alias("di"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("di")
+        .rangeBetween(-6, 0)
+    )
+    rolled = dense.select(
+        "day",
+        "bucket",
+        F.max("register").over(w).alias("register"),
+    ).filter(F.col("register") > 0)
+    est = hll_estimate(rolled, ["day"]).withColumnRenamed(
+        "hll_distinct", "hll_7d"
+    )
+    exact = (
+        days.alias("d")
+        .join(
+            ev.alias("e"),
+            (F.col("e.day") <= F.col("d.day"))
+            & (F.col("e.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("exact_7d"))
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "hll_7d",
+            "exact_7d",
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_cms_user_counts": q_cms_user_counts,
@@ -552,6 +621,7 @@ QUERIES = {
     "q_skew_report": q_skew_report,
     "q_chi_square": q_chi_square,
     "q_ewma_smoothing": q_ewma_smoothing,
+    "q_rolling_distinct": q_rolling_distinct,
     "q_grouping_sets": q_grouping_sets,
     "q_skew_salted_join": q_skew_salted_join,
     "q_ring_centroid": q_ring_centroid,
@@ -725,9 +795,11 @@ from nashville_etl_service_backup_spark.operators.graph import (
 _PR_EDGES = """
   SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS src,
     's:' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem
+  WHERE EXTRACT(year FROM l_shipdate) = 1997
   UNION ALL
   SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
     'p:' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+  WHERE EXTRACT(year FROM l_shipdate) = 1997
 """
 
 _PAGERANK_ORACLE = (
@@ -880,6 +952,60 @@ ORDER BY user_id, event_id
 """
 
 
+
+_ROLLING_SRC = "SELECT CAST(ts AS DATE) AS day, user_id FROM events"
+
+_ROLLING_ORACLE = f"""
+WITH ev AS ({_ROLLING_SRC}),
+regs AS (
+  SELECT day, bucket, MAX(rho) AS register FROM (
+    SELECT day,
+      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256
+        AS bucket,
+      CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                // 256 > 0
+           THEN 53 - length(bin(
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                // 256))
+           ELSE 53 END AS rho
+    FROM ev) GROUP BY day, bucket),
+days AS (SELECT DISTINCT day FROM ev),
+grid AS (
+  SELECT d.day, b.bucket, date_diff('day', DATE '2024-01-01', d.day) AS di
+  FROM days d CROSS JOIN range(0, 256) b(bucket)),
+dense AS (
+  SELECT g.day, g.bucket, g.di, COALESCE(r.register, 0) AS register
+  FROM grid g LEFT JOIN regs r ON g.day = r.day AND g.bucket = r.bucket),
+rolled AS (
+  SELECT day, bucket,
+    MAX(register) OVER (PARTITION BY bucket ORDER BY di
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      AS register
+  FROM dense),
+nz AS (SELECT day, bucket, register FROM rolled WHERE register > 0),
+agg AS (
+  SELECT day,
+    SUM(CAST(1 AS BIGINT) << CAST(53 - register AS INT)) AS s_nonzero,
+    COUNT(*) AS n_buckets
+  FROM nz GROUP BY day),
+est AS (
+  SELECT day,
+    ROUND((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+          * {float(1 << 53)}
+          / CAST(s_nonzero + (256 - n_buckets)
+                 * (CAST(1 AS BIGINT) << 53) AS DOUBLE), 2) AS hll_7d
+  FROM agg),
+exact AS (
+  SELECT d.day, COUNT(DISTINCT e.user_id) AS exact_7d
+  FROM days d JOIN ev e
+    ON e.day <= d.day AND e.day >= d.day - INTERVAL 6 DAY
+  GROUP BY d.day)
+SELECT strftime(est.day, '%Y-%m-%d') AS day, est.hll_7d, exact.exact_7d
+FROM est JOIN exact USING (day)
+ORDER BY day
+"""
+
+
 ORACLES = {
     "q_cms_user_counts": _CMS_ORACLE,
     "q_bloom_prune_join": _BLOOM_ORACLE,
@@ -892,6 +1018,7 @@ ORACLES = {
     "q_skew_report": _SKEW_ORACLE,
     "q_chi_square": _CHI2_ORACLE,
     "q_ewma_smoothing": _EWMA_ORACLE,
+    "q_rolling_distinct": _ROLLING_ORACLE,
     "q_lag_lead": """
 SELECT event_id, user_id,
   LAG(event_id) OVER w AS prev_event_id,

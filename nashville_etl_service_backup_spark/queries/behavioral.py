@@ -194,8 +194,48 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("prev_type", "next_type")
 
 
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: for every user whose first purchase follows
+    their first signup, the signup→purchase delay — p25/p50/p90 in
+    exact integer seconds per 4-way cohort, plus converter counts.
+    Two combinable min-aggregations + one broadcast-joined filter; the
+    percentile runs over the (converters)-sized delay table, never the
+    event stream."""
+    ev = load(spark, sf_dir, "events")
+    first_ev = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .pivot("event_type", ["signup", "purchase"])
+        .agg(F.min("ts"))
+    )
+    conv = first_ev.filter(
+        F.col("signup").isNotNull()
+        & F.col("purchase").isNotNull()
+        & (F.col("purchase") > F.col("signup"))
+    ).select(
+        (F.col("user_id") % 4).cast("long").alias("cohort"),
+        (
+            F.unix_micros(F.col("purchase")) - F.unix_micros(F.col("signup"))
+        ).alias("delay_us"),
+    )
+    pct = F.percentile(F.col("delay_us").cast("double"), F.lit([0.25, 0.5, 0.9]))
+    return (
+        conv.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_converters"),
+            F.round(F.element_at(pct, 1) / F.lit(1e6), 3).alias("p25_sec"),
+            F.round(F.element_at(pct, 2) / F.lit(1e6), 3).alias("p50_sec"),
+            F.round(F.element_at(pct, 3) / F.lit(1e6), 3).alias("p90_sec"),
+        )
+        .orderBy("cohort")
+    )
+
+
 QUERIES = {
     "q_markov_transitions": q_markov_transitions,
+    "q_time_to_convert": q_time_to_convert,
     "q_funnel": q_funnel,
     "q_cohort_retention": q_cohort_retention,
     "q_value_histogram": q_value_histogram,
@@ -223,8 +263,31 @@ ORDER BY prev_type, next_type
 """
 
 
+
+_TTC_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY user_id),
+conv AS (
+  SELECT CAST(user_id % 4 AS BIGINT) AS cohort,
+    epoch_us(p) - epoch_us(s) AS delay_us
+  FROM firsts WHERE s IS NOT NULL AND p IS NOT NULL AND p > s)
+SELECT cohort, COUNT(*) AS n_converters,
+  ROUND(quantile_cont(CAST(delay_us AS DOUBLE), 0.25) / 1000000.0, 3)
+    AS p25_sec,
+  ROUND(quantile_cont(CAST(delay_us AS DOUBLE), 0.5) / 1000000.0, 3)
+    AS p50_sec,
+  ROUND(quantile_cont(CAST(delay_us AS DOUBLE), 0.9) / 1000000.0, 3)
+    AS p90_sec
+FROM conv GROUP BY cohort ORDER BY cohort
+"""
+
+
 ORACLES = {
     "q_markov_transitions": _MARKOV_ORACLE,
+    "q_time_to_convert": _TTC_ORACLE,
     "q_funnel": """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t FROM events

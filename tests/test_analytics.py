@@ -259,3 +259,36 @@ def test_skew_report_and_chi_square(spark):
     c = chi_square(ind, "x", "y").collect()[0]
     assert c["total_rows"] == 10 and c["dof"] == 1
     assert abs(c["chi2"]) < 1e-9
+
+
+def test_rolling_distinct_window_semantics(spark):
+    """The 7-day register-window estimate equals the estimate built
+    directly from the union of the 7 days' raw keys (monoid property
+    under the sliding merge), and exact_7d is non-decreasing vs the
+    per-day distinct."""
+    from nashville_etl_service_backup_spark.queries.analytics import (
+        q_rolling_distinct,
+    )
+    from nashville_etl_service_backup_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from nashville_etl_service_backup_spark.tables import load
+    import pyspark.sql.functions as F
+
+    SF = "/root/testdata/sf0.001"
+    out = {r["day"]: r for r in q_rolling_distinct(spark, SF).collect()}
+    ev = load(spark, SF, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    some_day = sorted(out)[len(out) // 2]
+    window_keys = ev.filter(
+        (F.col("day") <= F.lit(some_day))
+        & (F.col("day") >= F.date_sub(F.lit(some_day), 6))
+    )
+    direct = hll_estimate(
+        hll_registers(window_keys, "user_id", []), []
+    ).collect()[0]["hll_distinct"]
+    assert out[some_day]["hll_7d"] == direct
+    exact = window_keys.select("user_id").distinct().count()
+    assert out[some_day]["exact_7d"] == exact

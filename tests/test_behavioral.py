@@ -93,3 +93,36 @@ def test_stats_agg_consistency(spark):
         assert -1.0 <= r.corr_qty_price <= 1.0
         assert r.std_price > 0
         assert r.n > 0
+
+
+def test_time_to_convert_counts_cross_check(spark):
+    """Converter counts per cohort match an independent first-event
+    computation; delays are positive by construction."""
+    from nashville_etl_service_backup_spark.queries.behavioral import (
+        q_time_to_convert,
+    )
+
+    ev = load(spark, SF, "events")
+    s0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    p0 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    expect = (
+        s0.join(p0, "user_id")
+        .filter(F.col("p") > F.col("s"))
+        .groupBy((F.col("user_id") % 4).alias("cohort"))
+        .count()
+        .collect()
+    )
+    expect = {r["cohort"]: r["count"] for r in expect}
+    got = {r["cohort"]: r for r in q_time_to_convert(spark, SF).collect()}
+    assert {k: v["n_converters"] for k, v in got.items()} == expect
+    assert all(r["p25_sec"] <= r["p50_sec"] <= r["p90_sec"]
+               for r in got.values())
+    assert all(r["p25_sec"] > 0 for r in got.values())
