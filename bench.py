@@ -101,6 +101,8 @@ HEADLINE = [
     "q_ewma_smoothing",
     "q_rolling_distinct",
     "q_time_to_convert",
+    "q_late_data_audit",
+    "q_scd2_asof_lookup",
 ]
 
 

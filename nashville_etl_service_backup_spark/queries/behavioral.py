@@ -233,9 +233,75 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermark semantics as an auditable batch twin: events
+    arrive with a deterministic md5 jitter (0–30 min) after their event
+    time, grouped into hourly ARRIVAL batches; the watermark at each
+    batch is (max event-time over all STRICTLY EARLIER batches) − 10
+    min, and an event is late if its event time trails that watermark —
+    exactly the applyInPandasWithState/withWatermark drop rule the
+    streaming pipeline enforces (streaming/pipeline.py), made
+    oracle-checkable. Scale shape: per-batch max is combinable, the
+    running max runs over the tiny batch table, and the classification
+    join broadcasts it back; per event-time day: totals, late counts,
+    late fraction."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    jitter = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1800 * 1000 * 1000)
+    )
+    abatch = F.floor((us + jitter) / F.lit(3600 * 1000 * 1000)).alias(
+        "abatch"
+    )
+    tagged = ev.select(
+        F.to_date("ts").alias("day"), us.alias("ev_us"), abatch
+    )
+    bmax = tagged.groupBy("abatch").agg(F.max("ev_us").alias("bmax"))
+    w = Window.orderBy("abatch").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wm = bmax.select(
+        "abatch",
+        (F.max("bmax").over(w) - F.lit(600 * 1000 * 1000)).alias("wm"),
+    )
+    flagged = tagged.join(F.broadcast(wm), "abatch").select(
+        "day",
+        F.when(F.col("ev_us") < F.col("wm"), 1).otherwise(0).alias("late"),
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("late").alias("n_late"),
+            F.round(
+                F.sum("late").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("late_frac"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_late",
+            "late_frac",
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "q_markov_transitions": q_markov_transitions,
     "q_time_to_convert": q_time_to_convert,
+    "q_late_data_audit": q_late_data_audit,
     "q_funnel": q_funnel,
     "q_cohort_retention": q_cohort_retention,
     "q_value_histogram": q_value_histogram,
@@ -285,9 +351,36 @@ FROM conv GROUP BY cohort ORDER BY cohort
 """
 
 
+
+_LATE_ORACLE = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, epoch_us(CAST(ts AS TIMESTAMP)) AS ev_us,
+    (epoch_us(CAST(ts AS TIMESTAMP))
+     + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+       % 1800000000) // 3600000000 AS abatch
+  FROM events),
+bmax AS (SELECT abatch, MAX(ev_us) AS bmax FROM ev GROUP BY abatch),
+wm AS (
+  SELECT abatch,
+    MAX(bmax) OVER (ORDER BY abatch
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      - 600000000 AS wm
+  FROM bmax),
+flagged AS (
+  SELECT e.day, CASE WHEN e.ev_us < w.wm THEN 1 ELSE 0 END AS late
+  FROM ev e JOIN wm w USING (abatch))
+SELECT strftime(day, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+  CAST(SUM(late) AS BIGINT) AS n_late,
+  ROUND(CAST(SUM(late) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS late_frac
+FROM flagged GROUP BY day ORDER BY day
+"""
+
+
 ORACLES = {
     "q_markov_transitions": _MARKOV_ORACLE,
     "q_time_to_convert": _TTC_ORACLE,
+    "q_late_data_audit": _LATE_ORACLE,
     "q_funnel": """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t FROM events

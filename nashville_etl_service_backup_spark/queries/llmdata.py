@@ -372,6 +372,56 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse composition SCD2 exists for: facts joined to the
+    dimension version in effect AT FACT TIME. Builds a three-epoch
+    customer dimension via scd2_merge (base 1996-01-01; every 11th key
+    re-versioned 1998-01-01; every 13th key updated 2000-01-01), then
+    joins orders on key + [valid_from, valid_to) containment of the
+    order date — an equi-join on the key with a range conjunct (the
+    as-of pattern; ISO date strings compare correctly). Output: order
+    counts + exact decimal revenue per (version epoch, segment)."""
+    from nashville_etl_service_backup_spark.plans.load import scd2_merge
+    from nashville_etl_service_backup_spark.queries._util import dsum
+
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey", "c_mktsegment",
+        F.lit("1996-01-01").alias("valid_from"),
+    )
+    second = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        "c_custkey", F.lit("AUTOMOBILE").alias("c_mktsegment"),
+        F.lit("1998-01-01").alias("valid_from"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey", F.lit("MACHINERY").alias("c_mktsegment"),
+        F.lit("2000-01-01").alias("valid_from"),
+    )
+    dim = scd2_merge(
+        base.unionByName(second), updates, "c_custkey", ["c_mktsegment"]
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        F.col("o_totalprice"),
+    )
+    joined = orders.join(
+        dim,
+        (orders["o_custkey"] == dim["c_custkey"])
+        & (F.col("od") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to"))),
+    )
+    return (
+        joined.groupBy("valid_from", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("valid_from", "c_mktsegment")
+    )
+
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: Arrow-batched mapInPandas feature
     extraction over image-modality media (stub decoder, real plan)."""
@@ -767,6 +817,7 @@ QUERIES = {
     "text_zscore_by_lang": text_zscore_by_lang,
     "text_top_terms": text_top_terms,
     "text_tfidf_keywords": text_tfidf_keywords,
+    "q_scd2_asof_lookup": q_scd2_asof_lookup,
     "text_mixture_sample": text_mixture_sample,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2567,5 +2618,43 @@ r AS (
   FROM scored)
 SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
 ORDER BY doc_id, rank
+"""
+
+ORACLES["q_scd2_asof_lookup"] = """
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment, '1996-01-01' AS valid_from FROM customer
+  UNION ALL
+  SELECT c_custkey, 'AUTOMOBILE', '1998-01-01'
+  FROM customer WHERE c_custkey % 11 = 0),
+upd AS (
+  SELECT c_custkey, 'MACHINERY' AS c_mktsegment, '2000-01-01' AS valid_from
+  FROM customer WHERE c_custkey % 13 = 0),
+latest AS (
+  SELECT * FROM (
+    SELECT cur.*, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                     ORDER BY valid_from DESC) AS rn
+    FROM cur) WHERE rn = 1),
+chg AS (
+  SELECT u.c_custkey, u.c_mktsegment, u.valid_from
+  FROM upd u JOIN latest c USING (c_custkey)
+  WHERE u.c_mktsegment IS DISTINCT FROM c.c_mktsegment),
+vers AS (
+  SELECT c_custkey, c_mktsegment, valid_from FROM cur
+  UNION ALL SELECT * FROM chg),
+dim AS (
+  SELECT c_custkey, c_mktsegment, valid_from,
+    LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
+      AS valid_to
+  FROM vers),
+j AS (
+  SELECT d.valid_from, d.c_mktsegment, o.o_totalprice
+  FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+    AND strftime(o.o_orderdate, '%Y-%m-%d') >= d.valid_from
+    AND (d.valid_to IS NULL
+         OR strftime(o.o_orderdate, '%Y-%m-%d') < d.valid_to))
+SELECT valid_from, c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM j GROUP BY valid_from, c_mktsegment
+ORDER BY valid_from, c_mktsegment
 """
 
