@@ -103,6 +103,8 @@ HEADLINE = [
     "q_time_to_convert",
     "q_late_data_audit",
     "q_scd2_asof_lookup",
+    "q_market_basket",
+    "q_label_centroid_sim",
 ]
 
 

@@ -608,6 +608,70 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-ordered part BRANDS: for each ordered
+    brand pair (a < b), support count, confidence P(b|a), and lift
+    P(a,b)/(P(a)P(b)) — the classic market-basket statistics. Basket =
+    order; the pair table comes from ONE self-equi-join on l_orderkey
+    of the per-order distinct brand set (never a cross product); brand
+    marginals broadcast back. Top-15 by lift (min support 20) with a
+    deterministic tie-break."""
+    li = load(spark, sf_dir, "lineitem").join(
+        load(spark, sf_dir, "part").select("p_partkey", "p_brand"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
+    ).distinct()
+    n_orders = baskets.select("ok").distinct().count()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("a.brand") < F.col("b.brand"))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    marg = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    joined = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("brand").alias("brand_a"),
+                                    F.col("n").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("brand").alias("brand_b"),
+                                    F.col("n").alias("n_b"))),
+            "brand_b",
+        )
+        .filter(F.col("n_both") >= 20)
+    )
+    nod = F.lit(float(n_orders))
+    return (
+        joined.select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_a").cast("double"),
+                6,
+            ).alias("confidence"),
+            F.round(
+                F.col("n_both").cast("double") * nod
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(15)
+    )
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_cms_user_counts": q_cms_user_counts,
@@ -622,6 +686,7 @@ QUERIES = {
     "q_chi_square": q_chi_square,
     "q_ewma_smoothing": q_ewma_smoothing,
     "q_rolling_distinct": q_rolling_distinct,
+    "q_market_basket": q_market_basket,
     "q_grouping_sets": q_grouping_sets,
     "q_skew_salted_join": q_skew_salted_join,
     "q_ring_centroid": q_ring_centroid,
@@ -1006,6 +1071,30 @@ ORDER BY day
 """
 
 
+
+_BASKET_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+no AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM baskets),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_both
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.brand < b.brand
+  GROUP BY 1, 2),
+marg AS (SELECT brand, COUNT(*) AS n FROM baskets GROUP BY brand)
+SELECT p.brand_a, p.brand_b, p.n_both,
+  ROUND(CAST(p.n_both AS DOUBLE) / CAST(ma.n AS DOUBLE), 6) AS confidence,
+  ROUND(CAST(p.n_both AS DOUBLE) * CAST(no.n_orders AS DOUBLE)
+        / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)), 6) AS lift
+FROM pairs p
+JOIN marg ma ON p.brand_a = ma.brand
+JOIN marg mb ON p.brand_b = mb.brand
+CROSS JOIN no
+WHERE p.n_both >= 20
+ORDER BY lift DESC, brand_a, brand_b LIMIT 15
+"""
+
+
 ORACLES = {
     "q_cms_user_counts": _CMS_ORACLE,
     "q_bloom_prune_join": _BLOOM_ORACLE,
@@ -1019,6 +1108,7 @@ ORACLES = {
     "q_chi_square": _CHI2_ORACLE,
     "q_ewma_smoothing": _EWMA_ORACLE,
     "q_rolling_distinct": _ROLLING_ORACLE,
+    "q_market_basket": _BASKET_ORACLE,
     "q_lag_lead": """
 SELECT event_id, user_id,
   LAG(event_id) OVER w AS prev_event_id,

@@ -422,6 +422,65 @@ def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class geometry: the pairwise cosine matrix of
+    per-label centroids. Centroids are exact DECIMAL component sums of
+    round-6 components (the kmeans_centroids determinism device — sum ≡
+    mean under cosine, order-independent), built by one posexplode +
+    combinable shuffle that never moves whole vectors; the |labels|²
+    cosine matrix is computed on the tiny centroid table. The
+    class-separation diagnostic for embedding QA."""
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        cosine,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    r6 = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double"), 6),
+    )
+    sums = (
+        emb.select(F.col("label"), F.posexplode(r6).alias("idx", "x"))
+        .groupBy("label", "idx")
+        .agg(F.sum(F.col("x").cast("decimal(30,12)")).alias("s"))
+    )
+    cents = (
+        sums.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "s"))).alias("a"))
+        .select(
+            "label",
+            F.transform("a", lambda t: t["s"].cast("double")).alias("cv"),
+        )
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    cents = cents.join(F.broadcast(counts), "label")
+    a = cents.select(
+        F.col("label").alias("label_a"),
+        F.col("cv").alias("cv_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"),
+        F.col("cv").alias("cv_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(cosine(F.col("cv_a"), F.col("cv_b")), 4).alias(
+                "centroid_cosine"
+            ),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: Arrow-batched mapInPandas feature
     extraction over image-modality media (stub decoder, real plan)."""
@@ -818,6 +877,7 @@ QUERIES = {
     "text_top_terms": text_top_terms,
     "text_tfidf_keywords": text_tfidf_keywords,
     "q_scd2_asof_lookup": q_scd2_asof_lookup,
+    "q_label_centroid_sim": q_label_centroid_sim,
     "text_mixture_sample": text_mixture_sample,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2656,5 +2716,34 @@ SELECT valid_from, c_mktsegment, COUNT(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM j GROUP BY valid_from, c_mktsegment
 ORDER BY valid_from, c_mktsegment
+"""
+
+ORACLES["q_label_centroid_sim"] = """
+WITH r AS (
+  SELECT label,
+    list_transform(CAST(embedding AS DOUBLE[]), x -> ROUND(x, 6)) AS r6
+  FROM embeddings),
+e AS (
+  SELECT label, g.i AS idx, r6[g.i] AS x
+  FROM r, range(1, 65) g(i)),
+sums AS (
+  SELECT label, idx, SUM(CAST(x AS DECIMAL(30,12))) AS s
+  FROM e GROUP BY label, idx),
+cents AS (
+  SELECT label,
+    list_transform(
+      list_sort(list(struct_pack(idx := idx, s := s)), 'ASC'),
+      t -> CAST(t.s AS DOUBLE)) AS cv
+  FROM sums GROUP BY label),
+counts AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+cc AS (SELECT c.label, c.cv, n.n FROM cents c JOIN counts n USING (label))
+SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+  ROUND(
+    list_sum(list_transform(range(1, 65), i -> a.cv[i] * b.cv[i]))
+    / (sqrt(list_sum(list_transform(a.cv, x -> x*x)))
+       * sqrt(list_sum(list_transform(b.cv, x -> x*x)))), 4)
+    AS centroid_cosine
+FROM cc a JOIN cc b ON a.label < b.label
+ORDER BY label_a, label_b
 """
 
