@@ -602,3 +602,111 @@ def read_dedup_audit(spark: SparkSession, audit_path: str) -> DataFrame:
         .select("batch_id", "n_docs", "n_dup_candidates")
         .orderBy("batch_id")
     )
+
+
+def incremental_bloom_gate(
+    spark: SparkSession,
+    docs_path: str,
+    bloom_path: str,
+    audit_path: str,
+    checkpoint_path: str,
+    key_col: str = "doc_id",
+    k: int = 4,
+    m: int = 4096,
+) -> StreamingQuery:
+    """T4's bounded-memory variant: a cross-batch EXACT-KEY novelty
+    gate backed by a persistent Bloom filter (operators/sketch.py math)
+    instead of a per-key store. Each micro-batch's keys probe the
+    accumulated set-bit positions; a key whose k positions are all
+    present is flagged "possibly seen" (no false negatives — a novel
+    key is NEVER flagged... except as a bounded false positive, rate
+    (1−e^(−k·n/m))^k, which callers reconcile exactly downstream);
+    novel keys' positions append under ``batch_id=<id>/`` (idempotent
+    overwrite; the probe EXCLUDES the current batch_id, so at-least-
+    once replay re-derives identical verdicts).
+
+    Why Bloom instead of the signature store: the store is capped at m
+    rows TOTAL once saturated (positions are distinct-unioned), so the
+    per-batch probe joins against a fixed-size table forever — the
+    100 TB stream shape where key cardinality grows without bound but
+    state must not. Audit rows: (batch_id, n_docs, n_flagged)."""
+    from nashville_etl_service_backup_spark.operators.sketch import _bucket
+
+    schema = "doc_id long, text string"
+
+    def gate_batch(batch: DataFrame, batch_id: int) -> None:
+        key = F.col(key_col).cast("string")
+        keys = batch.select(key_col).distinct().persist()
+        try:
+            pos = keys.select(
+                F.col(key_col),
+                F.explode(
+                    F.array(*[_bucket(key, i, m) for i in range(k)])
+                ).alias("pos"),
+            )
+            try:
+                store = batch.sparkSession.read.option(
+                    "basePath", bloom_path
+                ).parquet(bloom_path)
+            except AnalysisException as exc:
+                if "PATH_NOT_FOUND" not in str(exc) and (
+                    "does not exist" not in str(exc)
+                ):
+                    raise
+                store = None
+            if store is not None:
+                prior = (
+                    store.filter(F.col("batch_id") != batch_id)
+                    .select("pos")
+                    .distinct()
+                    .withColumn("_h", F.lit(1))
+                )
+                hits = pos.join(F.broadcast(prior), "pos", "left")
+                seen = (
+                    hits.groupBy(key_col)
+                    .agg(F.sum(F.coalesce(F.col("_h"), F.lit(0))).alias("nh"))
+                    .filter(F.col("nh") == k)
+                    .select(key_col)
+                )
+            else:
+                seen = keys.limit(0)
+            novel_pos = (
+                pos.join(seen, key_col, "left_anti")
+                .select("pos")
+                .distinct()
+            )
+            novel_pos.write.mode("overwrite").parquet(
+                f"{bloom_path.rstrip('/')}/batch_id={batch_id}"
+            )
+            flagged = keys.join(
+                seen.withColumn("_d", F.lit(1)), key_col, "left"
+            )
+            audit = flagged.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.coalesce(F.col("_d"), F.lit(0))).alias("n_flagged"),
+            )
+            audit.write.mode("overwrite").parquet(
+                f"{audit_path.rstrip('/')}/batch_id={batch_id}"
+            )
+        finally:
+            keys.unpersist()
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(docs_path)
+        .writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bloom_audit(spark: SparkSession, audit_path: str) -> DataFrame:
+    """Per-batch Bloom-gate audit, one row per processed micro-batch."""
+    return (
+        spark.read.option("basePath", audit_path)
+        .parquet(audit_path)
+        .select("batch_id", "n_docs", "n_flagged")
+        .orderBy("batch_id")
+    )

@@ -510,3 +510,44 @@ def test_incremental_lsh_dedup_gate(spark, tmp_path):
         for r in spark.read.option("basePath", sig).parquet(sig).collect()
     }
     assert stored == {1, 2, 4}
+
+
+def test_incremental_bloom_gate(spark, tmp_path):
+    """Cross-batch Bloom novelty gate: a batch-2 key already in the
+    store is flagged and adds no positions; novel keys append; the
+    store never exceeds m distinct positions."""
+    from nashville_etl_service_backup_spark.streaming.pipeline import (
+        incremental_bloom_gate,
+        read_bloom_audit,
+    )
+
+    src = str(tmp_path / "docs")
+    bloom = str(tmp_path / "bloom")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run_gate():
+        q = incremental_bloom_gate(spark, src, bloom, audit, ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    write([(1, "a"), (2, "b")])
+    run_gate()
+    write([(1, "a-again"), (3, "c")])  # key 1 repeats, key 3 novel
+    run_gate()
+
+    rows = {
+        r["batch_id"]: (r["n_docs"], r["n_flagged"])
+        for r in read_bloom_audit(spark, audit).collect()
+    }
+    assert rows == {0: (2, 0), 1: (2, 1)}
+    store = spark.read.option("basePath", bloom).parquet(bloom)
+    assert store.select("pos").distinct().count() <= 4096
+    # batch 1 appended only key 3's positions (≤ k = 4 new rows)
+    b1 = store.filter(F.col("batch_id") == 1).count()
+    assert 1 <= b1 <= 4
