@@ -41,16 +41,23 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """One row per profiled column: (column, n_rows, n_null,
     completeness, n_distinct, min_val, max_val)."""
     dtypes = dict(df.dtypes)
-    aggs = []
+    # two single-row aggregates, crossJoined: mixing count_distinct
+    # (which Expands the input gid-ways) with string/timestamp min/max
+    # (immutable agg buffers) in ONE aggregate forces a SortAggregate
+    # over the expanded rows — measured 2.7 s vs <1 s at sf0.1. Split,
+    # each side stays hash-based: the distinct side is counts-only
+    # (mutable buffers over the Expand), the basic side is a plain
+    # narrow pass.
+    basic = []
     for c in cols:
-        aggs += [
+        basic += [
             F.count(F.lit(1)).alias(f"_rows_{c}"),
             F.count(F.col(c)).alias(f"_nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
             F.min(F.col(c)).alias(f"_mn_{c}"),
             F.max(F.col(c)).alias(f"_mx_{c}"),
         ]
-    one = df.agg(*aggs)
+    nd = [F.count_distinct(F.col(c)).alias(f"_nd_{c}") for c in cols]
+    one = df.agg(*basic).crossJoin(df.agg(*nd))
     rows = F.array(
         *[
             F.struct(
