@@ -919,9 +919,13 @@ def duplicated_span_stats(
 
     Output: (id, n_grams, n_dup_grams, dup_frac) for EVERY input doc
     (docs shorter than n tokens get 0/0/NULL)."""
-    grams = F.transform(_ordered_ngrams(tokenize(F.col(text_col)), n), F.md5)
+    # md5 applied after the explode as a plain codegen projection (an
+    # in-lambda transform() md5 measures the same here — the hot cost
+    # is the tokenize/ngram build, which spread() parallelizes)
+    grams = _ordered_ngrams(tokenize(F.col(text_col)), n)
     dg = (
-        docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+        docs.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .select(F.col(id_col), F.md5(F.col("_g")).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
