@@ -105,6 +105,8 @@ HEADLINE = [
     "q_scd2_asof_lookup",
     "q_market_basket",
     "q_label_centroid_sim",
+    "q_cdc_apply",
+    "q_referential_audit",
 ]
 
 

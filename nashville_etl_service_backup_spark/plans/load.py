@@ -253,3 +253,48 @@ def scd2_merge(
             "is_current"
         ),
     )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a change-data-capture batch to a snapshot: per key the
+    HIGHEST-seq change wins (I/U upsert the row, D deletes it); keys
+    untouched by the batch pass through. The batch-apply half of a
+    Debezium/CDC ingestion — scd2_merge is the history-keeping twin,
+    this is the current-state twin.
+
+    Scale shape: winner-per-key is one window over the (small) change
+    batch; application is one equi-join partitioned by key (left_anti
+    for touched keys + union of surviving upserts). The snapshot is
+    never rewritten where it isn't touched — at production scale pair
+    with partitioned storage so only touched partitions rewrite.
+
+    Contract: ``changes`` carries (key, attrs..., op ∈ {'I','U','D'},
+    seq); ties on seq resolve to the LAST op in op order ('U' > 'I' >
+    'D' alphabetically would be wrong — resolve on (seq, op) with D
+    losing ties deliberately documented: equal-seq I/U-vs-D keeps the
+    row)."""
+    from pyspark.sql.window import Window
+
+    # desc(op): 'U' > 'I' > 'D', so on an equal-seq tie an upsert
+    # outranks a delete (the documented keeps-the-row resolution)
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(seq_col), F.desc(op_col)
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = latest.select(key_col)
+    survivors = snapshot.join(touched, key_col, "left_anti")
+    upserts = latest.filter(F.col(op_col) != "D").select(
+        key_col, *attr_cols
+    )
+    return survivors.select(key_col, *attr_cols).unionByName(upserts)

@@ -481,6 +481,97 @@ def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC batch apply (plans/load.py cdc_apply) over the customer
+    snapshot: a synthetic change batch (every 7th key updated at seq 2,
+    every 11th deleted at seq 1, every 13th updated at seq 1 — keys
+    hitting both rules exercise the highest-seq-wins resolution, and
+    key 1001 arrives as a brand-new insert). Output: per-segment row
+    count + account-balance decimal sum of the post-apply state."""
+    from nashville_etl_service_backup_spark.plans.load import cdc_apply
+    from nashville_etl_service_backup_spark.queries._util import dsum
+
+    cust = load(spark, sf_dir, "customer")
+    snap = cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+    k = F.col("c_custkey")
+    upd7 = cust.filter(k % 7 == 0).select(
+        k.alias("c_custkey"),
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 50.0).alias("c_acctbal"),
+        F.lit("U").alias("op"), F.lit(2).cast("long").alias("seq"),
+    )
+    del11 = cust.filter(k % 11 == 0).select(
+        k.alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit("D").alias("op"), F.lit(1).cast("long").alias("seq"),
+    )
+    upd13 = cust.filter(k % 13 == 0).select(
+        k.alias("c_custkey"),
+        F.lit("FURNITURE").alias("c_mktsegment"),
+        F.col("c_acctbal").alias("c_acctbal"),
+        F.lit("U").alias("op"), F.lit(1).cast("long").alias("seq"),
+    )
+    ins = spark.range(1001, 1002).select(
+        F.col("id").alias("c_custkey"),
+        F.lit("HOUSEHOLD").alias("c_mktsegment"),
+        F.lit(123.45).alias("c_acctbal"),
+        F.lit("I").alias("op"), F.lit(3).cast("long").alias("seq"),
+    )
+    changes = upd7.unionByName(del11).unionByName(upd13).unionByName(ins)
+    out = cdc_apply(
+        snap, changes, "c_custkey", ["c_mktsegment", "c_acctbal"]
+    )
+    return (
+        out.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("c_acctbal")).alias("sum_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse FK edges — the
+    cross-table generalization of the per-row required-field checks
+    (P2): for each FK edge, parent count, child count, orphan children
+    (left_anti on the FK), and childless parents. Each edge is two
+    combinable counts + one anti-join keyed on the FK."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+
+    def edge(name, child, ckey, parent, pkey):
+        orphans = child.select(F.col(ckey).alias("k")).join(
+            parent.select(F.col(pkey).alias("k")), "k", "left_anti"
+        )
+        childless = parent.select(F.col(pkey).alias("k")).join(
+            child.select(F.col(ckey).alias("k")), "k", "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .join(parent.agg(F.count(F.lit(1)).alias("n_parent")))
+            .join(orphans.agg(F.count(F.lit(1)).alias("n_orphan_child")))
+            .join(
+                childless.agg(F.count(F.lit(1)).alias("n_childless_parent"))
+            )
+            .select(
+                F.lit(name).alias("fk_edge"), "n_child", "n_parent",
+                "n_orphan_child", "n_childless_parent",
+            )
+        )
+    e1 = edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+              orders, "o_orderkey")
+    e2 = edge("orders.o_custkey->customer", orders, "o_custkey",
+              cust, "c_custkey")
+    e3 = edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+              supp, "s_suppkey")
+    return e1.unionByName(e2).unionByName(e3).orderBy("fk_edge")
+
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: Arrow-batched mapInPandas feature
     extraction over image-modality media (stub decoder, real plan)."""
@@ -878,6 +969,8 @@ QUERIES = {
     "text_tfidf_keywords": text_tfidf_keywords,
     "q_scd2_asof_lookup": q_scd2_asof_lookup,
     "q_label_centroid_sim": q_label_centroid_sim,
+    "q_cdc_apply": q_cdc_apply,
+    "q_referential_audit": q_referential_audit,
     "text_mixture_sample": text_mixture_sample,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2745,5 +2838,60 @@ SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
     AS centroid_cosine
 FROM cc a JOIN cc b ON a.label < b.label
 ORDER BY label_a, label_b
+"""
+
+ORACLES["q_cdc_apply"] = """
+WITH changes AS (
+  SELECT c_custkey, 'MACHINERY' AS c_mktsegment,
+    c_acctbal + 50.0 AS c_acctbal, 'U' AS op, 2 AS seq
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, NULL, NULL, 'D', 1 FROM customer WHERE c_custkey % 11 = 0
+  UNION ALL
+  SELECT c_custkey, 'FURNITURE', c_acctbal, 'U', 1
+  FROM customer WHERE c_custkey % 13 = 0
+  UNION ALL
+  SELECT 1001, 'HOUSEHOLD', 123.45, 'I', 3),
+latest AS (
+  SELECT * FROM (
+    SELECT changes.*, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                         ORDER BY seq DESC, op DESC) AS rn
+    FROM changes) WHERE rn = 1),
+survivors AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)),
+upserts AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM latest WHERE op <> 'D'),
+state AS (SELECT * FROM survivors UNION ALL SELECT * FROM upserts)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+FROM state GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+ORACLES["q_referential_audit"] = """
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+  (SELECT COUNT(*) FROM lineitem) AS n_child,
+  (SELECT COUNT(*) FROM orders) AS n_parent,
+  (SELECT COUNT(*) FROM lineitem
+   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    AS n_orphan_child,
+  (SELECT COUNT(*) FROM orders
+   WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+    AS n_childless_parent
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+  (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM customer),
+  (SELECT COUNT(*) FROM orders
+   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+  (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM supplier),
+  (SELECT COUNT(*) FROM lineitem
+   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+  (SELECT COUNT(*) FROM supplier
+   WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem))
+ORDER BY fk_edge
 """
 

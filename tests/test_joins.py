@@ -203,3 +203,26 @@ def test_blocked_fuzzy_join_and_resolve(spark):
     best = resolve_best_match(pairs, "pk", "ck").collect()
     assert len(best) == 1
     assert (best[0]["pk"], best[0]["ck"]) == (10, 1)  # tie → lower key
+
+
+def test_cdc_apply_semantics(spark):
+    """Highest-seq change wins per key; D removes; untouched keys pass
+    through; equal-seq upsert-vs-delete keeps the row."""
+    from nashville_etl_service_backup_spark.plans.load import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k long, s string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 1.5, "U", 1), (1, None, None, "D", 2),  # delete wins
+            (2, "b2", 2.5, "U", 2), (2, None, None, "D", 1),  # update wins
+            (4, "d", 4.0, "I", 1),                            # new key
+            (3, "c9", 9.0, "U", 5), (3, None, None, "D", 5),  # tie → U
+        ],
+        "k long, s string, v double, op string, seq long",
+    )
+    out = {r["k"]: (r["s"], r["v"])
+           for r in cdc_apply(snap, changes, "k", ["s", "v"]).collect()}
+    assert out == {2: ("b2", 2.5), 3: ("c9", 9.0), 4: ("d", 4.0)}
