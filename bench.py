@@ -107,6 +107,8 @@ HEADLINE = [
     "q_label_centroid_sim",
     "q_cdc_apply",
     "q_referential_audit",
+    "q_session_paths",
+    "q_ab_test",
 ]
 
 

@@ -298,10 +298,110 @@ def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: sessionize each user's timeline with the
+    manual lag-gap-cumsum pattern (10-min inactivity — the hand-rolled
+    twin of F.session_window, needed whenever the session rule is
+    richer than a fixed gap), take each session's first three event
+    types as a '>'-joined path, and rank the top-10 paths by session
+    count. One user-window shuffle does the lag AND the running
+    session-id sum; the path aggregate is combinable."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 10 * 60 * 1000 * 1000
+    new_sess = F.when(
+        F.unix_micros(F.col("ts"))
+        - F.unix_micros(F.lag("ts").over(w)) > gap_us,
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_id"),
+    )
+    sw = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    first3 = (
+        sess.withColumn("rn", F.row_number().over(sw))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "event_type"))
+            ).alias("steps")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform("steps", lambda t: t["event_type"])
+            ).alias("path")
+        )
+    )
+    return (
+        first3.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
+
+
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test on purchase conversion between the
+    user_id-parity variants: per-variant user and converter counts
+    (one distinct aggregate), then the pooled-variance z statistic —
+    sqrt is IEEE-correctly-rounded so the statistic is bit-identical
+    cross-engine (the chi-square's 2×2 companion; z² ≈ χ²)."""
+    ev = load(spark, sf_dir, "events")
+    users = (
+        ev.groupBy((F.col("user_id") % 2).cast("long").alias("variant"),
+                   F.col("user_id"))
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150.0),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    per = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    a = per.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("c_a")
+    )
+    b = per.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("c_b")
+    )
+    j = a.join(b)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("c_a").cast("double"), F.col("c_b").cast("double")
+    p_pool = (ca + cb) / (na + nb)
+    se = F.sqrt(p_pool * (F.lit(1.0) - p_pool)
+                * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    return j.select(
+        "n_a", "c_a", "n_b", "c_b",
+        F.round(ca / na, 6).alias("rate_a"),
+        F.round(cb / nb, 6).alias("rate_b"),
+        F.round((ca / na - cb / nb) / se, 6).alias("z_score"),
+    )
+
+
 QUERIES = {
     "q_markov_transitions": q_markov_transitions,
     "q_time_to_convert": q_time_to_convert,
     "q_late_data_audit": q_late_data_audit,
+    "q_session_paths": q_session_paths,
+    "q_ab_test": q_ab_test,
     "q_funnel": q_funnel,
     "q_cohort_retention": q_cohort_retention,
     "q_value_histogram": q_value_histogram,
@@ -377,10 +477,70 @@ FROM flagged GROUP BY day ORDER BY day
 """
 
 
+
+_PATHS_ORACLE = """
+WITH lagd AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+           - epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP)) > 600000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM lagd),
+first3 AS (
+  SELECT user_id, session_id, event_type, rn FROM (
+    SELECT user_id, session_id, event_type,
+      ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                         ORDER BY ts, event_id) AS rn
+    FROM sess) WHERE rn <= 3),
+paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM first3 GROUP BY user_id, session_id)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 10
+"""
+
+
+
+_AB_ORACLE = """
+WITH users AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS variant, user_id,
+    MAX(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2),
+per AS (
+  SELECT variant, COUNT(*) AS n_users,
+    CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM users GROUP BY variant),
+a AS (SELECT n_users AS n_a, n_converted AS c_a FROM per WHERE variant = 0),
+b AS (SELECT n_users AS n_b, n_converted AS c_b FROM per WHERE variant = 1)
+SELECT n_a, c_a, n_b, c_b,
+  ROUND(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+  ROUND(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+  ROUND(
+    (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+     - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+    / sqrt(((CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+           * (1.0 - (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+           * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+    AS z_score
+FROM a CROSS JOIN b
+"""
+
+
 ORACLES = {
     "q_markov_transitions": _MARKOV_ORACLE,
     "q_time_to_convert": _TTC_ORACLE,
     "q_late_data_audit": _LATE_ORACLE,
+    "q_session_paths": _PATHS_ORACLE,
+    "q_ab_test": _AB_ORACLE,
     "q_funnel": """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t FROM events
