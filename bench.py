@@ -109,6 +109,8 @@ HEADLINE = [
     "q_referential_audit",
     "q_session_paths",
     "q_ab_test",
+    "q_winsorize",
+    "dedup_degree_dist",
 ]
 
 

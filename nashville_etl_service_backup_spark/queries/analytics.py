@@ -672,6 +672,43 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clamp to [p05, p95] per event type) — the
+    data-cleaning companion to the MAD audit: per type, raw vs
+    winsorized decimal means and clamp counts. One percentile pass
+    over each group + a broadcast bound join; exact-percentile parity
+    as in q_percentiles."""
+    from nashville_etl_service_backup_spark.queries._util import davg
+
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    pct = F.percentile(v, F.lit([0.05, 0.95]))
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.element_at(pct, 1), 6).alias("lo"),
+        F.round(F.element_at(pct, 2), 6).alias("hi"),
+    )
+    w = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        v.alias("raw"),
+        F.least(F.greatest(v, F.col("lo")), F.col("hi")).alias("wv"),
+        F.when(v < F.col("lo"), 1).otherwise(0).alias("cl"),
+        F.when(v > F.col("hi"), 1).otherwise(0).alias("ch"),
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg(F.col("raw"), scale=6).alias("mean_raw"),
+            davg(F.col("wv"), scale=6).alias("mean_winsorized"),
+            F.sum("cl").alias("n_clamped_low"),
+            F.sum("ch").alias("n_clamped_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_cms_user_counts": q_cms_user_counts,
@@ -685,6 +722,7 @@ QUERIES = {
     "q_skew_report": q_skew_report,
     "q_chi_square": q_chi_square,
     "q_ewma_smoothing": q_ewma_smoothing,
+    "q_winsorize": q_winsorize,
     "q_rolling_distinct": q_rolling_distinct,
     "q_market_basket": q_market_basket,
     "q_grouping_sets": q_grouping_sets,
@@ -1095,6 +1133,30 @@ ORDER BY lift DESC, brand_a, brand_b LIMIT 15
 """
 
 
+
+_WINSOR_ORACLE = """
+WITH bounds AS (
+  SELECT event_type,
+    ROUND(quantile_cont(CAST(value AS DOUBLE), 0.05), 6) AS lo,
+    ROUND(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS hi
+  FROM events GROUP BY event_type),
+w AS (
+  SELECT e.event_type, CAST(e.value AS DOUBLE) AS raw,
+    LEAST(GREATEST(CAST(e.value AS DOUBLE), b.lo), b.hi) AS wv,
+    CASE WHEN CAST(e.value AS DOUBLE) < b.lo THEN 1 ELSE 0 END AS cl,
+    CASE WHEN CAST(e.value AS DOUBLE) > b.hi THEN 1 ELSE 0 END AS ch
+  FROM events e JOIN bounds b USING (event_type))
+SELECT event_type, COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(raw AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+    AS mean_raw,
+  ROUND(CAST(SUM(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+    AS mean_winsorized,
+  CAST(SUM(cl) AS BIGINT) AS n_clamped_low,
+  CAST(SUM(ch) AS BIGINT) AS n_clamped_high
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
 ORACLES = {
     "q_cms_user_counts": _CMS_ORACLE,
     "q_bloom_prune_join": _BLOOM_ORACLE,
@@ -1107,6 +1169,7 @@ ORACLES = {
     "q_skew_report": _SKEW_ORACLE,
     "q_chi_square": _CHI2_ORACLE,
     "q_ewma_smoothing": _EWMA_ORACLE,
+    "q_winsorize": _WINSOR_ORACLE,
     "q_rolling_distinct": _ROLLING_ORACLE,
     "q_market_basket": _BASKET_ORACLE,
     "q_lag_lead": """

@@ -572,6 +572,35 @@ def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def dedup_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph health check: the degree distribution of the
+    MinHash-LSH pair graph — how many documents have exactly d verified
+    near-duplicates, for each d (degree 0 = clean docs, counted too).
+    A heavy upper tail here is the early-warning for template spam /
+    mirror floods before cluster resolution even runs. Composition over
+    the shared pair-finder; the pair table is tiny after banding, so
+    both aggregates are trivial shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = _lsh_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    all_deg = (
+        docs.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+    )
+    return (
+        all_deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: Arrow-batched mapInPandas feature
     extraction over image-modality media (stub decoder, real plan)."""
@@ -971,6 +1000,7 @@ QUERIES = {
     "q_label_centroid_sim": q_label_centroid_sim,
     "q_cdc_apply": q_cdc_apply,
     "q_referential_audit": q_referential_audit,
+    "dedup_degree_dist": dedup_degree_dist,
     "text_mixture_sample": text_mixture_sample,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2893,5 +2923,19 @@ SELECT 'lineitem.l_suppkey->supplier',
   (SELECT COUNT(*) FROM supplier
    WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem))
 ORDER BY fk_edge
+"""
+
+ORACLES["dedup_degree_dist"] = f"""
+WITH {_LSH_CTES},
+deg AS (
+  SELECT doc_id, COUNT(*) AS degree FROM (
+    SELECT doc_a AS doc_id FROM lshp
+    UNION ALL SELECT doc_b FROM lshp)
+  GROUP BY doc_id),
+alld AS (
+  SELECT COALESCE(deg.degree, 0) AS degree
+  FROM documents LEFT JOIN deg USING (doc_id))
+SELECT degree, COUNT(*) AS n_docs FROM alld
+GROUP BY degree ORDER BY degree
 """
 
