@@ -111,6 +111,7 @@ HEADLINE = [
     "q_ab_test",
     "q_winsorize",
     "dedup_degree_dist",
+    "text_mixture_drift",
 ]
 
 

@@ -601,6 +601,43 @@ def dedup_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def text_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture drift: KL(source language distribution ||
+    corpus language distribution) — the information-theoretic audit
+    behind "did this crawl slice change its language mix" (the drift
+    alarm upstream of the alpha-mixture resampling). All probabilities
+    come from exact integer counts; each KL term is rounded to 12dp
+    and summed in DECIMAL (order-independent), ln parity as in BM25."""
+    docs = load(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_sl")
+    )
+    st = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    lt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        sl.join(F.broadcast(st), "source")
+        .join(F.broadcast(lt), "lang")
+        .join(F.broadcast(n))
+    )
+    p_sl = F.col("n_sl").cast("double") / F.col("n_s").cast("double")
+    p_cl = F.col("n_l").cast("double") / F.col("n").cast("double")
+    term = F.round(p_sl * F.log(p_sl / p_cl), 12)
+    return (
+        cells.groupBy("source", "n_s")
+        .agg(
+            F.round(
+                F.sum(term.cast("decimal(28,12)")).cast("double"), 6
+            ).alias("kl_drift")
+        )
+        .select(
+            "source", F.col("n_s").alias("n_docs"), "kl_drift"
+        )
+        .orderBy("source")
+    )
+
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: Arrow-batched mapInPandas feature
     extraction over image-modality media (stub decoder, real plan)."""
@@ -1001,6 +1038,7 @@ QUERIES = {
     "q_cdc_apply": q_cdc_apply,
     "q_referential_audit": q_referential_audit,
     "dedup_degree_dist": dedup_degree_dist,
+    "text_mixture_drift": text_mixture_drift,
     "text_mixture_sample": text_mixture_sample,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2937,5 +2975,24 @@ alld AS (
   FROM documents LEFT JOIN deg USING (doc_id))
 SELECT degree, COUNT(*) AS n_docs FROM alld
 GROUP BY degree ORDER BY degree
+"""
+
+ORACLES["text_mixture_drift"] = """
+WITH sl AS (
+  SELECT source, lang, COUNT(*) AS n_sl
+  FROM documents GROUP BY source, lang),
+st AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+lt AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+n AS (SELECT COUNT(*) AS n FROM documents),
+cells AS (
+  SELECT sl.source, st.n_s,
+    ROUND((CAST(sl.n_sl AS DOUBLE) / CAST(st.n_s AS DOUBLE))
+          * LN((CAST(sl.n_sl AS DOUBLE) / CAST(st.n_s AS DOUBLE))
+               / (CAST(lt.n_l AS DOUBLE) / CAST(n.n AS DOUBLE))), 12)
+      AS term
+  FROM sl JOIN st USING (source) JOIN lt USING (lang) CROSS JOIN n)
+SELECT source, n_s AS n_docs,
+  ROUND(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_drift
+FROM cells GROUP BY source, n_s ORDER BY source
 """
 
