@@ -112,6 +112,8 @@ HEADLINE = [
     "q_winsorize",
     "dedup_degree_dist",
     "text_mixture_drift",
+    "q_abc_analysis",
+    "q_seasonality_dow",
 ]
 
 

@@ -709,6 +709,86 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC inventory classification: parts ranked by decimal
+    revenue, cumulative share over the ranked aggregate (window cumsum
+    on the small per-part aggregate, not the fact table), class A/B/C
+    at 80%/95% cumulative share. Output: per class, part count and
+    decimal revenue share."""
+    from nashville_etl_service_backup_spark.queries._util import dsum
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = per_part.agg(F.sum("rev").alias("tot"))
+    ranked = per_part.join(F.broadcast(total)).select(
+        "l_partkey",
+        "rev",
+        (
+            F.sum("rev").over(w).cast("double")
+            / F.col("tot").cast("double")
+        ).alias("cum_share"),
+    )
+    cls = F.when(F.col("cum_share") <= 0.80, "A").otherwise(
+        F.when(F.col("cum_share") <= 0.95, "B").otherwise("C")
+    )
+    return (
+        ranked.select(cls.alias("abc_class"), "rev")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev").cast("double"), 4).alias("revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: observed daily
+    mean per weekday ÷ overall daily mean (index 1.0 = no seasonality)
+    — the decomposition-lite audit behind anomaly thresholds. Counts
+    per (type, date) first, so the index is per-DAY means, robust to
+    how many of each weekday the window contains."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dowd = daily.select(
+        "event_type",
+        F.dayofweek("day").cast("long").alias("dow"),
+        "n",
+    )
+    per_dow = dowd.groupBy("event_type", "dow").agg(
+        F.sum("n").alias("n"), F.count(F.lit(1)).alias("days")
+    )
+    overall = dowd.groupBy("event_type").agg(
+        F.sum("n").alias("n_all"), F.count(F.lit(1)).alias("days_all")
+    )
+    j = per_dow.join(F.broadcast(overall), "event_type")
+    mean_dow = F.col("n").cast("double") / F.col("days").cast("double")
+    mean_all = F.col("n_all").cast("double") / F.col("days_all").cast(
+        "double"
+    )
+    return j.select(
+        "event_type",
+        "dow",
+        F.round(mean_dow, 6).alias("daily_mean"),
+        F.round(mean_dow / mean_all, 6).alias("seasonality_index"),
+    ).orderBy("event_type", "dow")
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_cms_user_counts": q_cms_user_counts,
@@ -723,6 +803,8 @@ QUERIES = {
     "q_chi_square": q_chi_square,
     "q_ewma_smoothing": q_ewma_smoothing,
     "q_winsorize": q_winsorize,
+    "q_abc_analysis": q_abc_analysis,
+    "q_seasonality_dow": q_seasonality_dow,
     "q_rolling_distinct": q_rolling_distinct,
     "q_market_basket": q_market_basket,
     "q_grouping_sets": q_grouping_sets,
@@ -1157,6 +1239,52 @@ FROM w GROUP BY event_type ORDER BY event_type
 """
 
 
+
+_ABC_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT SUM(rev) AS tot FROM per_part),
+ranked AS (
+  SELECT l_partkey, rev,
+    CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS DOUBLE) / CAST(t.tot AS DOUBLE) AS cum_share
+  FROM per_part CROSS JOIN tot t),
+cls AS (
+  SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
+              WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+    rev
+  FROM ranked)
+SELECT abc_class, COUNT(*) AS n_parts,
+  ROUND(CAST(SUM(rev) AS DOUBLE), 4) AS revenue
+FROM cls GROUP BY abc_class ORDER BY abc_class
+"""
+
+_SEASON_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY event_type, day),
+dowd AS (
+  SELECT event_type, CAST(dayofweek(day) + 1 AS BIGINT) AS dow, n
+  FROM daily),
+per_dow AS (
+  SELECT event_type, dow, SUM(n) AS n, COUNT(*) AS days
+  FROM dowd GROUP BY event_type, dow),
+overall AS (
+  SELECT event_type, SUM(n) AS n_all, COUNT(*) AS days_all
+  FROM dowd GROUP BY event_type)
+SELECT p.event_type, p.dow,
+  ROUND(CAST(p.n AS DOUBLE) / CAST(p.days AS DOUBLE), 6) AS daily_mean,
+  ROUND((CAST(p.n AS DOUBLE) / CAST(p.days AS DOUBLE))
+        / (CAST(o.n_all AS DOUBLE) / CAST(o.days_all AS DOUBLE)), 6)
+    AS seasonality_index
+FROM per_dow p JOIN overall o USING (event_type)
+ORDER BY p.event_type, p.dow
+"""
+
+
 ORACLES = {
     "q_cms_user_counts": _CMS_ORACLE,
     "q_bloom_prune_join": _BLOOM_ORACLE,
@@ -1170,6 +1298,8 @@ ORACLES = {
     "q_chi_square": _CHI2_ORACLE,
     "q_ewma_smoothing": _EWMA_ORACLE,
     "q_winsorize": _WINSOR_ORACLE,
+    "q_abc_analysis": _ABC_ORACLE,
+    "q_seasonality_dow": _SEASON_ORACLE,
     "q_rolling_distinct": _ROLLING_ORACLE,
     "q_market_basket": _BASKET_ORACLE,
     "q_lag_lead": """
