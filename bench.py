@@ -114,6 +114,7 @@ HEADLINE = [
     "text_mixture_drift",
     "q_abc_analysis",
     "q_seasonality_dow",
+    "q_discovery_curve",
 ]
 
 

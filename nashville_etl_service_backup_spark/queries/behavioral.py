@@ -396,12 +396,55 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_discovery_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog discovery curve: after k events, how many DISTINCT event
+    types has the average user touched? First-occurrence flags (one
+    row_number window over (user, type)) cumulatively summed along each
+    user's timeline (second window, same user shuffle partitioning),
+    then the cross-user mean at each position k ≤ 20 — the
+    content-coverage diagnostic behind recommendation-diversity work."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(wt) == 1, 1).otherwise(0).alias("first"),
+    )
+    curve = flagged.select(
+        F.row_number().over(wu).cast("long").alias("k"),
+        F.sum("first")
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("n_types"),
+    ).filter(F.col("k") <= 20)
+    return (
+        curve.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum("n_types").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_distinct_types"),
+        )
+        .orderBy("k")
+    )
+
+
 QUERIES = {
     "q_markov_transitions": q_markov_transitions,
     "q_time_to_convert": q_time_to_convert,
     "q_late_data_audit": q_late_data_audit,
     "q_session_paths": q_session_paths,
     "q_ab_test": q_ab_test,
+    "q_discovery_curve": q_discovery_curve,
     "q_funnel": q_funnel,
     "q_cohort_retention": q_cohort_retention,
     "q_value_histogram": q_value_histogram,
@@ -535,12 +578,35 @@ FROM a CROSS JOIN b
 """
 
 
+
+_DISCOVERY_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) = 1
+         THEN 1 ELSE 0 END AS first
+  FROM events),
+curve AS (
+  SELECT ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS k,
+    SUM(first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS n_types
+  FROM flagged)
+SELECT k, COUNT(*) AS n_users,
+  ROUND(CAST(SUM(n_types) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS avg_distinct_types
+FROM curve WHERE k <= 20 GROUP BY k ORDER BY k
+"""
+
+
 ORACLES = {
     "q_markov_transitions": _MARKOV_ORACLE,
     "q_time_to_convert": _TTC_ORACLE,
     "q_late_data_audit": _LATE_ORACLE,
     "q_session_paths": _PATHS_ORACLE,
     "q_ab_test": _AB_ORACLE,
+    "q_discovery_curve": _DISCOVERY_ORACLE,
     "q_funnel": """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t FROM events
