@@ -115,6 +115,7 @@ HEADLINE = [
     "q_abc_analysis",
     "q_seasonality_dow",
     "q_discovery_curve",
+    "q_psi_drift",
 ]
 
 

@@ -789,6 +789,69 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "dow")
 
 
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between week 1 (reference) and week 4
+    (current) of event values — the standard numeric drift gate in
+    ML-ops (PSI < 0.1 stable, > 0.25 shifted), completing the drift
+    family (chi-square: categorical association; KL: mixture drift).
+    Decile edges come from ONE percentile pass over the reference week;
+    both periods bin against the broadcast edges; PSI terms are
+    12dp-rounded and decimal-summed. Laplace-smoothed bin shares keep
+    ln() finite on empty bins — mirrored exactly in the oracle."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.col("value").cast("double").alias("v")
+    )
+    ref = ev.filter(F.col("day") <= F.lit("2024-01-07"))
+    cur = ev.filter(
+        (F.col("day") >= F.lit("2024-01-22"))
+        & (F.col("day") <= F.lit("2024-01-28"))
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    edges = ref.agg(
+        *[
+            F.round(F.percentile(F.col("v"), F.lit(q)), 6).alias(f"e{i}")
+            for i, q in enumerate(qs, 1)
+        ]
+    )
+
+    def binned(df, tag):
+        j = df.join(F.broadcast(edges))
+        b = F.lit(0)
+        for i in range(1, 10):
+            b = b + F.when(F.col("v") > F.col(f"e{i}"), 1).otherwise(0)
+        return j.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}")
+        )
+
+    rb = binned(ref, "ref")
+    cb = binned(cur, "cur")
+    nr = ref.agg(F.count(F.lit(1)).alias("tr"))
+    nc = cur.agg(F.count(F.lit(1)).alias("tc"))
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    cells = (
+        bins.join(rb, "bin", "left")
+        .join(cb, "bin", "left")
+        .join(F.broadcast(nr))
+        .join(F.broadcast(nc))
+    )
+    p1 = (F.coalesce(F.col("n_ref"), F.lit(0)).cast("double") + F.lit(0.5)) / (
+        F.col("tr").cast("double") + F.lit(5.0)
+    )
+    p2 = (F.coalesce(F.col("n_cur"), F.lit(0)).cast("double") + F.lit(0.5)) / (
+        F.col("tc").cast("double") + F.lit(5.0)
+    )
+    term = F.round((p2 - p1) * F.log(p2 / p1), 12)
+    return cells.agg(
+        F.round(
+            F.sum(term.cast("decimal(28,12)")).cast("double"), 6
+        ).alias("psi"),
+        F.max("tr").alias("n_ref_rows"),
+        F.max("tc").alias("n_cur_rows"),
+    )
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_cms_user_counts": q_cms_user_counts,
@@ -805,6 +868,7 @@ QUERIES = {
     "q_winsorize": q_winsorize,
     "q_abc_analysis": q_abc_analysis,
     "q_seasonality_dow": q_seasonality_dow,
+    "q_psi_drift": q_psi_drift,
     "q_rolling_distinct": q_rolling_distinct,
     "q_market_basket": q_market_basket,
     "q_grouping_sets": q_grouping_sets,
@@ -1285,6 +1349,54 @@ ORDER BY p.event_type, p.dow
 """
 
 
+
+_PSI_ORACLE = """
+WITH ref AS (
+  SELECT CAST(value AS DOUBLE) AS value FROM events
+  WHERE CAST(ts AS DATE) <= DATE '2024-01-07'),
+cur AS (
+  SELECT CAST(value AS DOUBLE) AS value FROM events
+  WHERE CAST(ts AS DATE) >= DATE '2024-01-22'
+    AND CAST(ts AS DATE) <= DATE '2024-01-28'),
+e AS (
+  SELECT ROUND(quantile_cont(CAST(value AS DOUBLE), 0.1), 6) AS e1,
+    ROUND(quantile_cont(CAST(value AS DOUBLE), 0.2), 6) AS e2,
+    ROUND(quantile_cont(CAST(value AS DOUBLE), 0.3), 6) AS e3,
+    ROUND(quantile_cont(CAST(value AS DOUBLE), 0.4), 6) AS e4,
+    ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS e5,
+    ROUND(quantile_cont(CAST(value AS DOUBLE), 0.6), 6) AS e6,
+    ROUND(quantile_cont(CAST(value AS DOUBLE), 0.7), 6) AS e7,
+    ROUND(quantile_cont(CAST(value AS DOUBLE), 0.8), 6) AS e8,
+    ROUND(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS e9
+  FROM ref),
+rb AS (
+  SELECT (CASE WHEN CAST(value AS DOUBLE) > e.e1 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e2 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e3 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e4 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e5 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e6 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e7 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e8 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e9 THEN 1 ELSE 0 END) AS bin, COUNT(*) AS n_ref
+  FROM ref, e GROUP BY 1),
+cb AS (
+  SELECT (CASE WHEN CAST(value AS DOUBLE) > e.e1 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e2 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e3 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e4 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e5 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e6 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e7 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e8 THEN 1 ELSE 0 END + CASE WHEN CAST(value AS DOUBLE) > e.e9 THEN 1 ELSE 0 END) AS bin, COUNT(*) AS n_cur
+  FROM cur, e GROUP BY 1),
+nr AS (SELECT COUNT(*) AS tr FROM ref),
+nc AS (SELECT COUNT(*) AS tc FROM cur),
+cells AS (
+  SELECT b.bin, COALESCE(rb.n_ref, 0) AS n_ref, COALESCE(cb.n_cur, 0)
+      AS n_cur, nr.tr, nc.tc
+  FROM range(0, 10) b(bin)
+  LEFT JOIN rb ON rb.bin = b.bin LEFT JOIN cb ON cb.bin = b.bin
+  CROSS JOIN nr CROSS JOIN nc),
+terms AS (
+  SELECT tr, tc,
+    ROUND(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0)
+           - (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 5.0))
+          * LN(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0))
+               / ((CAST(n_ref AS DOUBLE) + 0.5)
+                  / (CAST(tr AS DOUBLE) + 5.0))), 12) AS term
+  FROM cells)
+SELECT ROUND(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi,
+  CAST(MAX(tr) AS BIGINT) AS n_ref_rows, CAST(MAX(tc) AS BIGINT) AS n_cur_rows
+FROM terms
+"""
+
+
 ORACLES = {
     "q_cms_user_counts": _CMS_ORACLE,
     "q_bloom_prune_join": _BLOOM_ORACLE,
@@ -1300,6 +1412,7 @@ ORACLES = {
     "q_winsorize": _WINSOR_ORACLE,
     "q_abc_analysis": _ABC_ORACLE,
     "q_seasonality_dow": _SEASON_ORACLE,
+    "q_psi_drift": _PSI_ORACLE,
     "q_rolling_distinct": _ROLLING_ORACLE,
     "q_market_basket": _BASKET_ORACLE,
     "q_lag_lead": """
