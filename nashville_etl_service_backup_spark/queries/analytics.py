@@ -852,6 +852,81 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per event type, the longest per-user streak of
+    CONSECUTIVE same-type events and how many maximal streaks exist —
+    the classic rn-difference grouping (two row_numbers on the same
+    user-window partitioning, their difference constant within an
+    island), entirely window + aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    isl = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(wu) - F.row_number().over(wt)).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy("event_type")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic
+    fabricated-numbers screen: observed leading-digit shares vs the
+    log10(1+1/d) expectation (expected shares baked in as literals so
+    both engines parse identical doubles), absolute deviation per
+    digit. One narrow digit extraction + one combinable count."""
+    orders = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .filter(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    expected = F.element_at(
+        F.array(*[F.lit(x) for x in [0.3010299956639812, 0.17609125905568124, 0.12493873660829992, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514]]),
+        F.col("digit"),
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("observed_share"),
+            F.round(expected, 6).alias("benford_share"),
+            F.round(
+                F.abs(
+                    F.col("n").cast("double") / F.col("tot").cast("double")
+                    - expected
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_cms_user_counts": q_cms_user_counts,
@@ -869,6 +944,8 @@ QUERIES = {
     "q_abc_analysis": q_abc_analysis,
     "q_seasonality_dow": q_seasonality_dow,
     "q_psi_drift": q_psi_drift,
+    "q_streaks": q_streaks,
+    "q_benford_audit": q_benford_audit,
     "q_rolling_distinct": q_rolling_distinct,
     "q_market_basket": q_market_basket,
     "q_grouping_sets": q_grouping_sets,
@@ -1397,6 +1474,42 @@ FROM terms
 """
 
 
+
+_STREAKS_ORACLE = """
+WITH isl AS (
+  SELECT user_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS grp
+  FROM events),
+streaks AS (
+  SELECT user_id, event_type, grp, COUNT(*) AS len
+  FROM isl GROUP BY user_id, event_type, grp)
+SELECT event_type, MAX(len) AS longest_streak, COUNT(*) AS n_streaks
+FROM streaks GROUP BY event_type ORDER BY event_type
+"""
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                             AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders),
+counts AS (
+  SELECT digit, COUNT(*) AS n FROM d WHERE digit >= 1 GROUP BY digit),
+tot AS (SELECT SUM(n) AS tot FROM counts),
+exp AS (
+  SELECT unnest(range(1, 10)) AS digit,
+    unnest([0.3010299956639812, 0.17609125905568124, 0.12493873660829992, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514]) AS p)
+SELECT c.digit, c.n,
+  ROUND(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS observed_share,
+  ROUND(CAST(e.p AS DOUBLE), 6) AS benford_share,
+  ROUND(ABS(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) - CAST(e.p AS DOUBLE)), 6)
+    AS abs_dev
+FROM counts c CROSS JOIN tot t JOIN exp e ON c.digit = e.digit
+ORDER BY c.digit
+"""
+
+
 ORACLES = {
     "q_cms_user_counts": _CMS_ORACLE,
     "q_bloom_prune_join": _BLOOM_ORACLE,
@@ -1413,6 +1526,8 @@ ORACLES = {
     "q_abc_analysis": _ABC_ORACLE,
     "q_seasonality_dow": _SEASON_ORACLE,
     "q_psi_drift": _PSI_ORACLE,
+    "q_streaks": _STREAKS_ORACLE,
+    "q_benford_audit": _BENFORD_ORACLE,
     "q_rolling_distinct": _ROLLING_ORACLE,
     "q_market_basket": _BASKET_ORACLE,
     "q_lag_lead": """
