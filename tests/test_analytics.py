@@ -292,3 +292,35 @@ def test_rolling_distinct_window_semantics(spark):
     assert out[some_day]["hll_7d"] == direct
     exact = window_keys.select("user_id").distinct().count()
     assert out[some_day]["exact_7d"] == exact
+
+
+def test_profile_all_null_and_timestamp_columns(spark):
+    """An all-null column reports 0 completeness with NULL min/max; a
+    timestamp column stringifies at micros precision."""
+    import datetime
+
+    from nashville_etl_service_backup_spark.operators.profile import profile
+
+    ts = datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    df = spark.createDataFrame(
+        [(ts, None), (ts, None)], "t timestamp, gone string"
+    )
+    out = {r["column"]: r for r in profile(df, ["t", "gone"]).collect()}
+    assert out["gone"]["completeness"] == 0.0
+    assert out["gone"]["n_null"] == 2
+    assert out["gone"]["min_val"] is None
+    assert out["t"]["min_val"] == "2024-01-02 03:04:05.123456"
+    assert out["t"]["n_distinct"] == 1
+
+
+def test_skew_report_uniform_keys(spark):
+    """Perfectly uniform keys report skew_ratio exactly 1."""
+    from nashville_etl_service_backup_spark.operators.profile import (
+        skew_report,
+    )
+
+    df = spark.createDataFrame(
+        [(k,) for k in range(10) for _ in range(3)], "k long"
+    )
+    r = skew_report(df, "k").collect()[0]
+    assert r["skew_ratio"] == 1.0 and r["max_rows"] == 3
