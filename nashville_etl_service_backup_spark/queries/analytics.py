@@ -927,6 +927,61 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between the lineitem numeric
+    measures WITHOUT the engine-internal co-moment aggregate (whose
+    partial-merge order drifts): every Σx, Σy, Σxy, Σx², Σy² is an
+    exact DECIMAL sum of round-6 values, and the correlation is one
+    correctly-rounded double expression over those exact sums —
+    bit-identical across engines and runs. One scan, one single-row
+    aggregate, the |cols|² matrix assembled from it."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = load(spark, sf_dir, "lineitem")
+    r6 = {c: F.round(F.col(c).cast("double"), 6) for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(
+            F.sum(r6[c].cast("decimal(28,6)")).alias(f"s_{c}")
+        )
+        aggs.append(
+            F.sum((r6[c] * r6[c]).cast("decimal(38,12)")).alias(f"ss_{c}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(
+                F.sum((r6[a] * r6[b]).cast("decimal(38,12)")).alias(
+                    f"sp_{a}_{b}"
+                )
+            )
+    one = li.agg(*aggs)
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            n = F.col("n").cast("double")
+            sx = F.col(f"s_{a}").cast("double")
+            sy = F.col(f"s_{b}").cast("double")
+            sxx = F.col(f"ss_{a}").cast("double")
+            syy = F.col(f"ss_{b}").cast("double")
+            sxy = F.col(f"sp_{a}_{b}").cast("double")
+            corr = (n * sxy - sx * sy) / F.sqrt(
+                (n * sxx - sx * sx) * (n * syy - sy * sy)
+            )
+            rows.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(corr, 6).alias("pearson_r"),
+                )
+            )
+    return (
+        one.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .orderBy("col_a", "col_b")
+    )
+
+
 QUERIES = {
     "q_lag_lead": q_lag_lead,
     "q_cms_user_counts": q_cms_user_counts,
@@ -946,6 +1001,7 @@ QUERIES = {
     "q_psi_drift": q_psi_drift,
     "q_streaks": q_streaks,
     "q_benford_audit": q_benford_audit,
+    "q_correlation_matrix": q_correlation_matrix,
     "q_rolling_distinct": q_rolling_distinct,
     "q_market_basket": q_market_basket,
     "q_grouping_sets": q_grouping_sets,
@@ -1510,6 +1566,34 @@ ORDER BY c.digit
 """
 
 
+
+_CORR_ORACLE = """
+WITH a AS (
+  SELECT COUNT(*) AS n, SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE), 6) AS DECIMAL(28,6))) AS s_l_quantity, SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE), 6) * ROUND(CAST(l_quantity AS DOUBLE), 6) AS DECIMAL(38,12))) AS ss_l_quantity, SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 6) AS DECIMAL(28,6))) AS s_l_extendedprice, SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 6) * ROUND(CAST(l_extendedprice AS DOUBLE), 6) AS DECIMAL(38,12))) AS ss_l_extendedprice, SUM(CAST(ROUND(CAST(l_discount AS DOUBLE), 6) AS DECIMAL(28,6))) AS s_l_discount, SUM(CAST(ROUND(CAST(l_discount AS DOUBLE), 6) * ROUND(CAST(l_discount AS DOUBLE), 6) AS DECIMAL(38,12))) AS ss_l_discount, SUM(CAST(ROUND(CAST(l_tax AS DOUBLE), 6) AS DECIMAL(28,6))) AS s_l_tax, SUM(CAST(ROUND(CAST(l_tax AS DOUBLE), 6) * ROUND(CAST(l_tax AS DOUBLE), 6) AS DECIMAL(38,12))) AS ss_l_tax, SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE), 6) * ROUND(CAST(l_extendedprice AS DOUBLE), 6) AS DECIMAL(38,12))) AS sp_l_quantity_l_extendedprice, SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE), 6) * ROUND(CAST(l_discount AS DOUBLE), 6) AS DECIMAL(38,12))) AS sp_l_quantity_l_discount, SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE), 6) * ROUND(CAST(l_tax AS DOUBLE), 6) AS DECIMAL(38,12))) AS sp_l_quantity_l_tax, SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 6) * ROUND(CAST(l_discount AS DOUBLE), 6) AS DECIMAL(38,12))) AS sp_l_extendedprice_l_discount, SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 6) * ROUND(CAST(l_tax AS DOUBLE), 6) AS DECIMAL(38,12))) AS sp_l_extendedprice_l_tax, SUM(CAST(ROUND(CAST(l_discount AS DOUBLE), 6) * ROUND(CAST(l_tax AS DOUBLE), 6) AS DECIMAL(38,12))) AS sp_l_discount_l_tax
+  FROM lineitem)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+  ROUND((CAST(n AS DOUBLE) * CAST(sp_l_quantity_l_extendedprice AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE))
+    / sqrt((CAST(n AS DOUBLE) * CAST(ss_l_quantity AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_quantity AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(ss_l_extendedprice AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE))), 6) AS pearson_r FROM a UNION ALL SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+  ROUND((CAST(n AS DOUBLE) * CAST(sp_l_quantity_l_discount AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_discount AS DOUBLE))
+    / sqrt((CAST(n AS DOUBLE) * CAST(ss_l_quantity AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_quantity AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(ss_l_discount AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_discount AS DOUBLE))), 6) AS pearson_r FROM a UNION ALL SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b,
+  ROUND((CAST(n AS DOUBLE) * CAST(sp_l_quantity_l_tax AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_tax AS DOUBLE))
+    / sqrt((CAST(n AS DOUBLE) * CAST(ss_l_quantity AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_quantity AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(ss_l_tax AS DOUBLE) - CAST(s_l_tax AS DOUBLE) * CAST(s_l_tax AS DOUBLE))), 6) AS pearson_r FROM a UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+  ROUND((CAST(n AS DOUBLE) * CAST(sp_l_extendedprice_l_discount AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_discount AS DOUBLE))
+    / sqrt((CAST(n AS DOUBLE) * CAST(ss_l_extendedprice AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(ss_l_discount AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_discount AS DOUBLE))), 6) AS pearson_r FROM a UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b,
+  ROUND((CAST(n AS DOUBLE) * CAST(sp_l_extendedprice_l_tax AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_tax AS DOUBLE))
+    / sqrt((CAST(n AS DOUBLE) * CAST(ss_l_extendedprice AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(ss_l_tax AS DOUBLE) - CAST(s_l_tax AS DOUBLE) * CAST(s_l_tax AS DOUBLE))), 6) AS pearson_r FROM a UNION ALL SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+  ROUND((CAST(n AS DOUBLE) * CAST(sp_l_discount_l_tax AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_tax AS DOUBLE))
+    / sqrt((CAST(n AS DOUBLE) * CAST(ss_l_discount AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_discount AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(ss_l_tax AS DOUBLE) - CAST(s_l_tax AS DOUBLE) * CAST(s_l_tax AS DOUBLE))), 6) AS pearson_r FROM a
+ORDER BY col_a, col_b
+"""
+
+
 ORACLES = {
     "q_cms_user_counts": _CMS_ORACLE,
     "q_bloom_prune_join": _BLOOM_ORACLE,
@@ -1528,6 +1612,7 @@ ORACLES = {
     "q_psi_drift": _PSI_ORACLE,
     "q_streaks": _STREAKS_ORACLE,
     "q_benford_audit": _BENFORD_ORACLE,
+    "q_correlation_matrix": _CORR_ORACLE,
     "q_rolling_distinct": _ROLLING_ORACLE,
     "q_market_basket": _BASKET_ORACLE,
     "q_lag_lead": """
