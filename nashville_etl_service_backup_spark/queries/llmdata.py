@@ -638,6 +638,46 @@ def text_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def text_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration (Gini) over document counts by source and
+    by language — the "is one crawl slice dominating the corpus" audit
+    next to the domain-cap operator. Exact-integer formulation: with
+    counts x_(1) ≤ … ≤ x_(n) ranked ascending, G = (2·Σ i·x_(i)) /
+    (n·Σx) − (n+1)/n — every sum is an integer (order-independent),
+    the final expression is one correctly-rounded double chain. The
+    rank window runs over the tiny distinct-group table only."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+
+    def gini(dim: str) -> DataFrame:
+        counts = docs.groupBy(dim).agg(F.count(F.lit(1)).alias("x"))
+        w = Window.orderBy("x", dim)
+        ranked = counts.select(
+            F.col("x"),
+            F.row_number().over(w).cast("long").alias("i"),
+        )
+        agg = ranked.agg(
+            F.sum(F.col("i") * F.col("x")).alias("six"),
+            F.sum("x").alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        g = (
+            F.lit(2.0) * F.col("six").cast("double")
+            / (F.col("n").cast("double") * F.col("sx").cast("double"))
+            - (F.col("n").cast("double") + F.lit(1.0))
+            / F.col("n").cast("double")
+        )
+        return agg.select(
+            F.lit(dim).alias("dimension"),
+            F.col("n").alias("n_groups"),
+            F.round(g, 6).alias("gini"),
+        )
+
+    return gini("source").unionByName(gini("lang")).orderBy("dimension")
+
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: Arrow-batched mapInPandas feature
     extraction over image-modality media (stub decoder, real plan)."""
@@ -1039,6 +1079,7 @@ QUERIES = {
     "q_referential_audit": q_referential_audit,
     "dedup_degree_dist": dedup_degree_dist,
     "text_mixture_drift": text_mixture_drift,
+    "text_gini_concentration": text_gini_concentration,
     "text_mixture_sample": text_mixture_sample,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2994,5 +3035,31 @@ cells AS (
 SELECT source, n_s AS n_docs,
   ROUND(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_drift
 FROM cells GROUP BY source, n_s ORDER BY source
+"""
+
+ORACLES["text_gini_concentration"] = """
+WITH s AS (
+  SELECT source AS g, COUNT(*) AS x FROM documents GROUP BY source),
+sr AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, g) AS i FROM s),
+sa AS (
+  SELECT 'source' AS dimension, COUNT(*) AS n_groups,
+    ROUND(2.0 * CAST(SUM(i * x) AS DOUBLE)
+          / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+          - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE), 6)
+      AS gini
+  FROM sr),
+l AS (
+  SELECT lang AS g, COUNT(*) AS x FROM documents GROUP BY lang),
+lr AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, g) AS i FROM l),
+la AS (
+  SELECT 'lang' AS dimension, COUNT(*) AS n_groups,
+    ROUND(2.0 * CAST(SUM(i * x) AS DOUBLE)
+          / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+          - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE), 6)
+      AS gini
+  FROM lr)
+SELECT * FROM sa UNION ALL SELECT * FROM la ORDER BY dimension
 """
 
