@@ -678,6 +678,63 @@ def text_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-15 term pairs by document-level PMI
+    (ln(n_ab·N / (n_a·n_b)), min co-occurrence 25) — the classic
+    "phrases that belong together" statistic for vocabulary building.
+    Pair candidates come from ONE self-equi-join on doc_id of the
+    distinct (doc, term) table (market-basket over terms, never a
+    corpus cross product); marginals broadcast back; ln parity as in
+    BM25/TF-IDF."""
+    docs = load(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokenize(F.col("text"))))
+            .alias("term")
+        )
+        .filter(F.length("term") >= 3)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 25)
+    )
+    marg = dt.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("term").alias("term_a"),
+                                    F.col("n").alias("n_a"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("term").alias("term_b"),
+                                    F.col("n").alias("n_b"))),
+            "term_b",
+        )
+        .join(F.broadcast(n_docs))
+    )
+    pmi = F.log(
+        F.col("n_ab").cast("double") * F.col("nd").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        j.select(
+            "term_a", "term_b", "n_ab", F.round(pmi, 6).alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), "term_a", "term_b")
+        .limit(15)
+    )
+
+
+
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: Arrow-batched mapInPandas feature
     extraction over image-modality media (stub decoder, real plan)."""
@@ -1080,6 +1137,7 @@ QUERIES = {
     "dedup_degree_dist": dedup_degree_dist,
     "text_mixture_drift": text_mixture_drift,
     "text_gini_concentration": text_gini_concentration,
+    "text_pmi_collocations": text_pmi_collocations,
     "text_mixture_sample": text_mixture_sample,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -3061,5 +3119,26 @@ la AS (
       AS gini
   FROM lr)
 SELECT * FROM sa UNION ALL SELECT * FROM la ORDER BY dimension
+"""
+
+ORACLES["text_pmi_collocations"] = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM (SELECT doc_id, unnest({_TOKS_D}) AS term FROM documents) t
+  WHERE length(t.term) >= 3),
+nd AS (SELECT COUNT(*) AS nd FROM documents),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING COUNT(*) >= 25),
+marg AS (SELECT term, COUNT(*) AS n FROM dt GROUP BY term)
+SELECT p.term_a, p.term_b, p.n_ab,
+  ROUND(LN(CAST(p.n_ab AS DOUBLE) * CAST(nd.nd AS DOUBLE)
+           / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE))), 6) AS pmi
+FROM pairs p
+JOIN marg ma ON p.term_a = ma.term
+JOIN marg mb ON p.term_b = mb.term
+CROSS JOIN nd
+ORDER BY pmi DESC, term_a, term_b LIMIT 15
 """
 
