@@ -339,10 +339,12 @@ def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is perturbed (last char dropped — a suffix typo) and linked back to
     the clean catalog via block-key equi-join + Levenshtein ≤ 3 + a
     deterministic best-match resolve. The fuzzy generalization of the
-    reference's exact (name, date, venue) dedup key."""
+    reference's exact (name, date, venue) dedup key. Scoring runs over
+    DISTINCT name pairs (linkage.fuzzy_link_distinct_names — the part
+    catalog repeats 64 names across 20k keys, so row-level scoring
+    would do ~300× the Levenshtein work for the identical result)."""
     from nashville_etl_service_backup_spark.operators.linkage import (
-        blocked_fuzzy_join,
-        resolve_best_match,
+        fuzzy_link_distinct_names,
     )
 
     part = load(spark, sf_dir, "part")
@@ -351,8 +353,9 @@ def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(p_name, 1, length(p_name) - 1)").alias("d_name"),
     )
     clean = part.select("p_partkey", "p_name")
-    pairs = blocked_fuzzy_join(dirty, clean, "d_name", "p_name", max_dist=3)
-    best = resolve_best_match(pairs, "d_key", "p_partkey")
+    best = fuzzy_link_distinct_names(
+        dirty, clean, "d_name", "p_name", "p_partkey", max_dist=3
+    )
     return best.select(
         "d_key",
         "d_name",
