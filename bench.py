@@ -116,6 +116,8 @@ HEADLINE = [
     "q_seasonality_dow",
     "q_discovery_curve",
     "q_psi_drift",
+    "text_weighted_sample",
+    "q_zorder_layout",
 ]
 
 

@@ -1,0 +1,167 @@
+"""Data-layout operators: Morton (Z-order) clustering keys and a
+pruning-effectiveness audit.
+
+At 100 TB the single biggest scan lever after partition pruning is FILE
+layout: parquet row-group zone maps (per-file min/max) only prune a
+predicate column if rows are clustered by it. Linear sort clusters ONE
+column perfectly and leaves every other column's per-file span at the
+full domain; interleaving the bits of two (or more) key columns into a
+Morton / Z-order key (Morton 1966; the technique behind Delta/Iceberg
+``ZORDER BY``) spreads the clustering budget across all of them — each
+file then covers a small rectangle of the key space and min/max pruning
+works for predicates on EITHER column.
+
+Everything here is exact integer arithmetic (bit shifts, masks, integer
+sums), so the DuckDB oracle replays it bit-for-bit; the audit's only
+float is a final rounded average.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_key(x: Column, y: Column, bits: int) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative ints into a
+    2·bits-bit Z-order key (x in the even positions, y in the odd).
+    A pure codegen projection — Σ ((x>>i)&1)·4^i + ((y>>i)&1)·2·4^i —
+    no shuffle, no UDF; integer sums, so order is irrelevant."""
+    expr: Column | None = None
+    for i in range(bits):
+        xb = F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("long") * (
+            1 << (2 * i)
+        )
+        yb = F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("long") * (
+            1 << (2 * i + 1)
+        )
+        term = xb + yb
+        expr = term if expr is None else expr + term
+    assert expr is not None
+    return expr
+
+
+def morton_key_sql(x: str, y: str, bits: int) -> str:
+    """DuckDB twin of :func:`morton_key` — the same shift/mask sum."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def layout_pruning_audit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int,
+    file_bits: int,
+    x_band: tuple[int, int],
+    y_band: tuple[int, int],
+) -> DataFrame:
+    """Compare a Z-order file layout against an x-linear layout on the
+    same rows: assign every row to one of 2^``file_bits`` "files" (the
+    top ``file_bits`` bits of its layout key — contiguous key ranges,
+    exactly how a sorted write splits into files), then per layout
+    report the zone-map quality and what a band predicate would scan:
+
+      layout         'zorder' | 'linear_x'
+      n_files        files actually populated
+      avg_x_span     avg per-file (max(x) − min(x) + 1) — zone-map
+                     tightness on x (rounded 6)
+      avg_y_span     same for y
+      files_x_band   files whose [min_x, max_x] intersects ``x_band``
+                     (what min/max pruning would leave to scan)
+      files_y_band   same for ``y_band``
+
+    The expected shape: linear_x has avg_x_span ≈ domain/n_files and
+    files_x_band ≈ band share, but avg_y_span ≈ FULL domain and
+    files_y_band = n_files (no pruning on y at all); zorder pays a
+    modest factor on x to make BOTH bands prune.
+
+    Scale shape: one narrow projection (the keys) + one map-side-
+    combinable groupBy per layout + a 2-row final aggregate. Nothing
+    touches the driver."""
+    zfile = F.shiftright(
+        morton_key(F.col(x_col), F.col(y_col), bits), 2 * bits - file_bits
+    )
+    lfile = F.shiftright(F.col(x_col), bits - file_bits)
+    keyed = df.select(
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+        zfile.alias("zfile"),
+        lfile.alias("lfile"),
+    )
+
+    def _stats(file_col: str, layout: str) -> DataFrame:
+        per_file = keyed.groupBy(file_col).agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        x_lo, x_hi = x_band
+        y_lo, y_hi = y_band
+        return per_file.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.round(
+                F.sum(F.col("max_x") - F.col("min_x") + 1).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_x_span"),
+            F.round(
+                F.sum(F.col("max_y") - F.col("min_y") + 1).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_y_span"),
+            F.sum(
+                F.when(
+                    (F.col("min_x") <= x_hi) & (F.col("max_x") >= x_lo), 1
+                ).otherwise(0)
+            ).alias("files_x_band"),
+            F.sum(
+                F.when(
+                    (F.col("min_y") <= y_hi) & (F.col("max_y") >= y_lo), 1
+                ).otherwise(0)
+            ).alias("files_y_band"),
+        )
+
+    return _stats("zfile", "zorder").unionByName(_stats("lfile", "linear_x"))
+
+
+def layout_pruning_audit_sql(
+    source_sql: str,
+    bits: int,
+    file_bits: int,
+    x_band: tuple[int, int],
+    y_band: tuple[int, int],
+) -> str:
+    """DuckDB twin of :func:`layout_pruning_audit`. ``source_sql`` must
+    yield columns (x, y)."""
+    mk = morton_key_sql("x", "y", bits)
+    x_lo, x_hi = x_band
+    y_lo, y_hi = y_band
+
+    def stats(file_expr: str, layout: str) -> str:
+        return f"""
+SELECT '{layout}' AS layout, COUNT(*) AS n_files,
+  ROUND(CAST(SUM(max_x - min_x + 1) AS DOUBLE) / COUNT(*), 6)
+    AS avg_x_span,
+  ROUND(CAST(SUM(max_y - min_y + 1) AS DOUBLE) / COUNT(*), 6)
+    AS avg_y_span,
+  CAST(SUM(CASE WHEN min_x <= {x_hi} AND max_x >= {x_lo} THEN 1 ELSE 0 END)
+       AS BIGINT) AS files_x_band,
+  CAST(SUM(CASE WHEN min_y <= {y_hi} AND max_y >= {y_lo} THEN 1 ELSE 0 END)
+       AS BIGINT) AS files_y_band
+FROM (
+  SELECT {file_expr} AS f,
+    MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+  FROM src GROUP BY 1)"""
+
+    return (
+        f"WITH src AS ({source_sql})\n"
+        + stats(f"({mk} >> {2 * bits - file_bits})", "zorder")
+        + "\nUNION ALL\n"
+        + stats(f"(x >> {bits - file_bits})", "linear_x")
+    )

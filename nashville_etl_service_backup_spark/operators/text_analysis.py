@@ -1046,6 +1046,58 @@ def importance_resample(
     return joined.filter(keep).select(id_col, group_col)
 
 
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 100,
+    n_buckets: int = 1_048_576,
+    salt: str = "psample",
+) -> DataFrame:
+    """Weighted sampling without replacement by PRIORITY SAMPLING
+    (Duffield, Lund & Thorup 2007, JACM, "Priority sampling for
+    estimation of arbitrary subset sums"): row i draws u_i ∈ (0, 1]
+    and gets priority q_i = w_i / u_i; the sample is the k rows with
+    the largest priorities. Inclusion probability grows with weight
+    (heavy documents are near-certain members), and with threshold
+    τ = the (k+1)-st priority, Σ max(w_i, τ) over any sampled subset
+    unbiasedly estimates that subset's true weight sum — the standard
+    way to subsample a corpus by token mass and still report exact-ish
+    token accounting.
+
+    Engine portability is why priority sampling over A-ES reservoir
+    sampling (Efraimidis & Spirakis 2006): the A-ES key u^(1/w) needs
+    pow/ln, whose last-ULP behavior differs across math libraries and
+    would make the sample membership engine-dependent at rank
+    boundaries. Here u_i = (b_i + 1) / M with b_i the salted md5
+    bucket (hash_bucket — partitioning/backfill/engine invariant), so
+
+        q_i = w_i * M / (b_i + 1)
+
+    is one IEEE multiply and one divide — correctly rounded,
+    bit-identical in Spark and DuckDB. Ties (same priority) break on
+    id.
+
+    Scale shape: a narrow projection (md5 + two float ops per row)
+    into a TakeOrderedAndProject top-k heap — no shuffle of the corpus,
+    no Python. Output: the k sampled rows with their `priority`.
+    """
+    b = hash_bucket(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")),
+        n_buckets,
+    )
+    q = (
+        F.col(weight_col).cast("double")
+        * F.lit(float(n_buckets))
+        / (b + 1).cast("double")
+    )
+    return (
+        df.withColumn("priority", q)
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def bpe_segment_counts(
     docs: DataFrame,
     id_col: str,

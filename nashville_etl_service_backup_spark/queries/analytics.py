@@ -1713,3 +1713,47 @@ SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
     "q_approx_distinct": _APPROX_DISTINCT_ORACLE,
     "q_approx_percentiles": _APPROX_PCT_ORACLE,
 }
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear file-layout pruning audit (operators/layout.py):
+    lineitem rows keyed by two 8-bit dimensions (l_partkey mod 256,
+    l_orderkey mod 256 — both fill their domain at every SF) are laid
+    out into 64 "files" two ways — top Morton-key bits (how a ZORDER BY
+    write splits) vs top x bits (a plain sort) — and the per-file zone
+    maps are scored against one band predicate on each dimension. The
+    100 TB point this pins: the linear layout cannot prune y-predicates
+    at all (files_y_band = n_files) while x-bands prune 8/64; Z-order
+    gives 32×32 rectangles that prune BOTH bands to 8/64. Exact integer
+    bit algebra end to end."""
+    from nashville_etl_service_backup_spark.operators.layout import (
+        layout_pruning_audit,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("x"),
+        (F.col("l_orderkey") % 256).alias("y"),
+    )
+    return layout_pruning_audit(
+        li, "x", "y", bits=8, file_bits=6,
+        x_band=(0, 31), y_band=(0, 31),
+    ).orderBy("layout")
+
+
+QUERIES["q_zorder_layout"] = q_zorder_layout
+
+from nashville_etl_service_backup_spark.operators.layout import (  # noqa: E402
+    layout_pruning_audit_sql,
+)
+
+ORACLES["q_zorder_layout"] = (
+    "SELECT * FROM ("
+    + layout_pruning_audit_sql(
+        "SELECT l_partkey % 256 AS x, l_orderkey % 256 AS y FROM lineitem",
+        bits=8,
+        file_bits=6,
+        x_band=(0, 31),
+        y_band=(0, 31),
+    )
+    + ") ORDER BY layout"
+)

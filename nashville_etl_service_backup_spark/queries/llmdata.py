@@ -3142,3 +3142,60 @@ CROSS JOIN nd
 ORDER BY pmi DESC, term_a, term_b LIMIT 15
 """
 
+
+
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass-weighted corpus subsample via priority sampling
+    (operators.text_analysis.priority_sample — Duffield/Lund/Thorup
+    2007): weight = whitespace token count (min 1), top-100 priorities.
+    The engine-portable weighted counterpart of text_mixture_sample's
+    uniform hash gate: heavy documents are near-certain members, and
+    the priority threshold makes the sample a subset-sum estimator for
+    token accounting. One narrow md5 projection into a top-k heap —
+    no corpus shuffle."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        priority_sample,
+        ws_token_count,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "doc_id",
+        "lang",
+        F.greatest(F.lit(1).cast("long"), ws_token_count(F.col("text"))).alias(
+            "weight"
+        ),
+    )
+    samp = priority_sample(per, "doc_id", "weight", k=100)
+    return samp.select(
+        "doc_id",
+        "lang",
+        "weight",
+        F.round("priority", 6).alias("priority"),
+    )
+
+
+QUERIES["text_weighted_sample"] = text_weighted_sample
+
+# salted md5-hex -> bucket in [0, 1048576): same nibble expansion as
+# _MD5_BUCKET_SQL but over 'psample:' || doc_id, mirroring
+# operators.text_analysis.priority_sample exactly
+_PSAMPLE_BUCKET_SQL = """CAST(list_sum(list_transform(range(1, 9), i ->
+      (strpos('0123456789abcdef',
+              substr(md5('psample:' || CAST(doc_id AS VARCHAR)),
+                     CAST(i AS INT), 1)) - 1)
+      * pow(16, 8 - i))) AS BIGINT) % 1048576"""
+
+ORACLES["text_weighted_sample"] = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+    GREATEST(CAST(1 AS BIGINT), CAST(len({_TOKS_O}) AS BIGINT)) AS weight
+  FROM documents),
+q AS (
+  SELECT doc_id, lang, weight,
+    CAST(weight AS DOUBLE) * 1048576.0
+      / CAST(({_PSAMPLE_BUCKET_SQL}) + 1 AS DOUBLE) AS p
+  FROM w)
+SELECT doc_id, lang, weight, ROUND(p, 6) AS priority
+FROM q ORDER BY p DESC, doc_id LIMIT 100
+"""

@@ -1,0 +1,106 @@
+"""Tests for the data-layout audit (operators/layout.py) and priority
+sampling (operators/text_analysis.priority_sample)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from nashville_etl_service_backup_spark.operators.layout import (
+    layout_pruning_audit,
+    morton_key,
+)
+from nashville_etl_service_backup_spark.operators.text_analysis import (
+    priority_sample,
+)
+
+
+def _morton_py(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_key_matches_reference_bit_interleave(spark):
+    rows = [(x, y) for x in (0, 1, 5, 170, 255) for y in (0, 3, 128, 255)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", morton_key(F.col("x"), F.col("y"), 8).alias("z")
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _morton_py(x, y, 8), (x, y)
+
+
+def test_morton_key_locality_prefix_is_rectangle(spark):
+    # all 16-bit morton keys sharing their top 6 bits must lie in one
+    # 32x32 rectangle — the property the file-split audit relies on
+    rows = [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 13)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    per = (
+        df.select(
+            "x",
+            "y",
+            F.shiftright(morton_key(F.col("x"), F.col("y"), 8), 10).alias(
+                "f"
+            ),
+        )
+        .groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    assert per, "no files"
+    assert all(r.xs < 32 and r.ys < 32 for r in per)
+
+
+def test_layout_audit_zorder_prunes_both_dims(spark):
+    rows = [(x, y) for x in range(256) for y in range(0, 256, 8)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    out = {
+        r.layout: r
+        for r in layout_pruning_audit(
+            df, "x", "y", bits=8, file_bits=6, x_band=(0, 31), y_band=(0, 31)
+        ).collect()
+    }
+    lin, zo = out["linear_x"], out["zorder"]
+    # linear layout: perfect on x, useless on y
+    assert lin.files_x_band < lin.n_files
+    assert lin.files_y_band == lin.n_files
+    # zorder: prunes both bands
+    assert zo.files_x_band < zo.n_files
+    assert zo.files_y_band < zo.n_files
+
+
+def _py_priority(doc_id: int, weight: int, n_buckets: int = 1_048_576) -> float:
+    h = hashlib.md5(f"psample:{doc_id}".encode()).hexdigest()[:8]
+    b = int(h, 16) % n_buckets
+    return weight * float(n_buckets) / (b + 1)
+
+
+def test_priority_sample_matches_reference_formula(spark):
+    rows = [(i, (i * 37) % 500 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = priority_sample(df, "doc_id", "w", k=25).collect()
+    assert len(got) == 25
+    expect = sorted(
+        ((-_py_priority(i, w), i) for i, w in rows)
+    )[:25]
+    assert [r.doc_id for r in got] == [i for _, i in expect]
+    for r in got:
+        assert abs(r.priority - _py_priority(r.doc_id, r.w)) == 0.0
+
+
+def test_priority_sample_weight_monotone_inclusion(spark):
+    # a single overwhelming weight must always be sampled
+    rows = [(i, 1) for i in range(1000)] + [(5000, 10_000_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = priority_sample(df, "doc_id", "w", k=10).collect()
+    assert 5000 in {r.doc_id for r in got}
