@@ -118,6 +118,7 @@ HEADLINE = [
     "q_psi_drift",
     "text_weighted_sample",
     "q_zorder_layout",
+    "dedup_prefix_jaccard",
 ]
 
 

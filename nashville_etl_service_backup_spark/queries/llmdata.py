@@ -3199,3 +3199,56 @@ q AS (
 SELECT doc_id, lang, weight, ROUND(p, 6) AS priority
 FROM q ORDER BY p DESC, doc_id LIMIT 100
 """
+
+
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 3/5 near-duplicate pairs via prefix filtering
+    (operators.dedup.prefix_filter_jaccard_pairs — PPJoin-family, zero
+    false negatives): the ground-truth twin of the probabilistic
+    dedup_lsh_pairs blocking, over word trigram-shingle sets.
+    Integer-rational thresholds everywhere, so both engines agree at
+    every boundary."""
+    from nashville_etl_service_backup_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", t_num=3, t_den=5, shingle_n=3
+    ).orderBy("doc_a", "doc_b")
+
+
+QUERIES["dedup_prefix_jaccard"] = dedup_prefix_jaccard
+
+ORACLES["dedup_prefix_jaccard"] = f"""
+WITH tok0 AS (
+  SELECT doc_id, {_TOKS_O} AS tko FROM documents),
+tok AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(tko) - 1),
+      i -> tko[i] || ' ' || tko[i+1] || ' ' || tko[i+2])) AS tk
+  FROM tok0),
+nz AS (SELECT doc_id, tk FROM tok WHERE len(tk) > 0),
+ex AS (SELECT doc_id, unnest(tk) AS t FROM nz),
+freq AS (SELECT t, COUNT(*) AS df FROM ex GROUP BY t),
+ordered AS (
+  SELECT e.doc_id, list(e.t ORDER BY f.df, e.t) AS ot, COUNT(*) AS sz
+  FROM ex e JOIN freq f ON e.t = f.t GROUP BY e.doc_id),
+pfx AS (
+  SELECT doc_id, sz,
+    unnest(ot[1:CAST(sz - ((3 * sz + 4) // 5) + 1 AS INT)]) AS t
+  FROM ordered),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pfx a JOIN pfx b ON a.t = b.t AND a.doc_id < b.doc_id
+   AND b.sz * 5 >= a.sz * 3 AND a.sz * 5 >= b.sz * 3),
+v AS (
+  SELECT doc_a, doc_b,
+    len(list_intersect(x.tk, y.tk)) AS i,
+    len(list_distinct(list_concat(x.tk, y.tk))) AS u
+  FROM cand JOIN nz x ON cand.doc_a = x.doc_id
+            JOIN nz y ON cand.doc_b = y.doc_id)
+SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / u, 6) AS jaccard
+FROM v WHERE i * 5 >= u * 3
+ORDER BY doc_a, doc_b
+"""

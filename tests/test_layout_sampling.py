@@ -104,3 +104,45 @@ def test_priority_sample_weight_monotone_inclusion(spark):
     df = spark.createDataFrame(rows, "doc_id long, w long")
     got = priority_sample(df, "doc_id", "w", k=10).collect()
     assert 5000 in {r.doc_id for r in got}
+
+
+def test_prefix_filter_jaccard_no_false_negatives(spark):
+    # brute-force ground truth on a small corpus vs the prefix-filter
+    # join — the defining guarantee (every pair >= t is found)
+    from itertools import combinations
+
+    from nashville_etl_service_backup_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "the quick brown fox jumps over the lazy cat today",
+        3: "a completely different document about spark engines",
+        4: "the quick brown fox jumps over the lazy dog today",
+        5: "spark engines process a completely different document",
+        6: "quick brown fox jumps over the lazy dog",
+    }
+
+    def tset(s, n=3):
+        toks = s.split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    truth = set()
+    for a, b in combinations(sorted(texts), 2):
+        x, y = tset(texts[a]), tset(texts[b])
+        if x and y and len(x & y) * 5 >= len(x | y) * 3:
+            truth.add((a, b))
+
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id int, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", 3, 5, shingle_n=3
+        ).collect()
+    }
+    assert got == truth and truth, (got, truth)
