@@ -594,13 +594,17 @@ def char_trigrams(text: Column) -> Column:
     for texts shorter than 3 normalized chars (guarded: Spark's
     sequence(1, n) runs DESCENDING when n < 1)."""
     s = normalize_text(text)
-    return F.when(
-        F.length(s) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.length(s) - 2),
-            lambda i: F.substr(s, i, F.lit(3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # zip of shifted char-array slices — a substr(s, i, 3) lambda would
+    # re-run the normalizer expression once per gram (see dedup.shingles)
+    chars = F.split(s, "")
+    m = F.greatest(F.length(s) - 2, F.lit(0))
+    z = F.arrays_zip(*[F.slice(chars, j + 1, m) for j in range(3)])
+    grams = F.transform(
+        z, lambda t: F.concat_ws("", t["0"], t["1"], t["2"])
+    )
+    return F.when(F.length(s) >= 3, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def corpus_lm_scores(
@@ -888,11 +892,13 @@ def _ordered_ngrams(tokens: Column, n: int) -> Column:
     duplicated-span audit weighs n-gram POSITIONS, not the n-gram set."""
     if n == 1:
         return tokens
+    # zip of n shifted slices, NOT a per-element F.get(tokens, i+j)
+    # lambda: the lambda form re-evaluates the token EXPRESSION per gram
+    # when projection collapse substitutes it (see dedup.shingles)
+    m = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(tokens, j + 1, m) for j in range(n)])
     return F.transform(
-        F.slice(tokens, 1, F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
-        lambda x, i: F.concat_ws(
-            " ", *([x] + [F.get(tokens, i + j) for j in range(1, n)])
-        ),
+        z, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
     )
 
 
