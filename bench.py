@@ -119,6 +119,7 @@ HEADLINE = [
     "text_weighted_sample",
     "q_zorder_layout",
     "dedup_prefix_jaccard",
+    "q_golden_record",
 ]
 
 

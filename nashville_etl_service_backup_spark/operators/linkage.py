@@ -117,3 +117,72 @@ def resolve_best_match(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def golden_records(
+    records: DataFrame,
+    cluster_col: str,
+    rules: list[tuple],
+) -> DataFrame:
+    """Survivorship merge — the "golden record" step of classic master-
+    data management that follows match/cluster (Fellegi-Sunter linkage,
+    connected components): one merged row per cluster, each output
+    column chosen by an explicit, deterministic survivorship rule.
+
+    ``rules`` entries (out_col is always last-tie-broken by the value
+    itself, so every rule is a total order and engines agree):
+
+      ("max",  col)                      — plain maximum
+      ("min",  col)                      — plain minimum
+      ("longest", col)                   — longest string (ties: larger
+                                            string wins)
+      ("newest", col, ts_col)            — value of the row with the
+                                            greatest ts (ties: larger
+                                            value wins)
+      ("priority_non_null", col, src_col, [src...])
+                                         — first non-null value walking
+                                            sources in the given order
+                                            (ties within a source:
+                                            larger value wins)
+
+    Every rule compiles to max/min of a struct inside ONE
+    groupBy(cluster) aggregate — a single map-side-combinable shuffle
+    for the whole merge, no windows, no joins, no per-rule passes.
+    (A row_number-per-rule formulation would cost one sort per rule;
+    struct-max is the same total order with combiner support.)
+    """
+    aggs = []
+    for rule in rules:
+        kind, col = rule[0], rule[1]
+        c = F.col(col)
+        if kind == "max":
+            aggs.append(F.max(c).alias(col))
+        elif kind == "min":
+            aggs.append(F.min(c).alias(col))
+        elif kind == "longest":
+            aggs.append(
+                F.max(F.struct(F.length(c).alias("k"), c.alias("v")))["v"]
+                .alias(col)
+            )
+        elif kind == "newest":
+            ts = F.col(rule[2])
+            aggs.append(
+                F.max(F.struct(ts.alias("k"), c.alias("v")))["v"].alias(col)
+            )
+        elif kind == "priority_non_null":
+            src, order = F.col(rule[2]), rule[3]
+            rank = F.lit(0)
+            for i, s in enumerate(order):
+                rank = F.when(src == s, F.lit(len(order) - i)).otherwise(rank)
+            aggs.append(
+                F.max(
+                    F.struct(
+                        c.isNotNull().cast("int").alias("nn"),
+                        rank.alias("r"),
+                        c.alias("v"),
+                    )
+                )["v"].alias(col)
+            )
+        else:
+            raise ValueError(f"unknown survivorship rule: {kind}")
+    return records.groupBy(cluster_col).agg(*aggs)

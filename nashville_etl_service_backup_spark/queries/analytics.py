@@ -1757,3 +1757,62 @@ ORACLES["q_zorder_layout"] = (
     )
     + ") ORDER BY layout"
 )
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship merge (operators/linkage.py
+    golden_records — the MDM step after match/cluster): two synthetic
+    source feeds over customer (a full 'crm' feed and a partial 'web'
+    feed with a longer name variant, a missing segment, and a fresher
+    balance) are merged one-row-per-cluster under explicit rules —
+    longest name, source-priority non-null segment, newest balance,
+    max freshness stamp. The whole merge is ONE map-side-combinable
+    groupBy via struct-max total orders; the oracle computes the
+    algebraic result of the same rules directly."""
+    from nashville_etl_service_backup_spark.operators.linkage import (
+        golden_records,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    crm = cust.select(
+        k.alias("cluster_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit(1).alias("updated"),
+        F.lit("crm").alias("src"),
+    )
+    web = cust.filter(k % 3 == 0).select(
+        k.alias("cluster_id"),
+        F.concat(F.col("c_name"), F.lit(" jr")).alias("name"),
+        F.lit(None).cast("string").alias("segment"),
+        F.round(F.col("c_acctbal") + 10, 2).alias("bal"),
+        F.lit(2).alias("updated"),
+        F.lit("web").alias("src"),
+    )
+    golden = golden_records(
+        crm.unionByName(web),
+        "cluster_id",
+        [
+            ("longest", "name"),
+            ("priority_non_null", "segment", "src", ["crm", "web"]),
+            ("newest", "bal", "updated"),
+            ("max", "updated"),
+        ],
+    )
+    return golden.orderBy("cluster_id")
+
+
+QUERIES["q_golden_record"] = q_golden_record
+
+ORACLES["q_golden_record"] = """
+SELECT c_custkey AS cluster_id,
+  CASE WHEN c_custkey % 3 = 0 THEN c_name || ' jr' ELSE c_name END AS name,
+  c_mktsegment AS segment,
+  CASE WHEN c_custkey % 3 = 0 THEN ROUND(c_acctbal + 10, 2)
+       ELSE c_acctbal END AS bal,
+  CAST(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS updated
+FROM customer
+ORDER BY cluster_id
+"""

@@ -146,3 +146,41 @@ def test_prefix_filter_jaccard_no_false_negatives(spark):
         ).collect()
     }
     assert got == truth and truth, (got, truth)
+
+
+def test_golden_records_rules(spark):
+    from nashville_etl_service_backup_spark.operators.linkage import (
+        golden_records,
+    )
+
+    rows = [
+        # cluster 1: crm has segment, web has longer name + newer bal
+        (1, "Ann", "RETAIL", 10.0, 1, "crm"),
+        (1, "Ann Smith", None, 20.0, 2, "web"),
+        # cluster 2: crm only
+        (2, "Bob", "AUTO", 30.0, 1, "crm"),
+        # cluster 3: crm segment NULL -> web's non-null survives
+        (3, "Cyd", None, 1.0, 1, "crm"),
+        (3, "Cy", "BIKE", 2.0, 2, "web"),
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster_id int, name string, segment string, bal double, "
+        "updated int, src string"
+    )
+    out = {
+        r.cluster_id: r
+        for r in golden_records(
+            df,
+            "cluster_id",
+            [
+                ("longest", "name"),
+                ("priority_non_null", "segment", "src", ["crm", "web"]),
+                ("newest", "bal", "updated"),
+                ("max", "updated"),
+            ],
+        ).collect()
+    }
+    assert (out[1].name, out[1].segment, out[1].bal, out[1].updated) == (
+        "Ann Smith", "RETAIL", 20.0, 2)
+    assert (out[2].name, out[2].segment, out[2].bal) == ("Bob", "AUTO", 30.0)
+    assert (out[3].name, out[3].segment, out[3].bal) == ("Cyd", "BIKE", 2.0)
