@@ -120,6 +120,7 @@ HEADLINE = [
     "q_zorder_layout",
     "dedup_prefix_jaccard",
     "q_golden_record",
+    "q_encoding_audit",
 ]
 
 

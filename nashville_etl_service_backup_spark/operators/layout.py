@@ -165,3 +165,111 @@ FROM (
         + "\nUNION ALL\n"
         + stats(f"(x >> {bits - file_bits})", "linear_x")
     )
+
+
+def encoding_audit(
+    df: DataFrame,
+    key_col: str,
+    cols: list[str],
+    unit_div: int = 4096,
+) -> DataFrame:
+    """Columnar-encoding planning audit: for each column, how well the
+    CURRENT layout order (ascending ``key_col``) would dictionary- and
+    run-length-encode — the storage-side twin of the Z-order pruning
+    audit (choosing a sort order is choosing your RLE runs; see e.g.
+    Abadi, Madden & Ferreira 2006, "Integrating compression and
+    execution in column-oriented database systems").
+
+    Encoding units are ``unit_div``-wide key ranges (runs do NOT span
+    units, matching parquet row-group boundaries — and making every
+    window PARTITIONED by unit rather than one global sort). Per
+    column:
+
+      n_rows       total values
+      n_distinct   exact global distinct count
+      dict_bits    bits/value a dictionary needs: ceil(log2(n_distinct))
+                   as exact integer bit-length (length of bin(nd−1) —
+                   no float log2, whose ULP at exact powers of two
+                   would flip the answer)
+      n_runs       value-change count in layout order within units
+      runs_ratio   n_runs / n_rows, rounded 6 (1.0 = RLE useless,
+                   → 0 = RLE collapses the column)
+
+    Values are compared as strings (callers pass string/int/date
+    columns; float-to-string formatting is engine-specific). Scale
+    shape: one narrow stack projection, windows partitioned by
+    (unit, column), one map-side-combinable aggregate."""
+    n = len(cols)
+    stack_expr = "stack({}, {}) as (col, val)".format(
+        n, ", ".join(f"'{c}', cast({c} as string)" for c in cols)
+    )
+    unit = (F.col(key_col) / unit_div).cast("long").alias("_unit")
+    stacked = df.select(F.col(key_col).alias("_k"), unit, F.expr(stack_expr))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_unit", "col").orderBy("_k")
+    runs = stacked.select(
+        "col",
+        "val",
+        (
+            (F.row_number().over(w) == 1)
+            | ~F.lag("val").over(w).eqNullSafe(F.col("val"))
+        )
+        .cast("int")
+        .alias("_rs"),
+    )
+    agg = runs.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.sum("_rs").alias("n_runs"),
+    )
+    nd = F.col("n_distinct")
+    dict_bits = (
+        F.when(nd <= 1, F.lit(0))
+        .otherwise(F.length(F.bin(nd - 1)))
+        .cast("int")
+    )
+    return agg.select(
+        "col",
+        "n_rows",
+        "n_distinct",
+        dict_bits.alias("dict_bits"),
+        "n_runs",
+        F.round(
+            F.col("n_runs").cast("double") / F.col("n_rows"), 6
+        ).alias("runs_ratio"),
+    )
+
+
+def encoding_audit_sql(
+    source_sql: str,
+    key_col: str,
+    cols: list[str],
+    unit_div: int = 4096,
+) -> str:
+    """DuckDB twin of :func:`encoding_audit`."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {key_col} AS k, {key_col} // {unit_div} AS unit,"
+        f" '{c}' AS col, CAST({c} AS VARCHAR) AS val FROM src"
+        for c in cols
+    )
+    return f"""
+WITH src AS ({source_sql}),
+stacked AS ({unions}),
+runs AS (
+  SELECT col, val,
+    CASE WHEN ROW_NUMBER() OVER w = 1
+          OR LAG(val) OVER w IS DISTINCT FROM val
+         THEN 1 ELSE 0 END AS rs
+  FROM stacked
+  WINDOW w AS (PARTITION BY unit, col ORDER BY k)),
+agg AS (
+  SELECT col, COUNT(*) AS n_rows, COUNT(DISTINCT val) AS n_distinct,
+    CAST(SUM(rs) AS BIGINT) AS n_runs
+  FROM runs GROUP BY col)
+SELECT col, n_rows, n_distinct,
+  CAST(CASE WHEN n_distinct <= 1 THEN 0
+            ELSE length(bin(n_distinct - 1)) END AS INTEGER) AS dict_bits,
+  n_runs,
+  ROUND(CAST(n_runs AS DOUBLE) / n_rows, 6) AS runs_ratio
+FROM agg"""

@@ -1816,3 +1816,47 @@ SELECT c_custkey AS cluster_id,
 FROM customer
 ORDER BY cluster_id
 """
+
+
+def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding planning audit (operators/layout.py
+    encoding_audit): for each orders column, exact distinct count,
+    dictionary bit-width (integer bit-length, no float log2), and RLE
+    run counts under the table's o_orderkey layout with 4096-key
+    encoding units — the numbers that decide a 100 TB table's sort
+    order and encodings. Timestamps pre-formatted to dates so both
+    engines stringify identically."""
+    from nashville_etl_service_backup_spark.operators.layout import (
+        encoding_audit,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+    )
+    return encoding_audit(
+        orders,
+        "o_orderkey",
+        ["o_orderstatus", "o_orderpriority", "o_custkey", "o_date"],
+    ).orderBy("col")
+
+
+QUERIES["q_encoding_audit"] = q_encoding_audit
+
+from nashville_etl_service_backup_spark.operators.layout import (  # noqa: E402
+    encoding_audit_sql,
+)
+
+ORACLES["q_encoding_audit"] = (
+    "SELECT * FROM ("
+    + encoding_audit_sql(
+        "SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey,"
+        " strftime(o_orderdate, '%Y-%m-%d') AS o_date FROM orders",
+        "o_orderkey",
+        ["o_orderstatus", "o_orderpriority", "o_custkey", "o_date"],
+    )
+    + ") ORDER BY col"
+)
