@@ -121,6 +121,7 @@ HEADLINE = [
     "dedup_prefix_jaccard",
     "q_golden_record",
     "q_encoding_audit",
+    "multimodal_phash_neardup",
 ]
 
 

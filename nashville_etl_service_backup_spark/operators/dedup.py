@@ -410,27 +410,15 @@ def simhash64(tokens: Column) -> Column:
     return simhash64_from_hashes(F.transform(tokens, F.md5))
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def simhash_pairs_from_sigs(
+    base: DataFrame, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup: bucket by 4 16-bit chunks (pigeonhole for
-    hamming ≤ 3), verify with exact bit-difference count."""
-    from nashville_etl_service_backup_spark.operators import spread
-
-    # tokenize (duplicates kept), not search_tokens: frequency-weighted
-    # votes are the standard SimHash and keep near-identical docs close.
-    # Spread the RAW text first so tokenize+md5+votes all run on every
-    # core even off a single-split scan; the staged projection computes
-    # the md5 array once, then the vote pass consumes it.
-    hashed = spread(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
-    ).select(
-        "doc_id",
-        F.transform(tokenize(F.col("_txt")), F.md5).alias("_hs"),
-    )
-    base = hashed.select(
-        "doc_id", simhash64_from_hashes(F.col("_hs")).alias("sig")
-    )
+    """Near-dup pairs from a precomputed (doc_id, sig) signature frame:
+    bucket by 4 16-bit signature chunks (pigeonhole: hamming ≤ 3 ⟹
+    some chunk equal), verify with the exact bit-difference count.
+    Shared by the text SimHash path and the multimodal perceptual-hash
+    path (operators/multimodal.py) — the blocking algebra is identical
+    whatever produced the 64 bits."""
     chunks = base.select(
         "doc_id",
         "sig",
@@ -469,6 +457,29 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup over text: frequency-weighted token votes
+    (tokenize keeps duplicates — the standard SimHash), then the shared
+    chunk-bucket pair join (simhash_pairs_from_sigs)."""
+    from nashville_etl_service_backup_spark.operators import spread
+
+    # Spread the RAW text first so tokenize+md5+votes all run on every
+    # core even off a single-split scan; the staged projection computes
+    # the md5 array once, then the vote pass consumes it.
+    hashed = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
+    ).select(
+        "doc_id",
+        F.transform(tokenize(F.col("_txt")), F.md5).alias("_hs"),
+    )
+    base = hashed.select(
+        "doc_id", simhash64_from_hashes(F.col("_hs")).alias("sig")
+    )
+    return simhash_pairs_from_sigs(base, max_hamming)
 
 
 def connected_components(

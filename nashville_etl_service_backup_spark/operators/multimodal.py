@@ -266,3 +266,50 @@ def sample_frames(
     return spread(media.select("media_id", "content")).mapInPandas(
         sample, schema=FRAME_SCHEMA
     )
+
+
+def phash_near_dup_pairs(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    every: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over binary media — the
+    multimodal twin of text SimHash (the aggregate-local-features idea
+    behind pHash/blockhash image fingerprints): per media item, hash
+    each sampled frame (sample_frames — Arrow-batched, UDTF-shaped),
+    accumulate the frame hashes into one 64-bit signed-vote signature
+    (dedup.simhash64_from_hashes — order-independent, so the unordered
+    frame aggregate is safe), then find pairs within Hamming distance
+    ``max_hamming`` via the shared 4×16-bit pigeonhole bucket join
+    (dedup.simhash_pairs_from_sigs). Media sharing most frames (edits,
+    re-encodes of the same asset under a frame-stable codec) land
+    within a few bits.
+
+    With a real decoder the per-frame md5 becomes a visual descriptor
+    hash (DCT block signs, keyframe signatures); the aggregation,
+    bucketing, and verify algebra — the parts that must scale — do not
+    change. Scale shape: narrow decode map → one map-side-combinable
+    collect per media id → equi-join on 16-bit chunks; only 64-char
+    signatures ever shuffle, never media bytes.
+
+    Output: (id_a, id_b, hamming), id_a < id_b."""
+    from nashville_etl_service_backup_spark.operators.dedup import (
+        simhash64_from_hashes,
+        simhash_pairs_from_sigs,
+    )
+
+    frames = sample_frames(media, frame_bytes=frame_bytes, every=every)
+    sigs = frames.groupBy("media_id").agg(
+        F.collect_list("frame_md5").alias("_hs")
+    )
+    base = sigs.select(
+        F.col("media_id").alias("doc_id"),
+        simhash64_from_hashes(F.col("_hs")).alias("sig"),
+    )
+    pairs = simhash_pairs_from_sigs(base, max_hamming)
+    return pairs.select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        "hamming",
+    )

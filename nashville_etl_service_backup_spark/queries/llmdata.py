@@ -3252,3 +3252,53 @@ SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / u, 6) AS jaccard
 FROM v WHERE i * 5 >= u * 3
 ORDER BY doc_a, doc_b
 """
+
+
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via perceptual hashing
+    (operators.multimodal.phash_near_dup_pairs): frame-hash votes →
+    64-bit signature → pigeonhole Hamming pairs. Runs on the image
+    modality of the synthetic media lake; the oracle replays frame
+    slicing, vote accumulation, and the chunk-bucket join in SQL."""
+    from nashville_etl_service_backup_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+        synth_media,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = synth_media(docs).filter(F.col("modality") == "image")
+    return phash_near_dup_pairs(media).orderBy("id_a", "id_b")
+
+
+QUERIES["multimodal_phash_neardup"] = multimodal_phash_neardup
+
+_PHASH_HAMMING = (
+    "len(list_filter(range(1, 65), i ->"
+    " substr(a.sig, i, 1) <> substr(b.sig, i, 1)))"
+)
+
+ORACLES["multimodal_phash_neardup"] = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0),
+f AS (
+  SELECT media_id, text,
+    CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
+  FROM m),
+u AS (
+  SELECT media_id, md5(substr(text, CAST(idx AS INT) * 64 + 1, 64)) AS fh
+  FROM (SELECT media_id, text, unnest(range(0, n_frames, 4)) AS idx FROM f)),
+h AS (
+  SELECT media_id, list(fh) AS hs FROM u GROUP BY media_id),
+sig AS (
+  SELECT media_id, {{sig}} AS sig FROM h)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+  CAST({_PHASH_HAMMING} AS BIGINT) AS hamming
+FROM sig a JOIN sig b
+  ON a.media_id < b.media_id
+ AND (substr(a.sig, 1, 16) = substr(b.sig, 1, 16)
+   OR substr(a.sig, 17, 16) = substr(b.sig, 17, 16)
+   OR substr(a.sig, 33, 16) = substr(b.sig, 33, 16)
+   OR substr(a.sig, 49, 16) = substr(b.sig, 49, 16))
+WHERE {_PHASH_HAMMING} <= 3
+ORDER BY id_a, id_b
+""".replace("{sig}", _SIMHASH_SIG)
