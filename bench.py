@@ -122,6 +122,8 @@ HEADLINE = [
     "q_golden_record",
     "q_encoding_audit",
     "multimodal_phash_neardup",
+    "q_grouped_topk",
+    "q_rank_variants",
 ]
 
 

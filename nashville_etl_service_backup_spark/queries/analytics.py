@@ -1860,3 +1860,90 @@ ORACLES["q_encoding_audit"] = (
     )
     + ") ORDER BY col"
 )
+
+
+def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-group top-k (operators/ranking.py grouped_topk):
+    top-5 orders by total price per order priority via the salted
+    two-phase window plan — result-identical to the one-window form
+    (the oracle IS the one-window form), but no task ever sorts more
+    than |group|/16 rows, so a hot group cannot serialize the stage."""
+    from nashville_etl_service_backup_spark.operators.ranking import (
+        grouped_topk,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    top = grouped_topk(
+        orders.select(
+            "o_orderpriority", "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=5,
+        salt_col=F.col("o_orderkey"),
+    )
+    return top.select(
+        "o_orderpriority",
+        "rn",
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    ).orderBy("o_orderpriority", "rn")
+
+
+QUERIES["q_grouped_topk"] = q_grouped_topk
+
+ORACLES["q_grouped_topk"] = """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+SELECT o_orderpriority, rn, o_orderkey, o_custkey,
+  ROUND(o_totalprice, 2) AS o_totalprice
+FROM r WHERE rn <= 5
+ORDER BY o_orderpriority, rn
+"""
+
+
+def q_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SQL ranking-function surface in one window shuffle:
+    rank, dense_rank, percent_rank, cume_dist, ntile(4) over order
+    totals per priority (sampled every-199th order key so the output
+    stays row-bounded). percent_rank/cume_dist are single IEEE
+    divisions of exact integers; the ntile order is made total with
+    the key tiebreak so both engines tile identically."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 199 == 0
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    ).orderBy("o_orderpriority", "o_orderkey")
+
+
+QUERIES["q_rank_variants"] = q_rank_variants
+
+ORACLES["q_rank_variants"] = """
+SELECT o_orderpriority, o_orderkey,
+  ROUND(o_totalprice, 2) AS o_totalprice,
+  RANK() OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk,
+  ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+  ROUND(CUME_DIST() OVER w, 6) AS cdist,
+  NTILE(4) OVER w AS quartile
+FROM orders
+WHERE o_orderkey % 199 = 0
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+ORDER BY o_orderpriority, o_orderkey
+"""

@@ -184,3 +184,28 @@ def test_golden_records_rules(spark):
         "Ann Smith", "RETAIL", 20.0, 2)
     assert (out[2].name, out[2].segment, out[2].bal) == ("Bob", "AUTO", 30.0)
     assert (out[3].name, out[3].segment, out[3].bal) == ("Cyd", "BIKE", 2.0)
+
+
+def test_grouped_topk_matches_single_window(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from nashville_etl_service_backup_spark.operators.ranking import (
+        grouped_topk,
+    )
+
+    rows = [(i % 4, i, float((i * 131) % 977)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g int, id long, v double")
+    order = [F.desc("v"), F.asc("id")]
+    got = {
+        (r.g, r.rn, r.id)
+        for r in grouped_topk(df, ["g"], order, 7, F.col("id"), 8).collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        (r.g, r.rn, r.id)
+        for r in df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 7)
+        .collect()
+    }
+    assert got == want and len(want) == 28
