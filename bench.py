@@ -124,6 +124,7 @@ HEADLINE = [
     "multimodal_phash_neardup",
     "q_grouped_topk",
     "q_rank_variants",
+    "dedup_recall_audit",
 ]
 
 

@@ -3302,3 +3302,109 @@ FROM sig a JOIN sig b
 WHERE {_PHASH_HAMMING} <= 3
 ORDER BY id_a, id_b
 """.replace("{sig}", _SIMHASH_SIG)
+
+
+def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic-dedup quality audit: run MinHash-LSH and the EXACT
+    prefix-filter join over the SAME trigram-shingle sets and the same
+    Jaccard >= 3/5 threshold, and report LSH's measured recall against
+    ground truth. Because LSH verifies candidates with exact Jaccard,
+    its pairs are a subset of the truth — the query proves that too
+    (n_matched must equal n_lsh; a false positive would break it).
+    This is the methodology piece a 100 TB dedup needs: banding
+    probabilities are an estimate, this measures them on YOUR corpus
+    (sampled at scale, exhaustive here)."""
+    from nashville_etl_service_backup_spark.operators import track_persist
+    from nashville_etl_service_backup_spark.operators.dedup import (
+        lsh_near_dup_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    exact = track_persist(
+        prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", t_num=3, t_den=5, shingle_n=3
+        ).select("doc_a", "doc_b")
+    )
+    lsh = track_persist(
+        lsh_near_dup_pairs(
+            docs, "doc_id", "text", shingle_n=3, num_hashes=4, bands=2,
+            threshold=0.6,
+        ).select("doc_a", "doc_b")
+    )
+    matched = lsh.join(exact, ["doc_a", "doc_b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_matched = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    return (
+        n_exact.crossJoin(n_lsh)
+        .crossJoin(n_matched)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_matched",
+            F.round(
+                F.col("n_lsh").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+QUERIES["dedup_recall_audit"] = dedup_recall_audit
+
+# trigram-shingle LSH chain: sliced minhash (one md5 per shingle,
+# 8-hex-char slices), 2 bands x 2 hashes — mirrors lsh_near_dup_pairs
+# with shingle_n=3 exactly; reuses the prefix-filter truth CTEs
+_TRI_SHINGLES_SQL = """list_distinct(list_transform(range(1, len(tko) - 1),
+      i -> tko[i] || ' ' || tko[i+1] || ' ' || tko[i+2]))"""
+
+ORACLES["dedup_recall_audit"] = f"""
+WITH tok0 AS (
+  SELECT doc_id, {_TOKS_O} AS tko FROM documents),
+tri AS (
+  SELECT doc_id, {_TRI_SHINGLES_SQL} AS g FROM tok0),
+nz AS (SELECT doc_id, g FROM tri WHERE len(g) > 0),
+sig AS (
+  SELECT doc_id, g,
+    list_min(list_transform(g, t -> substr(md5(t), 1, 8))) || '|' ||
+    list_min(list_transform(g, t -> substr(md5(t), 9, 8))) AS b0,
+    list_min(list_transform(g, t -> substr(md5(t), 17, 8))) || '|' ||
+    list_min(list_transform(g, t -> substr(md5(t), 25, 8))) AS b1
+  FROM nz),
+lshp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.g, b.g))) >= 0.6),
+ex AS (SELECT doc_id, unnest(g) AS t FROM nz),
+freq AS (SELECT t, COUNT(*) AS df FROM ex GROUP BY t),
+ordered AS (
+  SELECT e.doc_id, list(e.t ORDER BY f.df, e.t) AS ot, COUNT(*) AS sz
+  FROM ex e JOIN freq f ON e.t = f.t GROUP BY e.doc_id),
+pfx AS (
+  SELECT doc_id, sz,
+    unnest(ot[1:CAST(sz - ((3 * sz + 4) // 5) + 1 AS INT)]) AS t
+  FROM ordered),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pfx a JOIN pfx b ON a.t = b.t AND a.doc_id < b.doc_id
+   AND b.sz * 5 >= a.sz * 3 AND a.sz * 5 >= b.sz * 3),
+exact AS (
+  SELECT doc_a, doc_b
+  FROM (
+    SELECT doc_a, doc_b,
+      len(list_intersect(x.g, y.g)) AS i,
+      len(list_distinct(list_concat(x.g, y.g))) AS u
+    FROM cand JOIN nz x ON cand.doc_a = x.doc_id
+              JOIN nz y ON cand.doc_b = y.doc_id)
+  WHERE i * 5 >= u * 3),
+m AS (SELECT l.doc_a, l.doc_b FROM lshp l
+      JOIN exact e ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b)
+SELECT
+  (SELECT COUNT(*) FROM exact) AS n_exact,
+  (SELECT COUNT(*) FROM lshp) AS n_lsh,
+  (SELECT COUNT(*) FROM m) AS n_matched,
+  ROUND(CAST((SELECT COUNT(*) FROM lshp) AS DOUBLE)
+        / (SELECT COUNT(*) FROM exact), 6) AS recall
+"""
