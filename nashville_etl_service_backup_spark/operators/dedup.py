@@ -508,9 +508,16 @@ def connected_components(
     reaches the driver.
     """
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # hash-partition by src ONCE before persisting: every round's
+    # label join is keyed on src, so the persisted partitioning is
+    # reused and only the (node, label) table moves per round
+    edges = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("src")
+        .persist()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
