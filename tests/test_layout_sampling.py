@@ -209,3 +209,65 @@ def test_grouped_topk_matches_single_window(spark):
         .collect()
     }
     assert got == want and len(want) == 28
+
+
+def test_ngram_builders_match_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.functions.text import tokenize
+    from nashville_etl_service_backup_spark.operators.dedup import (
+        char_ngrams,
+        shingles,
+    )
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        _ordered_ngrams,
+        char_trigrams,
+    )
+
+    texts = [
+        "", "a", "ab", "abc", "a b", "a b c", "a b c d e",
+        "Hello, World!  multiple   spaces", "x" * 10, "one two",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, t string"
+    )
+
+    def norm(t):
+        import re
+        return re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+
+    def py_tokens(t):
+        return [w for w in norm(t).split(" ") if w]
+
+    rows = df.select(
+        "id",
+        shingles(tokenize(F.col("t")), 2).alias("sh2"),
+        shingles(tokenize(F.col("t")), 3).alias("sh3"),
+        _ordered_ngrams(tokenize(F.col("t")), 2).alias("on2"),
+        char_ngrams(F.col("t"), 3).alias("cg3"),
+        char_trigrams(F.col("t")).alias("ct"),
+    ).collect()
+    for r in rows:
+        t = texts[r.id]
+        toks = py_tokens(t)
+
+        def sh(n):
+            g = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            return list(dict.fromkeys(g))
+
+        assert r.sh2 == sh(2), (t, r.sh2)
+        assert r.sh3 == sh(3), (t, r.sh3)
+        on2 = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        assert r.on2 == on2, (t, r.on2)
+        s = norm(t)
+        cg = [s[i : i + 3] for i in range(len(s) - 2)]
+        assert r.cg3 == list(dict.fromkeys(cg)), (t, r.cg3)
+        # char_trigrams keeps duplicates (ordered) over its own normalizer
+        from nashville_etl_service_backup_spark.operators.text_analysis import (
+            normalize_text,
+        )
+        s2 = df.sparkSession.range(1).select(
+            normalize_text(F.lit(t)).alias("s")
+        ).collect()[0].s
+        ct = [s2[i : i + 3] for i in range(max(len(s2) - 2, 0))]
+        assert r.ct == ct, (t, r.ct)
