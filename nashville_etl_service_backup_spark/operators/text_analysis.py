@@ -286,10 +286,11 @@ def repetition_features_hof(text: Column) -> dict[str, Column]:
 
 
 def _sorted_bigrams(toks: Column) -> Column:
-    grams = F.transform(
-        F.slice(toks, 1, F.size(toks) - 1),
-        lambda x, i: F.concat_ws(" ", x, F.get(toks, i + 1)),
-    )
+    # zip of shifted slices, not F.get(toks, i+1) — the per-element get
+    # re-evaluates the token EXPRESSION per bigram (see dedup.shingles)
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    z = F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
+    grams = F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"]))
     return F.array_sort(grams)
 
 
