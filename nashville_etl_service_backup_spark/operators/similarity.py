@@ -220,6 +220,7 @@ def ivf_assign(
     vec_col: str = "v",
     cent_id: str = "cent_id",
     cent_vec: str = "cv",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF list assignment: each vector → its highest-cosine centroid
     (ties → highest centroid id; deterministic). Centroids broadcast, so
@@ -229,12 +230,25 @@ def ivf_assign(
 
     Norms are hoisted out of the pair loop: |v| once per vector, |c|
     once per centroid, dot once per pair — float-identical to inlined
-    cosine() (same expression, factored), ~3× fewer HOF ops."""
-    e = emb.withColumn("_nv", norm(F.col(vec_col)))
-    c = centroids.withColumn("_nc", norm(F.col(cent_vec)))
+    cosine() (same expression, factored), ~3× fewer HOF ops. With a
+    known ``dim`` the |vectors|·k dots use the unrolled bit-equal
+    scalar chain (dot_unrolled — no per-pair array allocation); pass
+    dim=None for unknown widths to fall back to the HOF fold."""
+    if dim is None:
+        _dot = dot
+        _norm = norm
+    else:
+        def _dot(a, b):  # noqa: E306
+            return dot_unrolled(a, b, dim)
+
+        def _norm(a):
+            return norm_unrolled(a, dim)
+
+    e = emb.withColumn("_nv", _norm(F.col(vec_col)))
+    c = centroids.withColumn("_nc", _norm(F.col(cent_vec)))
     scored = e.crossJoin(F.broadcast(c)).withColumn(
         "_c",
-        dot(F.col(vec_col), F.col(cent_vec)) / (F.col("_nv") * F.col("_nc")),
+        _dot(F.col(vec_col), F.col(cent_vec)) / (F.col("_nv") * F.col("_nc")),
     )
     best = scored.groupBy(id_col).agg(
         F.max(F.struct(F.col("_c").alias("c"), F.col(cent_id).alias("cid"))).alias(
@@ -250,6 +264,7 @@ def kmeans_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic, engine-portable Lloyd's k-means coarse quantizer.
 
@@ -293,6 +308,7 @@ def kmeans_centroids(
             cents,
             id_col=id_col,
             vec_col="v",
+            dim=dim,
         )
         sums = (
             pts.join(assigned, id_col)
@@ -321,6 +337,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     extra_cols: tuple[str, ...] = ("label",),
     kmeans_iters: int = 1,
+    dim: int | None = 64,
 ) -> DataFrame:
     """IVF approximate top-k: Lloyd's k-means coarse quantizer
     (``kmeans_iters`` rounds from a first-N init; 0 = plain first-N
@@ -335,7 +352,8 @@ def ivf_topk(
     base = emb.select(F.col(id_col), *extra_cols, v.alias("v"))
     if kmeans_iters > 0:
         cents = kmeans_centroids(
-            base, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col
+            base, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col,
+            dim=dim,
         )
         # The trained quantizer is a MODEL ARTIFACT (n_centroids × dim
         # numbers): materialize it once into a LocalRelation. Without
@@ -349,7 +367,7 @@ def ivf_topk(
         cents = base.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
         )
-    assigned = ivf_assign(base, cents, id_col=id_col)
+    assigned = ivf_assign(base, cents, id_col=id_col, dim=dim)
     probes = (
         query.crossJoin(F.broadcast(cents))
         .withColumn("_c", cosine(F.col("qv"), F.col("cv")))
@@ -449,6 +467,7 @@ def semantic_dedup_pairs(
     kmeans_iters: int = 1,
     threshold: float = 0.9,
     top_k: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicates (Abbas et al. 2023,
     arXiv:2303.09540, public method): k-means the embedding space with
@@ -476,9 +495,10 @@ def semantic_dedup_pairs(
 
     pts = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     cents = kmeans_centroids(
-        pts, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col, vec_col="v"
+        pts, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col,
+        vec_col="v", dim=dim,
     )
-    assigned = ivf_assign(pts, cents, id_col=id_col, vec_col="v")
+    assigned = ivf_assign(pts, cents, id_col=id_col, vec_col="v", dim=dim)
     tagged = track_persist(pts.join(assigned, id_col))
     a = tagged.select(
         "cent_id", F.col(id_col).alias("vec_a"), F.col("v").alias("va")

@@ -907,7 +907,7 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to banded-SRP (dedup_embedding_pairs) and exact fingerprints."""
     emb = load(spark, sf_dir, "embeddings")
     return semantic_dedup_pairs(
-        emb, n_centroids=16, kmeans_iters=1, top_k=20
+        emb, n_centroids=16, kmeans_iters=1, top_k=20, dim=64
     )
 
 
