@@ -209,3 +209,60 @@ def chi_square(
         ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("long").alias("dof"),
         "chi2",
     )
+
+
+def welch_ttest(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (Welch 1947) between
+    the two groups of a binary ``group_col`` (values 0/1): the A/B
+    significance test for MEANS, next to q_ab_test's two-proportion z.
+
+    Moments (n, Σv, Σv²) are computed per group in one map-side-
+    combinable aggregate with DECIMAL sums (order-independent, so both
+    engines see identical moments bit-for-bit); the t statistic and the
+    Welch–Satterthwaite degrees of freedom are then a fixed double
+    expression tree over those six exact numbers — every op singly
+    rounded, cross-engine identical before the final round(6).
+
+    Output: one row (n0, n1, mean0, mean1, t_stat, dof, significant =
+    |t| > 1.96)."""
+    g = F.col(group_col)
+    v = F.col(value_col).cast("decimal(18,6)")
+    m = df.groupBy(g.alias("_g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    )
+    g0 = m.filter(F.col("_g") == 0).select(
+        F.col("n").alias("n0"),
+        F.col("s").cast("double").alias("s0"),
+        F.col("ss").cast("double").alias("ss0"),
+    )
+    g1 = m.filter(F.col("_g") == 1).select(
+        F.col("n").alias("n1"),
+        F.col("s").cast("double").alias("s1"),
+        F.col("ss").cast("double").alias("ss1"),
+    )
+    j = g0.crossJoin(g1)
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    m0 = F.col("s0") / n0
+    m1 = F.col("s1") / n1
+    var0 = (F.col("ss0") - F.col("s0") * F.col("s0") / n0) / (n0 - 1)
+    var1 = (F.col("ss1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1)
+    se0 = var0 / n0
+    se1 = var1 / n1
+    t = (m1 - m0) / F.sqrt(se0 + se1)
+    dof = (se0 + se1) * (se0 + se1) / (
+        se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)
+    )
+    return j.select(
+        "n0",
+        "n1",
+        F.round(m0, 6).alias("mean0"),
+        F.round(m1, 6).alias("mean1"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+        (F.abs(F.round(t, 6)) > 1.96).cast("int").alias("significant"),
+    )

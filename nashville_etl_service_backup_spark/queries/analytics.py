@@ -1947,3 +1947,47 @@ WINDOW w AS (PARTITION BY o_orderpriority
              ORDER BY o_totalprice ASC, o_orderkey ASC)
 ORDER BY o_orderpriority, o_orderkey
 """
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test (operators/profile.py welch_ttest) comparing mean
+    event value between the even/odd user cohorts — the means-based
+    companion of q_ab_test's two-proportion z test; exact decimal
+    moments, one combinable aggregate."""
+    from nashville_etl_service_backup_spark.operators.profile import (
+        welch_ttest,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("cohort"), "value"
+    )
+    return welch_ttest(ev, "cohort", "value")
+
+
+QUERIES["q_welch_ttest"] = q_welch_ttest
+
+ORACLES["q_welch_ttest"] = """
+WITH m AS (
+  SELECT user_id % 2 AS g, COUNT(*) AS n,
+    SUM(CAST(value AS DECIMAL(18,6))) AS s,
+    SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS ss
+  FROM events GROUP BY 1),
+j AS (
+  SELECT a.n AS n0, CAST(a.s AS DOUBLE) AS s0, CAST(a.ss AS DOUBLE) AS ss0,
+         b.n AS n1, CAST(b.s AS DOUBLE) AS s1, CAST(b.ss AS DOUBLE) AS ss1
+  FROM (SELECT * FROM m WHERE g = 0) a, (SELECT * FROM m WHERE g = 1) b),
+c AS (
+  SELECT n0, n1,
+    s0 / n0 AS m0, s1 / n1 AS m1,
+    ((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0 AS se0,
+    ((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1 AS se1
+  FROM j)
+SELECT n0, n1,
+  ROUND(m0, 6) AS mean0, ROUND(m1, 6) AS mean1,
+  ROUND((m1 - m0) / sqrt(se0 + se1), 6) AS t_stat,
+  ROUND((se0 + se1) * (se0 + se1)
+        / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 6) AS dof,
+  CAST(CASE WHEN abs(ROUND((m1 - m0) / sqrt(se0 + se1), 6)) > 1.96
+       THEN 1 ELSE 0 END AS INTEGER) AS significant
+FROM c
+"""
