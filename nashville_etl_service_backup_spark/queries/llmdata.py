@@ -3408,3 +3408,138 @@ SELECT
   ROUND(CAST((SELECT COUNT(*) FROM lshp) AS DOUBLE)
         / (SELECT COUNT(*) FROM exact), 6) AS recall
 """
+
+
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution — the
+    information-density audit next to the Gini concentration and KL
+    drift views: low entropy = templated/repetitive feed, entropy near
+    ln(vocab) = flat distribution. Each −p·ln(p) term is rounded to
+    12dp and summed in DECIMAL (order-independent; ln parity as in
+    BM25/PMI); normalized entropy divides by ln(vocab). One combinable
+    (source, token) count, one per-source aggregate."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("t")
+    )
+    counts = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens").cast("double")
+    term = F.round(-p * F.log(p), 12).cast("decimal(38,12)")
+    ent = (
+        counts.join(F.broadcast(totals), "source")
+        .groupBy("source", "n_tokens", "vocab")
+        .agg(F.sum(term).cast("double").alias("_h"))
+    )
+    return ent.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.round("_h", 6).alias("entropy"),
+        F.round(
+            F.col("_h") / F.log(F.col("vocab").cast("double")), 6
+        ).alias("norm_entropy"),
+    )
+
+
+QUERIES["text_token_entropy"] = text_token_entropy
+
+ORACLES["text_token_entropy"] = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS_O}) AS t FROM documents),
+counts AS (
+  SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t),
+totals AS (
+  SELECT source, SUM(c) AS n_tokens, COUNT(*) AS vocab
+  FROM counts GROUP BY source),
+ent AS (
+  SELECT c.source, t.n_tokens, t.vocab,
+    CAST(SUM(CAST(ROUND(-(CAST(c.c AS DOUBLE) / t.n_tokens)
+        * LN(CAST(c.c AS DOUBLE) / t.n_tokens), 12) AS DECIMAL(38,12)))
+      AS DOUBLE) AS h
+  FROM counts c JOIN totals t ON c.source = t.source
+  GROUP BY c.source, t.n_tokens, t.vocab)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(vocab AS BIGINT) AS vocab,
+  ROUND(h, 6) AS entropy,
+  ROUND(h / LN(CAST(vocab AS DOUBLE)), 6) AS norm_entropy
+FROM ent
+"""
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the top-100 corpus terms: OLS of
+    ln(count) on ln(rank) — slope ≈ −1 is the classic Zipf signature;
+    a flat slope flags synthetic/templated vocabulary. The corpus
+    collapses to a combinable term count first; the top-100 is a top-k
+    heap; the regression runs over that 100-row model artifact with
+    12dp-rounded ln terms decimal-summed, so both engines produce the
+    identical closed-form slope/intercept/r²."""
+    from pyspark.sql.window import Window
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(tokenize(F.col("text"))).alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.desc("c"), F.asc("t")).limit(100)
+    w = Window.orderBy(F.desc("c"), F.asc("t"))
+    ranked = top.select(
+        F.row_number().over(w).alias("r"), F.col("c")
+    )
+    x = F.round(F.log(F.col("r").cast("double")), 12)
+    y = F.round(F.log(F.col("c").cast("double")), 12)
+    d = lambda e: e.cast("decimal(38,12)")  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(x)).cast("double").alias("sx"),
+        F.sum(d(y)).cast("double").alias("sy"),
+        F.sum(d(F.round(x * y, 12))).cast("double").alias("sxy"),
+        F.sum(d(F.round(x * x, 12))).cast("double").alias("sxx"),
+        F.sum(d(F.round(y * y, 12))).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov / vx
+    return agg.select(
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "intercept"
+        ),
+        F.round(cov * cov / (vx * vy), 6).alias("r2"),
+    )
+
+
+QUERIES["text_zipf_fit"] = text_zipf_fit
+
+ORACLES["text_zipf_fit"] = f"""
+WITH tok AS (
+  SELECT unnest({_TOKS_O}) AS t FROM documents),
+counts AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+top AS (SELECT t, c FROM counts ORDER BY c DESC, t LIMIT 100),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r, c FROM top),
+terms AS (
+  SELECT ROUND(LN(CAST(r AS DOUBLE)), 12) AS x,
+         ROUND(LN(CAST(c AS DOUBLE)), 12) AS y
+  FROM ranked),
+agg AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM terms)
+SELECT n,
+  ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+  ROUND((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6)
+    AS intercept,
+  ROUND((sxy - sx * sy / n) * (sxy - sx * sy / n)
+        / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+FROM agg
+"""
