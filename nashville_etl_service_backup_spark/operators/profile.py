@@ -266,3 +266,37 @@ def welch_ttest(
         F.round(dof, 6).alias("dof"),
         (F.abs(F.round(t, 6)) > 1.96).cast("int").alias("significant"),
     )
+
+
+def key_uniqueness(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Candidate-key audit for a column set: total rows, distinct
+    combinations, duplicate rows (n − distinct), and whether the set is
+    a key. One combinable count-distinct aggregate."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count_distinct(*[F.col(c) for c in cols]).alias("n_distinct"),
+    ).select(
+        "n_groups",
+        (F.col("n_groups") - F.col("n_distinct")).alias("violations"),
+        (F.col("n_groups") == F.col("n_distinct")).cast("int").alias("ok"),
+    )
+
+
+def fd_violations(
+    df: DataFrame, lhs: list[str], rhs: list[str]
+) -> DataFrame:
+    """Functional-dependency audit lhs → rhs: group count, number of
+    lhs groups mapping to >1 distinct rhs (violations), and ok flag.
+    Two combinable aggregates (per-lhs distinct-rhs, then a count) —
+    the FD/consistency check of a Deequ-style data contract."""
+    per = df.groupBy(*[F.col(c) for c in lhs]).agg(
+        F.count_distinct(*[F.col(c) for c in rhs]).alias("_nd")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0)).alias("violations"),
+    ).select(
+        "n_groups",
+        "violations",
+        (F.col("violations") == 0).cast("int").alias("ok"),
+    )

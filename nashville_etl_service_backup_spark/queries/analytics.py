@@ -1991,3 +1991,72 @@ SELECT n0, n1,
        THEN 1 ELSE 0 END AS INTEGER) AS significant
 FROM c
 """
+
+
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract constraint audit (operators/profile.py
+    key_uniqueness / fd_violations): candidate-key uniqueness for the
+    true lineitem PK and a non-key pair, plus functional-dependency
+    checks in both directions over part (p_partkey → p_name holds,
+    p_name → p_partkey is massively violated — 64 names over the key
+    space). Each check is one or two combinable aggregates; the union
+    is the one-page contract report a 100 TB ingest gate runs."""
+    from functools import reduce
+
+    from nashville_etl_service_backup_spark.operators.profile import (
+        fd_violations,
+        key_uniqueness,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    checks = [
+        ("key:lineitem_pk", key_uniqueness(
+            li, ["l_orderkey", "l_linenumber"])),
+        ("key:part_supp_pair", key_uniqueness(
+            li, ["l_partkey", "l_suppkey"])),
+        ("fd:partkey_to_name", fd_violations(
+            part, ["p_partkey"], ["p_name"])),
+        ("fd:name_to_partkey", fd_violations(
+            part, ["p_name"], ["p_partkey"])),
+    ]
+    frames = [
+        d.select(F.lit(name).alias("constraint"), "n_groups",
+                 "violations", "ok")
+        for name, d in checks
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames).orderBy(
+        "constraint"
+    )
+
+
+QUERIES["q_constraint_audit"] = q_constraint_audit
+
+ORACLES["q_constraint_audit"] = """
+SELECT 'key:lineitem_pk' AS "constraint", COUNT(*) AS n_groups,
+  COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS violations,
+  CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT (l_orderkey, l_linenumber))
+       THEN 1 ELSE 0 END AS INTEGER) AS ok
+FROM lineitem
+UNION ALL
+SELECT 'key:part_supp_pair', COUNT(*),
+  COUNT(*) - COUNT(DISTINCT (l_partkey, l_suppkey)),
+  CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT (l_partkey, l_suppkey))
+       THEN 1 ELSE 0 END AS INTEGER)
+FROM lineitem
+UNION ALL
+SELECT 'fd:partkey_to_name', COUNT(*),
+  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(CASE WHEN SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+       THEN 1 ELSE 0 END AS INTEGER)
+FROM (SELECT p_partkey, COUNT(DISTINCT p_name) AS nd
+      FROM part GROUP BY p_partkey)
+UNION ALL
+SELECT 'fd:name_to_partkey', COUNT(*),
+  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(CASE WHEN SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+       THEN 1 ELSE 0 END AS INTEGER)
+FROM (SELECT p_name, COUNT(DISTINCT p_partkey) AS nd
+      FROM part GROUP BY p_name)
+ORDER BY "constraint"
+"""
