@@ -74,6 +74,7 @@ HEADLINE = [
     "text_dup_spans",
     "text_alpha_mixture",
     "text_dsir_sample",
+    "text_quality_classifier",
     "text_snapshot_delta",
     "hybrid_search_rrf",
     "text_html_extract",

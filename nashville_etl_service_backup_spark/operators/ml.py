@@ -1,0 +1,325 @@
+"""In-engine supervised model training: linear classifier fit by
+fixed-iteration full-batch gradient descent, as pure DataFrame algebra.
+
+The reference filters rows with hand-written heuristics (name-quality
+gates, required-field checks — transform_data.py's rule stack); the
+modern corpus-curation analog is a TRAINED quality classifier
+(fastText-style: Joulin et al. 2016; FineWeb-Edu's teacher-labelled
+linear probe): take labels from a cheap teacher (here the corpus
+quality heuristic itself — distillation), fit a linear model, score
+every document with it. This module does the FIT inside the engine, so
+the same pipeline that computes features at 100 TB also trains on them
+— no export to a single-node trainer.
+
+Determinism device (the IVF-k-means / PageRank recipe):
+- a FIXED iteration count, so the whole optimization unrolls into SQL
+  CTEs and the DuckDB oracle replays the identical computation;
+- per-example gradient contributions rounded to GRAD_SCALE and summed
+  in DECIMAL(38,12) — order-independent, so the gradient is
+  bit-identical regardless of partitioning (and across engines);
+- the weight update is ONE singly-rounded double expression per
+  coefficient: w' = round(w − lr·(Σg / n), W_SCALE);
+- the link function is the HARD sigmoid clamp(0.25·z + 0.5, 0, 1)
+  (Courbariaux et al. 2016): only +, ×-by-2⁻², LEAST/GREATEST — every
+  op IEEE-correctly-rounded, so no transcendental (exp) whose final-ulp
+  behaviour could differ between the JVM and libm. Gradient uses the
+  straight-through form (p − y)·x.
+
+Scale shape: the training data NEVER shuffles. Standardization is one
+map-side-combinable decimal-moment aggregate (broadcast back as a 1-row
+frame); each GD round is one narrow projection + one combinable
+aggregate whose output is d+1 scalars; scoring is a narrow projection.
+Total bytes moved per round: O(d) — a full-batch GD round at 100 TB
+costs exactly one pass over the (cached or re-scanned) feature columns.
+The per-round collected weight vector is a d+1-scalar model artifact —
+the same justified driver visit as the IVF quantizer's k×dim centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Z_SCALE = 9  # margin rounding before the link
+GRAD_SCALE = 12  # per-example gradient contribution rounding
+W_SCALE = 12  # weight rounding after each update
+FEAT_SCALE = 6  # standardized-feature rounding
+
+
+def hard_sigmoid(z: Column) -> Column:
+    """clamp(0.25·z + 0.5, 0, 1) — exact-arithmetic sigmoid surrogate
+    (0.25·z is an exponent shift, exact; + 0.5 singly rounded)."""
+    return F.least(
+        F.greatest(F.lit(0.25) * z + F.lit(0.5), F.lit(0.0)), F.lit(1.0)
+    )
+
+
+def standardize_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """1-row frame of per-column mean/std (population), decimal-exact:
+    m_<c> = round(Σx / n, 6)  and  s_<c> = round(√max((Σx² − Σx·Σx/n)/n,
+    0), 6), with Σ over DECIMAL(18,6) casts (inputs are round-6 doubles,
+    so the casts are exact and the sums order-independent)."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        d = F.col(c).cast("decimal(18,6)")
+        aggs.append(F.sum(d).alias(f"_s_{c}"))
+        aggs.append(F.sum(d * d).alias(f"_ss_{c}"))
+    m = df.agg(*aggs)
+    n = F.col("n").cast("double")
+    out = [F.col("n")]
+    for c in cols:
+        s = F.col(f"_s_{c}").cast("double")
+        ss = F.col(f"_ss_{c}").cast("double")
+        var = (ss - s * s / n) / n
+        out.append(F.round(s / n, FEAT_SCALE).alias(f"m_{c}"))
+        out.append(
+            F.round(
+                F.sqrt(F.greatest(var, F.lit(0.0))), FEAT_SCALE
+            ).alias(f"s_{c}")
+        )
+    return m.select(*out)
+
+
+def standardize(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Z-score `cols` in place (round-6), zero-variance columns → 0.0.
+    The stats ride a broadcast 1-row cross join — no collect, and the
+    input never shuffles."""
+    stats = standardize_stats(df, cols)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        m, s = F.col(f"m_{c}"), F.col(f"s_{c}")
+        out = out.withColumn(
+            c,
+            F.when(
+                s > 0.0, F.round((F.col(c) - m) / s, FEAT_SCALE)
+            ).otherwise(F.lit(0.0)),
+        )
+    drop = ["n"] + [f"m_{c}" for c in cols] + [f"s_{c}" for c in cols]
+    return out.drop(*drop)
+
+
+def _margin(feature_cols: list[str], weights: list[float]) -> Column:
+    """round(w0 + w1·x1 + … + wd·xd, 9), left-associated exactly like
+    the oracle's parse of the same expression."""
+    z: Column = F.lit(float(weights[0]))
+    for j, c in enumerate(feature_cols):
+        z = z + F.lit(float(weights[j + 1])) * F.col(c)
+    return F.round(z, Z_SCALE)
+
+
+def logreg_train(
+    feats: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iterations: int = 8,
+    lr: float = 4.0,
+) -> list[float]:
+    """Fit [bias, w1..wd] by `iterations` full-batch GD rounds from
+    w = 0. One combinable aggregate per round; only the d+1 rounded
+    weights visit the driver (embedded as literals for the next round —
+    the values the oracle's CTE chain carries as columns).
+
+    Caller should persist `feats` when the feature projection is
+    expensive (each round re-evaluates it otherwise)."""
+    d = len(feature_cols)
+    w = [0.0] * (d + 1)
+    for _ in range(iterations):
+        p = hard_sigmoid(_margin(feature_cols, w))
+        r = p - F.col(label_col)
+        aggs = [F.count(F.lit(1)).alias("n")]
+        aggs.append(
+            F.sum(
+                F.round(r, GRAD_SCALE).cast("decimal(38,12)")
+            ).alias("g0")
+        )
+        for j, c in enumerate(feature_cols):
+            aggs.append(
+                F.sum(
+                    F.round(r * F.col(c), GRAD_SCALE).cast("decimal(38,12)")
+                ).alias(f"g{j + 1}")
+            )
+        upd = feats.agg(*aggs).select(
+            *[
+                F.round(
+                    F.lit(w[j])
+                    - F.lit(float(lr))
+                    * (
+                        F.col(f"g{j}").cast("double")
+                        / F.col("n").cast("double")
+                    ),
+                    W_SCALE,
+                ).alias(f"w{j}")
+                for j in range(d + 1)
+            ]
+        ).first()
+        w = [float(upd[f"w{j}"]) for j in range(d + 1)]
+    return w
+
+
+def logreg_score(
+    feature_cols: list[str], weights: list[float]
+) -> Column:
+    """p = hard_sigmoid(round(w·x, 9)) for the trained weights."""
+    return hard_sigmoid(_margin(feature_cols, weights))
+
+
+def logreg_oracle_ctes(
+    feature_names: list[str],
+    label: str,
+    iterations: int = 8,
+    lr: float = 4.0,
+) -> tuple[str, str]:
+    """DuckDB twin of logreg_train: the GD loop unrolled as CTEs over a
+    prior CTE `f` exposing `feature_names` + `label`. Returns
+    (cte_sql_fragment, final_weights_cte_name); the caller appends a
+    scoring SELECT that cross-joins the final weights."""
+    d = len(feature_names)
+
+    def margin(w_alias: str) -> str:
+        terms = " + ".join(
+            f"{w_alias}.w{j + 1}*f.{c}" for j, c in enumerate(feature_names)
+        )
+        return f"ROUND({w_alias}.w0 + {terms}, {Z_SCALE})"
+
+    def sigmoid(zsql: str) -> str:
+        return f"LEAST(GREATEST(0.25*{zsql} + 0.5, 0.0), 1.0)"
+
+    parts = [
+        "nn AS (SELECT COUNT(*) AS n FROM f)",
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(d + 1))
+        + ")",
+    ]
+    for t in range(iterations):
+        p = sigmoid(margin("w"))
+        gsums = [
+            f"SUM(CAST(ROUND({p} - f.{label}, {GRAD_SCALE})"
+            f" AS DECIMAL(38,12))) AS g0"
+        ]
+        for j, c in enumerate(feature_names):
+            gsums.append(
+                f"SUM(CAST(ROUND(({p} - f.{label})*f.{c}, {GRAD_SCALE})"
+                f" AS DECIMAL(38,12))) AS g{j + 1}"
+            )
+        parts.append(
+            f"g{t} AS (SELECT " + ",\n  ".join(gsums) + f" FROM f, w{t} w)"
+        )
+        wupd = [
+            f"ROUND(w.w{j} - {lr!r}*(CAST(g.g{j} AS DOUBLE)"
+            f"/CAST(nn.n AS DOUBLE)), {W_SCALE}) AS w{j}"
+            for j in range(d + 1)
+        ]
+        parts.append(
+            f"w{t + 1} AS (SELECT "
+            + ", ".join(wupd)
+            + f" FROM w{t} w, g{t} g, nn)"
+        )
+    return ",\n".join(parts), f"w{iterations}"
+
+
+def logreg_oracle_score_sql(
+    feature_names: list[str], w_cte: str
+) -> str:
+    """Scoring expression over `f` cross-joined with the final-weights
+    CTE aliased `w` — textually identical math to logreg_score."""
+    terms = " + ".join(
+        f"w.w{j + 1}*f.{c}" for j, c in enumerate(feature_names)
+    )
+    z = f"ROUND(w.w0 + {terms}, {Z_SCALE})"
+    return f"LEAST(GREATEST(0.25*{z} + 0.5, 0.0), 1.0)"
+
+
+def classifier_eval(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """One-row classifier metrics: n_pos, n_neg, accuracy, ROC-AUC,
+    Brier score — computed WITHOUT a global per-row sort.
+
+    AUC is the Mann–Whitney pair statistic evaluated over the SCORE
+    HISTOGRAM (the big-data formulation): group rows by distinct score
+    (one combinable shuffle), cumulative negative mass over the
+    score-ordered group frame (a window over the already-aggregated
+    distinct-score rows — thousands, not billions), then
+    pairs_won×2 = Σ_g (2·pos_g·cumneg_<g + pos_g·neg_g), an exact
+    integer, and AUC = that / (2·n_pos·n_neg). Ties get the standard
+    half credit. Accuracy and Brier ride one aggregate with exact
+    integer / decimal sums, so every metric is bit-identical across
+    engines and partitionings."""
+    from pyspark.sql.window import Window
+
+    s, y = F.col(score_col), F.col(label_col)
+    dist = scored.groupBy(score_col).agg(
+        F.sum(y.cast("long")).alias("pos_g"),
+        (F.count(F.lit(1)) - F.sum(y.cast("long"))).alias("neg_g"),
+    )
+    w = (
+        Window.orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = dist.withColumn(
+        "cb", F.coalesce(F.sum("neg_g").over(w), F.lit(0))
+    )
+    tot = cum.agg(
+        F.sum("pos_g").alias("np"),
+        F.sum("neg_g").alias("nn"),
+        F.sum(
+            (
+                F.lit(2) * F.col("pos_g") * F.col("cb")
+                + F.col("pos_g") * F.col("neg_g")
+            ).cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    met = scored.agg(
+        F.round(
+            F.sum(
+                F.when(F.col(pred_col) == y, 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("acc"),
+        F.round(
+            F.sum(
+                F.round((s - y) * (s - y), 12).cast("decimal(38,12)")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("brier"),
+    )
+    return tot.crossJoin(met).select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        "acc",
+        F.round(
+            F.col("s2").cast("double")
+            / (F.lit(2.0) * F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+        "brier",
+    )
+
+
+def classifier_eval_oracle_sql(scored_cte: str = "scored") -> str:
+    """DuckDB twin of classifier_eval over a prior CTE with columns
+    (label, score, pred)."""
+    return f"""
+dist AS (SELECT score, SUM(label) AS pos_g,
+  COUNT(*) - SUM(label) AS neg_g FROM {scored_cte} GROUP BY score),
+cum AS (SELECT score, pos_g, neg_g,
+  COALESCE(SUM(neg_g) OVER (ORDER BY score
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM dist),
+tot AS (SELECT SUM(pos_g) AS np, SUM(neg_g) AS nn,
+  SUM(CAST(2*pos_g*cb + pos_g*neg_g AS DECIMAL(38,0))) AS s2 FROM cum),
+met AS (SELECT
+  ROUND(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+        /CAST(COUNT(*) AS DOUBLE), 6) AS acc,
+  ROUND(CAST(SUM(CAST(ROUND((score - label)*(score - label), 12)
+                      AS DECIMAL(38,12))) AS DOUBLE)
+        /CAST(COUNT(*) AS DOUBLE), 6) AS brier
+  FROM {scored_cte})
+SELECT np AS n_pos, nn AS n_neg, acc,
+  ROUND(CAST(s2 AS DOUBLE)/(2.0*np*nn), 6) AS auc, brier
+FROM tot, met"""

@@ -3543,3 +3543,118 @@ SELECT n,
         / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
 FROM agg
 """
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (operators/ml.py): distill the corpus
+    quality heuristic into a linear model — labels from the teacher rule
+    quality ≥ 0.64, three standardized features (uniq_ratio, stop_ratio,
+    length signal), hard-sigmoid logistic fit by 8 full-batch GD rounds
+    (decimal-exact gradients), then every doc scored by the trained
+    weights. The FineWeb-Edu / fastText curation pattern (teacher labels
+    → linear student → corpus-wide scoring) with the FIT in-engine; the
+    oracle unrolls the identical 8 rounds in SQL CTEs and the scores
+    hash-match bitwise. Reference parity: the trainable generalization
+    of transform_data.py's hand-written validity rules (SURVEY §2 P2/P6).
+    """
+    from nashville_etl_service_backup_spark.operators import track_persist
+    from nashville_etl_service_backup_spark.operators.ml import (
+        logreg_score,
+        logreg_train,
+        standardize,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    qf = quality_features(F.col("text"))
+    nt_d = qf["n_tokens"].cast("double")
+    raw = docs.select(
+        "doc_id",
+        F.when(qf["quality"] >= 0.64, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        qf["uniq_ratio"].alias("x1"),
+        qf["stop_ratio"].alias("x2"),
+        F.round(F.least(nt_d / F.lit(300.0), F.lit(1.0)), 6).alias("x3"),
+    )
+    fcols = ["x1", "x2", "x3"]
+    feats = track_persist(standardize(raw, fcols))
+    w = logreg_train(feats, fcols, "y", iterations=8, lr=4.0)
+    p = logreg_score(fcols, w)
+    return feats.select(
+        "doc_id",
+        F.col("y").cast("int").alias("label"),
+        F.round(p, 6).alias("score"),
+        (p >= 0.5).cast("int").alias("pred"),
+    )
+
+
+QUERIES["text_quality_classifier"] = text_quality_classifier
+
+
+def _qc_oracle() -> str:
+    from nashville_etl_service_backup_spark.operators.ml import (
+        logreg_oracle_ctes,
+        logreg_oracle_score_sql,
+    )
+
+    uniq = (
+        "CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE)"
+        "/len(tk) ELSE 0.0 END"
+    )
+    stop = (
+        "CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,"
+        " x -> x IN ('the','a','and','of','to'))) AS DOUBLE)/len(tk)"
+        " ELSE 0.0 END"
+    )
+    lensig = "LEAST(len(tk)/300.0, 1.0)"
+    quality = f"ROUND(0.5*({uniq}) + 0.3*(1.0 - {stop}) + 0.2*{lensig}, 6)"
+
+    def moments(c: str) -> str:
+        s = f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
+        ss = (
+            f"CAST(SUM(CAST({c} AS DECIMAL(18,6))"
+            f"*CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
+        )
+        n = "CAST(COUNT(*) AS DOUBLE)"
+        return (
+            f"ROUND({s}/{n}, 6) AS m_{c},\n"
+            f"  ROUND(SQRT(GREATEST(({ss} - {s}*{s}/{n})/{n}, 0.0)), 6)"
+            f" AS s_{c}"
+        )
+
+    def zscore(c: str) -> str:
+        return (
+            f"CASE WHEN st.s_{c} > 0.0"
+            f" THEN ROUND((raw.{c} - st.m_{c})/st.s_{c}, 6)"
+            f" ELSE 0.0 END AS {c}"
+        )
+
+    fcols = ["x1", "x2", "x3"]
+    train_ctes, w_final = logreg_oracle_ctes(fcols, "y", iterations=8, lr=4.0)
+    p = logreg_oracle_score_sql(fcols, w_final)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_O} AS tk FROM documents),
+raw AS (SELECT doc_id,
+  CASE WHEN {quality} >= 0.64 THEN 1.0 ELSE 0.0 END AS y,
+  ROUND({uniq}, 6) AS x1,
+  ROUND({stop}, 6) AS x2,
+  ROUND(CAST({lensig} AS DOUBLE), 6) AS x3
+ FROM t),
+st AS (SELECT {moments('x1')},
+  {moments('x2')},
+  {moments('x3')}
+ FROM raw),
+f AS (SELECT raw.doc_id, raw.y,
+  {zscore('x1')},
+  {zscore('x2')},
+  {zscore('x3')}
+ FROM raw, st),
+{train_ctes}
+SELECT f.doc_id, CAST(f.y AS INT) AS label,
+  ROUND({p}, 6) AS score,
+  CASE WHEN {p} >= 0.5 THEN 1 ELSE 0 END AS pred
+FROM f, {w_final} w
+"""
+
+
+ORACLES["text_quality_classifier"] = _qc_oracle()

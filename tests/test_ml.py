@@ -1,0 +1,89 @@
+"""Tests for in-engine supervised training (operators/ml.py): hard-
+sigmoid logistic regression fit by fixed-iteration full-batch GD."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nashville_etl_service_backup_spark.operators.ml import (
+    logreg_score,
+    logreg_train,
+    standardize,
+)
+
+
+def _toy(spark, n_parts=1):
+    # linearly separable in x1: y = 1 iff x1 > 0.5; x2 is noise
+    rows = [
+        (i, float(i % 2), 0.9 if i % 2 else 0.1, (i * 7 % 10) / 10.0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, y double, x1 double, x2 double")
+    return df.repartition(n_parts) if n_parts > 1 else df
+
+
+def test_training_learns_separable_toy(spark):
+    feats = standardize(_toy(spark), ["x1", "x2"])
+    w = logreg_train(feats, ["x1", "x2"], "y", iterations=8, lr=4.0)
+    assert len(w) == 3
+    # x1 carries the signal: its weight dominates the noise feature
+    assert w[1] > 0.0
+    assert abs(w[1]) > abs(w[2]) * 5
+    p = logreg_score(["x1", "x2"], w)
+    acc = (
+        feats.select(
+            ((p >= 0.5).cast("int") == F.col("y").cast("int"))
+            .cast("int")
+            .alias("ok")
+        )
+        .agg(F.avg("ok"))
+        .first()[0]
+    )
+    assert acc == 1.0
+
+
+def test_training_is_partition_invariant(spark):
+    """Decimal gradient sums are order-independent: the trained weights
+    must be bit-identical whatever the input partitioning."""
+    w1 = logreg_train(
+        standardize(_toy(spark, 1), ["x1", "x2"]),
+        ["x1", "x2"], "y", iterations=4, lr=2.0,
+    )
+    w7 = logreg_train(
+        standardize(_toy(spark, 7), ["x1", "x2"]),
+        ["x1", "x2"], "y", iterations=4, lr=2.0,
+    )
+    assert w1 == w7
+
+
+def test_standardize_moments(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,)], "x double"
+    )
+    out = standardize(df, ["x"]).select("x").orderBy("x").collect()
+    got = [r["x"] for r in out]
+    # mean 2.5, population std sqrt(1.25) rounded to 6 = 1.118034
+    exp = [round((v - 2.5) / 1.118034, 6) for v in (1.0, 2.0, 3.0, 4.0)]
+    assert got == sorted(exp)
+
+
+def test_standardize_zero_variance_column(spark):
+    df = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    got = [r["x"] for r in standardize(df, ["x"]).collect()]
+    assert got == [0.0, 0.0]
+
+
+def test_quality_classifier_query_distills_teacher(spark):
+    """End-to-end on real sf0.001 docs: per-doc scores spread away from
+    0.5 and the student reproduces the teacher rule on most docs."""
+    from nashville_etl_service_backup_spark.queries.llmdata import (
+        text_quality_classifier,
+    )
+
+    out = text_quality_classifier(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    assert set(out.columns) == {"doc_id", "label", "score", "pred"}
+    assert ((out["score"] >= 0.0) & (out["score"] <= 1.0)).all()
+    # pred is exactly the 0.5 threshold on score
+    assert ((out["score"] >= 0.5).astype(int) == out["pred"]).all()
+    assert (out["label"] == out["pred"]).mean() >= 0.9
