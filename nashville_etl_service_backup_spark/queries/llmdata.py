@@ -3591,8 +3591,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["text_quality_classifier"] = text_quality_classifier
 
 
-def _qc_oracle() -> str:
+def _qc_oracle(with_eval: bool = False) -> str:
     from nashville_etl_service_backup_spark.operators.ml import (
+        classifier_eval_oracle_sql,
         logreg_oracle_ctes,
         logreg_oracle_score_sql,
     )
@@ -3632,6 +3633,15 @@ def _qc_oracle() -> str:
     fcols = ["x1", "x2", "x3"]
     train_ctes, w_final = logreg_oracle_ctes(fcols, "y", iterations=8, lr=4.0)
     p = logreg_oracle_score_sql(fcols, w_final)
+    scored_sel = f"""SELECT f.doc_id, CAST(f.y AS INT) AS label,
+  ROUND({p}, 6) AS score,
+  CASE WHEN {p} >= 0.5 THEN 1 ELSE 0 END AS pred
+FROM f, {w_final} w"""
+    tail = (
+        f"\n{scored_sel}"
+        if not with_eval
+        else f",\nscored AS ({scored_sel}),\n{classifier_eval_oracle_sql('scored')}"
+    )
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS_O} AS tk FROM documents),
 raw AS (SELECT doc_id,
@@ -3649,12 +3659,28 @@ f AS (SELECT raw.doc_id, raw.y,
   {zscore('x2')},
   {zscore('x3')}
  FROM raw, st),
-{train_ctes}
-SELECT f.doc_id, CAST(f.y AS INT) AS label,
-  ROUND({p}, 6) AS score,
-  CASE WHEN {p} >= 0.5 THEN 1 ELSE 0 END AS pred
-FROM f, {w_final} w
+{train_ctes}{tail}
 """
 
 
 ORACLES["text_quality_classifier"] = _qc_oracle()
+
+
+def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation metrics for the trained quality classifier
+    (operators/ml.classifier_eval): accuracy, histogram-pair ROC-AUC
+    (no global per-row sort — the Mann–Whitney statistic over the
+    distinct-score histogram), and Brier score, all exact-integer /
+    decimal-sum deterministic. The model-quality gate a curation
+    pipeline runs before trusting a classifier to filter 100 TB."""
+    from nashville_etl_service_backup_spark.operators import track_persist
+    from nashville_etl_service_backup_spark.operators.ml import (
+        classifier_eval,
+    )
+
+    scored = track_persist(text_quality_classifier(spark, sf_dir))
+    return classifier_eval(scored)
+
+
+QUERIES["text_classifier_eval"] = text_classifier_eval
+ORACLES["text_classifier_eval"] = _qc_oracle(with_eval=True)

@@ -87,3 +87,46 @@ def test_quality_classifier_query_distills_teacher(spark):
     # pred is exactly the 0.5 threshold on score
     assert ((out["score"] >= 0.5).astype(int) == out["pred"]).all()
     assert (out["label"] == out["pred"]).mean() >= 0.9
+
+
+def test_classifier_eval_auc_matches_pair_counting(spark):
+    """AUC from the score histogram equals the brute-force pair count,
+    including half-credit ties."""
+    from itertools import product
+
+    from nashville_etl_service_backup_spark.operators.ml import (
+        classifier_eval,
+    )
+
+    rows = [
+        (1, 0.9, 1), (1, 0.7, 1), (1, 0.4, 0), (0, 0.7, 1),
+        (0, 0.3, 0), (0, 0.2, 0), (0, 0.4, 0), (1, 0.2, 0),
+    ]
+    df = spark.createDataFrame(rows, "label int, score double, pred int")
+    got = classifier_eval(df).first()
+    pos = [s for y, s, _ in rows if y == 1]
+    neg = [s for y, s, _ in rows if y == 0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in product(pos, neg)
+    )
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert got["auc"] == round(wins / (len(pos) * len(neg)), 6)
+    acc = sum((s >= 0.5) == (y == 1) for y, s, _ in rows) / len(rows)
+    # pred column is (score >= 0.5) in this fixture
+    assert got["acc"] == round(acc, 6)
+
+
+def test_classifier_eval_is_partition_invariant(spark):
+    from nashville_etl_service_backup_spark.operators.ml import (
+        classifier_eval,
+    )
+
+    rows = [
+        (i % 3 == 0 and 1 or 0, ((i * 13) % 50) / 50.0, i % 2)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "label int, score double, pred int")
+    a = classifier_eval(df.coalesce(1)).first()
+    b = classifier_eval(df.repartition(11)).first()
+    assert a == b
