@@ -75,6 +75,7 @@ HEADLINE = [
     "text_alpha_mixture",
     "text_dsir_sample",
     "text_quality_classifier",
+    "text_quality_tree",
     "text_snapshot_delta",
     "hybrid_search_rrf",
     "text_html_extract",

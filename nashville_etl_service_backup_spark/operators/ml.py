@@ -323,3 +323,232 @@ met AS (SELECT
 SELECT np AS n_pos, nn AS n_neg, acc,
   ROUND(CAST(s2 AS DOUBLE)/(2.0*np*nn), 6) AS auc, brier
 FROM tot, met"""
+
+
+# ---------------------------------------------------------------------------
+# Decision-tree induction (histogram splits), the second trainer family:
+# distributed split search the way histogram-based GBMs do it (LightGBM,
+# Ke et al. 2017) — candidate thresholds are the round-2 feature bins, so
+# the per-node search is ONE combinable (feature, bin) count aggregate +
+# a cumulative window over the tiny aggregated histogram, never a
+# per-row sort. Node choice is deterministic: weighted-Gini score
+# rounded to 12, ties broken by (feature, threshold); the SQL oracle
+# replays the identical search per node (depth fixed, so the recursion
+# unrolls into CTEs like the GD rounds).
+# ---------------------------------------------------------------------------
+
+GINI_SCALE = 12
+TREE_FALLBACK_THR = 1e9  # pure/degenerate node: everything goes left
+TREE_FALLBACK_SCORE = 2.0  # > max weighted Gini (0.5): never beats a real split
+
+
+def _split_candidates(
+    feats: DataFrame, feature_cols: list[str], label_col: str
+) -> DataFrame:
+    """(f, v, score) for every non-degenerate binned split of this
+    node's rows: one shuffle to the (feature, bin) histogram, then
+    cumulative/total windows over the histogram frame."""
+    from pyspark.sql.window import Window
+
+    melt = feats.select(
+        F.col(label_col).cast("long").alias("y"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("f"), F.col(c).alias("v")
+                    )
+                    for c in feature_cols
+                ]
+            )
+        ).alias("e"),
+    ).select("y", "e.f", "e.v")
+    hist = melt.groupBy("f", "v").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("p")
+    )
+    wc = (
+        Window.partitionBy("f")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("f")
+    cum = hist.select(
+        "f",
+        "v",
+        F.sum("n").over(wc).alias("nle"),
+        F.sum("p").over(wc).alias("ple"),
+        F.sum("n").over(wt).alias("nt"),
+        F.sum("p").over(wt).alias("pt"),
+    )
+    nle, ple = F.col("nle"), F.col("ple")
+    nt, pt = F.col("nt"), F.col("pt")
+    ple_d = ple.cast("double")
+    nl_m_pl = (nle - ple).cast("double")
+    gle = (
+        F.lit(1.0)
+        - (ple_d / nle) * (ple_d / nle)
+        - (nl_m_pl / nle) * (nl_m_pl / nle)
+    )
+    pgt_d = (pt - ple).cast("double")
+    ngt = nt - nle
+    ng_m_pg = ((nt - nle) - (pt - ple)).cast("double")
+    ggt = (
+        F.lit(1.0)
+        - (pgt_d / ngt) * (pgt_d / ngt)
+        - (ng_m_pg / ngt) * (ng_m_pg / ngt)
+    )
+    score = F.round((nle * gle + (nt - nle) * ggt) / nt, GINI_SCALE)
+    return cum.filter((nle > 0) & (nle < nt)).select(
+        "f", "v", score.alias("score")
+    )
+
+
+def _best_split(
+    feats: DataFrame, feature_cols: list[str], label_col: str
+) -> tuple[str, float]:
+    rows = (
+        _split_candidates(feats, feature_cols, label_col)
+        .orderBy("score", "f", "v")
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return feature_cols[0], TREE_FALLBACK_THR
+    return rows[0]["f"], float(rows[0]["v"])
+
+
+def tree_train(
+    feats: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    depth: int = 2,
+) -> dict:
+    """Recursive histogram-split search to fixed `depth`; returns the
+    split structure {feature, thr, left?, right?}. Only (feature,
+    threshold) scalars visit the driver — the model artifact. Caller
+    should persist `feats` (each node filters it again)."""
+    f, v = _best_split(feats, feature_cols, label_col)
+    node: dict = {"feature": f, "thr": v}
+    if depth > 1:
+        cond = F.col(f) <= F.lit(v)
+        node["left"] = tree_train(
+            feats.filter(cond), feature_cols, label_col, depth - 1
+        )
+        node["right"] = tree_train(
+            feats.filter(~cond), feature_cols, label_col, depth - 1
+        )
+    return node
+
+
+def tree_path(node: dict) -> Column:
+    """'L'/'R'-string path column for each row under the trained tree."""
+    here = F.when(
+        F.col(node["feature"]) <= F.lit(node["thr"]), F.lit("L")
+    ).otherwise(F.lit("R"))
+    if "left" not in node:
+        return here
+    return F.concat(
+        here,
+        F.when(
+            F.col(node["feature"]) <= F.lit(node["thr"]),
+            tree_path(node["left"]),
+        ).otherwise(tree_path(node["right"])),
+    )
+
+
+def tree_leaf_predictions(
+    pathed: DataFrame, label_col: str = "y", path_col: str = "path"
+) -> DataFrame:
+    """(path, leaf_n, leaf_p, pred): per-leaf majority vote with exact
+    integer counts (pred = 1 iff 2·pos > n; leaf_p = round(pos/n, 6))."""
+    y = F.col(label_col).cast("long")
+    return pathed.groupBy(path_col).agg(
+        F.count(F.lit(1)).alias("leaf_n"), F.sum(y).alias("_pos")
+    ).select(
+        path_col,
+        "leaf_n",
+        F.round(
+            F.col("_pos").cast("double") / F.col("leaf_n"), 6
+        ).alias("leaf_p"),
+        F.when(
+            F.lit(2) * F.col("_pos") > F.col("leaf_n"), 1
+        ).otherwise(0).alias("pred"),
+    )
+
+
+def _node_sql(
+    prefix: str, source: str, fcols: list[str], label: str
+) -> str:
+    """CTEs computing {prefix}best (f, v) for one node's rows."""
+    melts = " UNION ALL ".join(
+        f"SELECT {label} AS y, '{c}' AS f, {c} AS v FROM {source}"
+        for c in fcols
+    )
+    gle = (
+        "1.0 - (CAST(ple AS DOUBLE)/nle)*(CAST(ple AS DOUBLE)/nle)"
+        " - (CAST(nle - ple AS DOUBLE)/nle)*(CAST(nle - ple AS DOUBLE)/nle)"
+    )
+    ggt = (
+        "1.0 - (CAST(pt - ple AS DOUBLE)/(nt - nle))"
+        "*(CAST(pt - ple AS DOUBLE)/(nt - nle))"
+        " - (CAST((nt - nle) - (pt - ple) AS DOUBLE)/(nt - nle))"
+        "*(CAST((nt - nle) - (pt - ple) AS DOUBLE)/(nt - nle))"
+    )
+    return f"""{prefix}m AS ({melts}),
+{prefix}h AS (SELECT f, v, COUNT(*) AS n, SUM(y) AS p FROM {prefix}m
+  GROUP BY f, v),
+{prefix}c AS (SELECT f, v,
+  SUM(n) OVER (PARTITION BY f ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nle,
+  SUM(p) OVER (PARTITION BY f ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ple,
+  SUM(n) OVER (PARTITION BY f) AS nt,
+  SUM(p) OVER (PARTITION BY f) AS pt
+  FROM {prefix}h),
+{prefix}cand AS (SELECT f, v,
+  ROUND((nle*({gle}) + (nt - nle)*({ggt}))/nt, {GINI_SCALE}) AS score
+  FROM {prefix}c WHERE nle > 0 AND nle < nt),
+{prefix}best AS (SELECT f, v FROM (
+    SELECT f, v, score FROM {prefix}cand
+    UNION ALL SELECT '{fcols[0]}', {TREE_FALLBACK_THR!r},
+      {TREE_FALLBACK_SCORE!r}
+  ) ORDER BY score, f, v LIMIT 1)"""
+
+
+def _pick_sql(alias: str, fcols: list[str]) -> str:
+    """Value of `alias`'s chosen feature for the current row."""
+    arms = " ".join(f"WHEN '{c}' THEN {c}" for c in fcols)
+    return f"CASE {alias}.f {arms} END"
+
+
+def tree_oracle_sql(
+    fcols: list[str], label: str = "y", raw_cte: str = "raw"
+) -> str:
+    """DuckDB twin of tree_train(depth=2) + tree_path + leaf vote over a
+    prior CTE `raw_cte` exposing doc_id, `label`, and `fcols` (round-2
+    bins). Appended after a WITH chain; starts with CTE definitions and
+    ends with the per-doc SELECT."""
+    root = _node_sql("r0", raw_cte, fcols, label)
+    side = (
+        f"side1 AS (SELECT {raw_cte}.*, CASE WHEN"
+        f" ({_pick_sql('b', fcols)}) <= b.v THEN 'L' ELSE 'R' END AS s1"
+        f" FROM {raw_cte}, r0best b)"
+    )
+    lsrc = "(SELECT * FROM side1 WHERE s1 = 'L')"
+    rsrc = "(SELECT * FROM side1 WHERE s1 = 'R')"
+    left = _node_sql("l1", lsrc, fcols, label)
+    right = _node_sql("r1", rsrc, fcols, label)
+    paths = f"""paths AS (SELECT side1.doc_id, side1.{label} AS y_, s1 ||
+  CASE WHEN s1 = 'L'
+    THEN CASE WHEN ({_pick_sql('lb', fcols)}) <= lb.v THEN 'L' ELSE 'R' END
+    ELSE CASE WHEN ({_pick_sql('rb', fcols)}) <= rb.v THEN 'L' ELSE 'R' END
+  END AS path
+  FROM side1, l1best lb, r1best rb),
+leaves AS (SELECT path, COUNT(*) AS leaf_n, SUM(y_) AS pos FROM paths
+  GROUP BY path)"""
+    final = """SELECT paths.doc_id, CAST(paths.y_ AS INT) AS label,
+  paths.path, leaves.leaf_n,
+  ROUND(CAST(leaves.pos AS DOUBLE)/leaves.leaf_n, 6) AS leaf_p,
+  CASE WHEN 2*leaves.pos > leaves.leaf_n THEN 1 ELSE 0 END AS pred
+FROM paths JOIN leaves ON paths.path = leaves.path"""
+    return f"{root},\n{side},\n{left},\n{right},\n{paths}\n{final}"

@@ -3684,3 +3684,89 @@ def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["text_classifier_eval"] = text_classifier_eval
 ORACLES["text_classifier_eval"] = _qc_oracle(with_eval=True)
+
+
+def text_quality_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 decision tree induced in-engine (operators/ml.tree_train)
+    on the quality-teacher label over round-2 histogram bins of the
+    three quality features — the LightGBM-style distributed split
+    search: per node one (feature, bin) count shuffle + windows over the
+    tiny histogram; only (feature, threshold) scalars reach the driver.
+    Output: every doc with its leaf path, leaf size, leaf positive rate
+    and majority-vote prediction; the oracle replays the identical
+    3-node search unrolled in CTEs and hash-matches bitwise."""
+    from nashville_etl_service_backup_spark.operators import track_persist
+    from nashville_etl_service_backup_spark.operators.ml import (
+        tree_leaf_predictions,
+        tree_path,
+        tree_train,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    qf = quality_features(F.col("text"))
+    nt_d = qf["n_tokens"].cast("double")
+    r6 = docs.select(
+        "doc_id",
+        F.when(qf["quality"] >= 0.64, 1).otherwise(0).alias("y"),
+        qf["uniq_ratio"].alias("u6"),
+        qf["stop_ratio"].alias("s6"),
+        F.round(F.least(nt_d / F.lit(300.0), F.lit(1.0)), 6).alias("l6"),
+    )
+    raw = r6.select(
+        "doc_id",
+        "y",
+        F.round(F.col("u6"), 2).alias("x1"),
+        F.round(F.col("s6"), 2).alias("x2"),
+        F.round(F.col("l6"), 2).alias("x3"),
+    )
+    fcols = ["x1", "x2", "x3"]
+    feats = track_persist(raw)
+    tree = tree_train(feats, fcols, "y", depth=2)
+    pathed = feats.withColumn("path", tree_path(tree))
+    leaves = tree_leaf_predictions(pathed, "y", "path")
+    return pathed.join(F.broadcast(leaves), "path").select(
+        "doc_id",
+        F.col("y").cast("int").alias("label"),
+        "path",
+        "leaf_n",
+        "leaf_p",
+        "pred",
+    )
+
+
+QUERIES["text_quality_tree"] = text_quality_tree
+
+
+def _tree_oracle() -> str:
+    from nashville_etl_service_backup_spark.operators.ml import (
+        tree_oracle_sql,
+    )
+
+    uniq = (
+        "CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE)"
+        "/len(tk) ELSE 0.0 END"
+    )
+    stop = (
+        "CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,"
+        " x -> x IN ('the','a','and','of','to'))) AS DOUBLE)/len(tk)"
+        " ELSE 0.0 END"
+    )
+    lensig = "LEAST(len(tk)/300.0, 1.0)"
+    quality = f"ROUND(0.5*({uniq}) + 0.3*(1.0 - {stop}) + 0.2*{lensig}, 6)"
+    tree = tree_oracle_sql(["x1", "x2", "x3"], label="y", raw_cte="raw")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_O} AS tk FROM documents),
+rawq AS (SELECT doc_id,
+  CASE WHEN {quality} >= 0.64 THEN 1 ELSE 0 END AS y,
+  ROUND({uniq}, 6) AS u6,
+  ROUND({stop}, 6) AS s6,
+  ROUND(CAST({lensig} AS DOUBLE), 6) AS l6
+ FROM t),
+raw AS (SELECT doc_id, y,
+  ROUND(u6, 2) AS x1, ROUND(s6, 2) AS x2, ROUND(l6, 2) AS x3
+ FROM rawq),
+{tree}
+"""
+
+
+ORACLES["text_quality_tree"] = _tree_oracle()

@@ -130,3 +130,63 @@ def test_classifier_eval_is_partition_invariant(spark):
     a = classifier_eval(df.coalesce(1)).first()
     b = classifier_eval(df.repartition(11)).first()
     assert a == b
+
+
+def test_tree_root_picks_separating_feature(spark):
+    from nashville_etl_service_backup_spark.operators.ml import (
+        tree_leaf_predictions,
+        tree_path,
+        tree_train,
+    )
+
+    # y is exactly (x1 <= 0.3); x2 is uninformative constant
+    rows = [
+        (i, 1 if i % 5 < 2 else 0,
+         0.1 if i % 5 < 2 else 0.7, 0.5)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, y int, x1 double, x2 double")
+    tree = tree_train(df, ["x1", "x2"], "y", depth=2)
+    assert tree["feature"] == "x1"
+    assert tree["thr"] == 0.1
+    pathed = df.withColumn("path", tree_path(tree))
+    leaves = {
+        r["path"]: r["pred"]
+        for r in tree_leaf_predictions(pathed).collect()
+    }
+    # left leaf pure-positive, right pure-negative
+    assert all(p == 1 for path, p in leaves.items() if path.startswith("L"))
+    assert all(p == 0 for path, p in leaves.items() if path.startswith("R"))
+
+
+def test_tree_train_partition_invariant(spark):
+    from nashville_etl_service_backup_spark.operators.ml import tree_train
+
+    rows = [
+        (i, i % 3 == 0 and 1 or 0, ((i * 7) % 10) / 10.0,
+         ((i * 3) % 4) / 4.0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, y int, x1 double, x2 double")
+    t1 = tree_train(df.coalesce(1), ["x1", "x2"], "y", depth=2)
+    t2 = tree_train(df.repartition(13), ["x1", "x2"], "y", depth=2)
+    assert t1 == t2
+
+
+def test_tree_degenerate_node_falls_back(spark):
+    from nashville_etl_service_backup_spark.operators.ml import (
+        TREE_FALLBACK_THR,
+        tree_path,
+        tree_train,
+    )
+
+    # constant features: no valid split anywhere -> fallback thresholds,
+    # every row goes left at every level
+    df = spark.createDataFrame(
+        [(i, i % 2, 0.5, 0.5) for i in range(20)],
+        "id long, y int, x1 double, x2 double",
+    )
+    tree = tree_train(df, ["x1", "x2"], "y", depth=2)
+    assert tree["thr"] == TREE_FALLBACK_THR
+    paths = {r["path"] for r in df.withColumn("path", tree_path(tree)).collect()}
+    assert paths == {"LL"}
