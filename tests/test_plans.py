@@ -320,3 +320,39 @@ def test_snapshot_delta_single_equi_join(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
+
+
+def test_quality_classifier_trains_without_wide_shuffle(spark):
+    """GD training/scoring plan: standardization stats ride a broadcast
+    1-row join, no FlatMapGroupsInPandas, no CartesianProduct, and the
+    document rows never hash-shuffle (the only exchanges are the
+    single-partition aggregate trees)."""
+    plan = plan_of(spark, "text_quality_classifier")
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats frame
+    assert "hashpartitioning" not in plan  # doc rows never key-shuffle
+
+
+def test_quality_tree_single_histogram_shuffle_per_node(spark):
+    """Tree scoring plan: leaf stats broadcast back; no cartesian, no
+    pandas stages — split search happened at build time over the
+    (feature,bin) histogram only."""
+    plan = plan_of(spark, "text_quality_tree")
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # 4-row leaf table join-back
+
+
+def test_classifier_eval_windows_over_histogram_only(spark):
+    """AUC plan: the rank window runs over the distinct-score histogram
+    (post-aggregate), never the raw rows — the Sort feeding the Window
+    consumes an aggregate, and no per-row global sort appears."""
+    plan = plan_of(spark, "text_classifier_eval")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # the window's sort input is the grouped histogram, not raw docs:
+    # the aggregate must appear below the window in the plan tree
+    assert plan.index("HashAggregate") < plan.index("Window") or (
+        "SortAggregate" in plan
+    )
