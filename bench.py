@@ -76,6 +76,7 @@ HEADLINE = [
     "text_dsir_sample",
     "text_quality_classifier",
     "text_quality_tree",
+    "text_classifier_cv",
     "text_snapshot_delta",
     "hybrid_search_rrf",
     "text_html_extract",

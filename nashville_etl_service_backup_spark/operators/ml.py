@@ -168,41 +168,51 @@ def logreg_oracle_ctes(
     label: str,
     iterations: int = 8,
     lr: float = 4.0,
+    src: str = "f",
+    prefix: str = "",
 ) -> tuple[str, str]:
     """DuckDB twin of logreg_train: the GD loop unrolled as CTEs over a
-    prior CTE `f` exposing `feature_names` + `label`. Returns
+    prior CTE `src` exposing `feature_names` + `label`. Returns
     (cte_sql_fragment, final_weights_cte_name); the caller appends a
-    scoring SELECT that cross-joins the final weights."""
+    scoring SELECT that cross-joins the final weights. `prefix`
+    namespaces the generated CTEs so several chains (e.g. CV folds)
+    coexist in one statement."""
     d = len(feature_names)
 
     def margin(w_alias: str) -> str:
         terms = " + ".join(
-            f"{w_alias}.w{j + 1}*f.{c}" for j, c in enumerate(feature_names)
+            f"{w_alias}.w{j + 1}*{src}.{c}"
+            for j, c in enumerate(feature_names)
         )
         return f"ROUND({w_alias}.w0 + {terms}, {Z_SCALE})"
 
     def sigmoid(zsql: str) -> str:
         return f"LEAST(GREATEST(0.25*{zsql} + 0.5, 0.0), 1.0)"
 
+    # MATERIALIZED on the iteration state: w{t} is referenced twice per
+    # round (by g{t} and w{t+1}), so plain CTE inlining would expand the
+    # chain 2^iterations times (the BPE-merge oracle's device).
     parts = [
-        "nn AS (SELECT COUNT(*) AS n FROM f)",
-        "w0 AS (SELECT "
+        f"{prefix}nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM {src})",
+        f"{prefix}w0 AS MATERIALIZED (SELECT "
         + ", ".join(f"0.0 AS w{j}" for j in range(d + 1))
         + ")",
     ]
     for t in range(iterations):
         p = sigmoid(margin("w"))
         gsums = [
-            f"SUM(CAST(ROUND({p} - f.{label}, {GRAD_SCALE})"
+            f"SUM(CAST(ROUND({p} - {src}.{label}, {GRAD_SCALE})"
             f" AS DECIMAL(38,12))) AS g0"
         ]
         for j, c in enumerate(feature_names):
             gsums.append(
-                f"SUM(CAST(ROUND(({p} - f.{label})*f.{c}, {GRAD_SCALE})"
-                f" AS DECIMAL(38,12))) AS g{j + 1}"
+                f"SUM(CAST(ROUND(({p} - {src}.{label})*{src}.{c},"
+                f" {GRAD_SCALE}) AS DECIMAL(38,12))) AS g{j + 1}"
             )
         parts.append(
-            f"g{t} AS (SELECT " + ",\n  ".join(gsums) + f" FROM f, w{t} w)"
+            f"{prefix}g{t} AS (SELECT "
+            + ",\n  ".join(gsums)
+            + f" FROM {src}, {prefix}w{t} w)"
         )
         wupd = [
             f"ROUND(w.w{j} - {lr!r}*(CAST(g.g{j} AS DOUBLE)"
@@ -210,20 +220,20 @@ def logreg_oracle_ctes(
             for j in range(d + 1)
         ]
         parts.append(
-            f"w{t + 1} AS (SELECT "
+            f"{prefix}w{t + 1} AS MATERIALIZED (SELECT "
             + ", ".join(wupd)
-            + f" FROM w{t} w, g{t} g, nn)"
+            + f" FROM {prefix}w{t} w, {prefix}g{t} g, {prefix}nn nn)"
         )
-    return ",\n".join(parts), f"w{iterations}"
+    return ",\n".join(parts), f"{prefix}w{iterations}"
 
 
 def logreg_oracle_score_sql(
-    feature_names: list[str], w_cte: str
+    feature_names: list[str], w_cte: str, src: str = "f"
 ) -> str:
-    """Scoring expression over `f` cross-joined with the final-weights
+    """Scoring expression over `src` cross-joined with the final-weights
     CTE aliased `w` — textually identical math to logreg_score."""
     terms = " + ".join(
-        f"w.w{j + 1}*f.{c}" for j, c in enumerate(feature_names)
+        f"w.w{j + 1}*{src}.{c}" for j, c in enumerate(feature_names)
     )
     z = f"ROUND(w.w0 + {terms}, {Z_SCALE})"
     return f"LEAST(GREATEST(0.25*{z} + 0.5, 0.0), 1.0)"
@@ -301,28 +311,36 @@ def classifier_eval(
     )
 
 
-def classifier_eval_oracle_sql(scored_cte: str = "scored") -> str:
+def classifier_eval_oracle_sql(
+    scored_cte: str = "scored", prefix: str = "", as_cte: bool = False
+) -> str:
     """DuckDB twin of classifier_eval over a prior CTE with columns
-    (label, score, pred)."""
-    return f"""
-dist AS (SELECT score, SUM(label) AS pos_g,
+    (label, score, pred). With as_cte=True the metrics row is emitted
+    as the CTE `{prefix}metrics` (composition, e.g. per CV fold)
+    instead of a terminal SELECT; `prefix` namespaces the CTEs."""
+    body = f"""
+{prefix}dist AS (SELECT score, SUM(label) AS pos_g,
   COUNT(*) - SUM(label) AS neg_g FROM {scored_cte} GROUP BY score),
-cum AS (SELECT score, pos_g, neg_g,
+{prefix}cum AS (SELECT score, pos_g, neg_g,
   COALESCE(SUM(neg_g) OVER (ORDER BY score
     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-  FROM dist),
-tot AS (SELECT SUM(pos_g) AS np, SUM(neg_g) AS nn,
-  SUM(CAST(2*pos_g*cb + pos_g*neg_g AS DECIMAL(38,0))) AS s2 FROM cum),
-met AS (SELECT
+  FROM {prefix}dist),
+{prefix}tot AS (SELECT SUM(pos_g) AS np, SUM(neg_g) AS nn,
+  SUM(CAST(2*pos_g*cb + pos_g*neg_g AS DECIMAL(38,0))) AS s2
+  FROM {prefix}cum),
+{prefix}met AS (SELECT
   ROUND(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
         /CAST(COUNT(*) AS DOUBLE), 6) AS acc,
   ROUND(CAST(SUM(CAST(ROUND((score - label)*(score - label), 12)
                       AS DECIMAL(38,12))) AS DOUBLE)
         /CAST(COUNT(*) AS DOUBLE), 6) AS brier
-  FROM {scored_cte})
-SELECT np AS n_pos, nn AS n_neg, acc,
+  FROM {scored_cte})"""
+    final = f"""SELECT np AS n_pos, nn AS n_neg, acc,
   ROUND(CAST(s2 AS DOUBLE)/(2.0*np*nn), 6) AS auc, brier
-FROM tot, met"""
+FROM {prefix}tot, {prefix}met"""
+    if as_cte:
+        return f"{body},\n{prefix}metrics AS ({final})"
+    return f"{body}\n{final}"
 
 
 # ---------------------------------------------------------------------------
@@ -552,3 +570,55 @@ leaves AS (SELECT path, COUNT(*) AS leaf_n, SUM(y_) AS pos FROM paths
   CASE WHEN 2*leaves.pos > leaves.leaf_n THEN 1 ELSE 0 END AS pred
 FROM paths JOIN leaves ON paths.path = leaves.path"""
     return f"{root},\n{side},\n{left},\n{right},\n{paths}\n{final}"
+
+
+def logreg_cv(
+    feats: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    id_col: str,
+    k: int = 3,
+    iterations: int = 8,
+    lr: float = 4.0,
+) -> DataFrame:
+    """K-fold cross-validation of the GD classifier: md5 hash-bucket
+    folds (engine-portable, partition-invariant — the split_assign
+    device), per-fold training on the other folds, metrics on the HELD-
+    OUT fold only. Returns one row per fold: (fold, n_train, n_pos,
+    n_neg, acc, auc, brier) — the out-of-sample evidence a pipeline
+    needs before trusting a filter model at 100 TB. Features are
+    standardized by the caller over the full frame (fit-time
+    convention pinned in the oracle). K small (folds are k full
+    training runs); each run is `iterations` scalar-output aggregates."""
+    from functools import reduce
+
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        hash_bucket,
+    )
+
+    folds = feats.withColumn("_fold", hash_bucket(F.col(id_col), k))
+    outs = []
+    for i in range(k):
+        train = folds.filter(F.col("_fold") != i)
+        test = folds.filter(F.col("_fold") == i)
+        w = logreg_train(train, feature_cols, label_col, iterations, lr)
+        p = logreg_score(feature_cols, w)
+        scored = test.select(
+            F.col(label_col).cast("int").alias("label"),
+            F.round(p, 6).alias("score"),
+            (p >= 0.5).cast("int").alias("pred"),
+        )
+        m = classifier_eval(scored)
+        ntr = train.agg(F.count(F.lit(1)).alias("n_train"))
+        outs.append(
+            m.crossJoin(F.broadcast(ntr)).select(
+                F.lit(i).alias("fold"),
+                "n_train",
+                "n_pos",
+                "n_neg",
+                "acc",
+                "auc",
+                "brier",
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), outs)

