@@ -77,6 +77,7 @@ HEADLINE = [
     "text_quality_classifier",
     "text_quality_tree",
     "text_classifier_cv",
+    "text_quality_gbm",
     "text_snapshot_delta",
     "hybrid_search_rrf",
     "text_html_extract",

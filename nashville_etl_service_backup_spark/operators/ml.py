@@ -622,3 +622,200 @@ def logreg_cv(
             )
         )
     return reduce(lambda a, b: a.unionAll(b), outs)
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted stumps (Friedman 2001), the third trainer family:
+# squared-loss boosting where each round fits a depth-1 tree to the
+# current residuals via the same histogram split search as tree_train —
+# impurity is variance reduction (SSE from decimal-exact per-bin
+# residual moments n/Σr/Σr², so the split choice is partition- and
+# engine-invariant), and the leaf deltas are shrunken mean residuals
+# read off the winning candidate row itself (no extra aggregate).
+# Fixed round count ⇒ the whole ensemble unrolls into SQL CTEs.
+# ---------------------------------------------------------------------------
+
+GBM_SHRINKAGE = 0.5
+GBM_FALLBACK_SCORE = 1e300
+
+
+def _best_stump_reg(
+    feats: DataFrame, feature_cols: list[str], resid_col: str
+) -> tuple[str, float, float, float]:
+    """(feature, threshold, delta_left, delta_right) minimizing total
+    SSE over the binned splits; fallback no-op stump when degenerate."""
+    from pyspark.sql.window import Window
+
+    rd = F.col("r").cast("decimal(18,6)")
+    melt = feats.select(
+        F.col(resid_col).alias("r"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("f"), F.col(c).alias("v"))
+                    for c in feature_cols
+                ]
+            )
+        ).alias("e"),
+    ).select("r", "e.f", "e.v")
+    hist = melt.groupBy("f", "v").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rd).alias("s"),
+        F.sum(rd * rd).alias("ss"),
+    )
+    wc = (
+        Window.partitionBy("f")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("f")
+    cum = hist.select(
+        "f",
+        "v",
+        F.sum("n").over(wc).alias("nle"),
+        F.sum("s").over(wc).alias("sle"),
+        F.sum("ss").over(wc).alias("ssle"),
+        F.sum("n").over(wt).alias("nt"),
+        F.sum("s").over(wt).alias("st"),
+        F.sum("ss").over(wt).alias("sst"),
+    )
+    nle, nt = F.col("nle"), F.col("nt")
+    sle_d = F.col("sle").cast("double")
+    sgt_d = (F.col("st") - F.col("sle")).cast("double")
+    score = F.round(
+        (F.col("ssle").cast("double") - sle_d * sle_d / nle)
+        + (
+            (F.col("sst") - F.col("ssle")).cast("double")
+            - sgt_d * sgt_d / (nt - nle)
+        ),
+        GINI_SCALE,
+    )
+    dl = F.round(F.lit(GBM_SHRINKAGE) * (sle_d / nle), 6)
+    dr = F.round(F.lit(GBM_SHRINKAGE) * (sgt_d / (nt - nle)), 6)
+    rows = (
+        cum.filter((nle > 0) & (nle < nt))
+        .select("f", "v", score.alias("score"), dl.alias("dl"), dr.alias("dr"))
+        .orderBy("score", "f", "v")
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return feature_cols[0], TREE_FALLBACK_THR, 0.0, 0.0
+    r = rows[0]
+    return r["f"], float(r["v"]), float(r["dl"]), float(r["dr"])
+
+
+def gbm_train(
+    feats: DataFrame,
+    feature_cols: list[str],
+    target_col: str,
+    rounds: int = 3,
+) -> tuple[DataFrame, dict]:
+    """Boosted-stump fit: returns (frame with `pred` column, model).
+    Base prediction is the decimal-exact target mean; each round adds a
+    shrunken stump on the round-6 residuals. Per round: one (feature,
+    bin) moment shuffle + windows over the tiny histogram; only the
+    4-scalar stump visits the driver. Caller persists `feats`."""
+    q = F.col(target_col)
+    base = feats.agg(
+        F.round(
+            F.sum(q.cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("f0")
+    ).first()["f0"]
+    model: dict = {"base": float(base), "stumps": []}
+    cur = feats.withColumn("pred", F.lit(float(base)))
+    for _ in range(rounds):
+        cur = cur.withColumn("_r", F.round(q - F.col("pred"), 6))
+        f, v, dl, dr = _best_stump_reg(cur, feature_cols, "_r")
+        model["stumps"].append({"feature": f, "thr": v, "dl": dl, "dr": dr})
+        cur = cur.withColumn(
+            "pred",
+            F.round(
+                F.col("pred")
+                + F.when(
+                    F.col(f) <= F.lit(v), F.lit(dl)
+                ).otherwise(F.lit(dr)),
+                6,
+            ),
+        )
+    return cur.drop("_r"), model
+
+
+def gbm_oracle_sql(
+    fcols: list[str],
+    target: str = "q",
+    raw_cte: str = "raw",
+    rounds: int = 3,
+) -> str:
+    """DuckDB twin of gbm_train + per-doc output over a prior CTE
+    exposing doc_id, `target`, and `fcols`. Ends with the per-doc
+    SELECT (doc_id, q, pred, abs_err)."""
+    parts = [
+        f"b AS MATERIALIZED (SELECT"
+        f" ROUND(CAST(SUM(CAST({target} AS DECIMAL(18,6))) AS DOUBLE)"
+        f"/CAST(COUNT(*) AS DOUBLE), 6) AS f0 FROM {raw_cte})",
+        f"p0 AS MATERIALIZED (SELECT {raw_cte}.*, b.f0 AS pred"
+        f" FROM {raw_cte}, b)",
+    ]
+    for t in range(rounds):
+        melts = " UNION ALL ".join(
+            f"SELECT ROUND({target} - pred, 6) AS r, '{c}' AS f,"
+            f" {c} AS v FROM p{t}"
+            for c in fcols
+        )
+        score = (
+            "(CAST(ssle AS DOUBLE) - CAST(sle AS DOUBLE)"
+            "*CAST(sle AS DOUBLE)/nle)"
+            " + (CAST(sst - ssle AS DOUBLE) - CAST(st - sle AS DOUBLE)"
+            "*CAST(st - sle AS DOUBLE)/(nt - nle))"
+        )
+        arms = " ".join(f"WHEN '{c}' THEN {c}" for c in fcols)
+        parts.append(f"t{t}m AS ({melts})")
+        parts.append(
+            f"t{t}h AS (SELECT f, v, COUNT(*) AS n,"
+            f" SUM(CAST(r AS DECIMAL(18,6))) AS s,"
+            f" SUM(CAST(r AS DECIMAL(18,6))*CAST(r AS DECIMAL(18,6))) AS ss"
+            f" FROM t{t}m GROUP BY f, v)"
+        )
+        parts.append(
+            f"""t{t}c AS (SELECT f, v,
+  SUM(n) OVER (PARTITION BY f ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nle,
+  SUM(s) OVER (PARTITION BY f ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sle,
+  SUM(ss) OVER (PARTITION BY f ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ssle,
+  SUM(n) OVER (PARTITION BY f) AS nt,
+  SUM(s) OVER (PARTITION BY f) AS st,
+  SUM(ss) OVER (PARTITION BY f) AS sst
+  FROM t{t}h)"""
+        )
+        parts.append(
+            f"t{t}cand AS (SELECT f, v,"
+            f" ROUND({score}, {GINI_SCALE}) AS score,"
+            f" ROUND({GBM_SHRINKAGE!r}*(CAST(sle AS DOUBLE)/nle), 6) AS dl,"
+            f" ROUND({GBM_SHRINKAGE!r}*(CAST(st - sle AS DOUBLE)"
+            f"/(nt - nle)), 6) AS dr"
+            f" FROM t{t}c WHERE nle > 0 AND nle < nt)"
+        )
+        parts.append(
+            f"t{t}best AS MATERIALIZED (SELECT f, v, dl, dr FROM ("
+            f"SELECT f, v, score, dl, dr FROM t{t}cand"
+            f" UNION ALL SELECT '{fcols[0]}', {TREE_FALLBACK_THR!r},"
+            f" {GBM_FALLBACK_SCORE!r}, 0.0, 0.0"
+            f") ORDER BY score, f, v LIMIT 1)"
+        )
+        cols = ", ".join(["doc_id", target] + fcols)
+        parts.append(
+            f"p{t + 1} AS MATERIALIZED (SELECT {cols},"
+            f" ROUND(pred + CASE WHEN (CASE bb.f {arms} END) <= bb.v"
+            f" THEN bb.dl ELSE bb.dr END, 6) AS pred"
+            f" FROM p{t}, t{t}best bb)"
+        )
+    final = (
+        f"SELECT doc_id, {target}, pred,"
+        f" ROUND(ABS({target} - pred), 6) AS abs_err FROM p{rounds}"
+    )
+    return ",\n".join(parts) + "\n" + final

@@ -3712,12 +3712,16 @@ def text_quality_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         qf["stop_ratio"].alias("s6"),
         F.round(F.least(nt_d / F.lit(300.0), F.lit(1.0)), 6).alias("l6"),
     )
+    # FLOOR(x·100) integer bins, NOT round(x, 2): round-6 features land
+    # exactly on .xx5 halves, where Spark (decimal-string HALF_UP) and
+    # DuckDB (binary value) round differently — floor of the shared
+    # binary product is bit-identical in both engines.
     raw = r6.select(
         "doc_id",
         "y",
-        F.round(F.col("u6"), 2).alias("x1"),
-        F.round(F.col("s6"), 2).alias("x2"),
-        F.round(F.col("l6"), 2).alias("x3"),
+        F.floor(F.col("u6") * F.lit(100.0)).alias("x1"),
+        F.floor(F.col("s6") * F.lit(100.0)).alias("x2"),
+        F.floor(F.col("l6") * F.lit(100.0)).alias("x3"),
     )
     fcols = ["x1", "x2", "x3"]
     feats = track_persist(raw)
@@ -3763,7 +3767,7 @@ rawq AS (SELECT doc_id,
   ROUND(CAST({lensig} AS DOUBLE), 6) AS l6
  FROM t),
 raw AS (SELECT doc_id, y,
-  ROUND(u6, 2) AS x1, ROUND(s6, 2) AS x2, ROUND(l6, 2) AS x3
+  CAST(FLOOR(u6*100.0) AS BIGINT) AS x1, CAST(FLOOR(s6*100.0) AS BIGINT) AS x2, CAST(FLOOR(l6*100.0) AS BIGINT) AS x3
  FROM rawq),
 {tree}
 """
@@ -3859,3 +3863,80 @@ def _cv_oracle(k: int = 3) -> str:
 
 
 ORACLES["text_classifier_cv"] = _cv_oracle()
+
+
+def text_quality_gbm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted stumps regressing the quality score
+    (operators/ml.gbm_train): 3 squared-loss boosting rounds, each
+    fitting a depth-1 tree to the round-6 residuals via the histogram
+    split search with variance-reduction impurity from decimal-exact
+    per-bin moments. Per doc: actual quality, boosted prediction,
+    absolute error. The oracle unrolls the 3 rounds (base mean → stump
+    → residual update) in materialized CTEs and hash-matches bitwise."""
+    from nashville_etl_service_backup_spark.operators import track_persist
+    from nashville_etl_service_backup_spark.operators.ml import gbm_train
+
+    docs = load(spark, sf_dir, "documents")
+    qf = quality_features(F.col("text"))
+    nt_d = qf["n_tokens"].cast("double")
+    r6 = docs.select(
+        "doc_id",
+        qf["quality"].alias("q"),
+        qf["uniq_ratio"].alias("u6"),
+        qf["stop_ratio"].alias("s6"),
+        F.round(F.least(nt_d / F.lit(300.0), F.lit(1.0)), 6).alias("l6"),
+    )
+    # FLOOR(x·100) bins — see text_quality_tree for why not round(x, 2)
+    raw = r6.select(
+        "doc_id",
+        "q",
+        F.floor(F.col("u6") * F.lit(100.0)).alias("x1"),
+        F.floor(F.col("s6") * F.lit(100.0)).alias("x2"),
+        F.floor(F.col("l6") * F.lit(100.0)).alias("x3"),
+    )
+    feats = track_persist(raw)
+    scored, _model = gbm_train(feats, ["x1", "x2", "x3"], "q", rounds=3)
+    return scored.select(
+        "doc_id",
+        "q",
+        "pred",
+        F.round(F.abs(F.col("q") - F.col("pred")), 6).alias("abs_err"),
+    )
+
+
+QUERIES["text_quality_gbm"] = text_quality_gbm
+
+
+def _gbm_oracle() -> str:
+    from nashville_etl_service_backup_spark.operators.ml import (
+        gbm_oracle_sql,
+    )
+
+    uniq = (
+        "CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE)"
+        "/len(tk) ELSE 0.0 END"
+    )
+    stop = (
+        "CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,"
+        " x -> x IN ('the','a','and','of','to'))) AS DOUBLE)/len(tk)"
+        " ELSE 0.0 END"
+    )
+    lensig = "LEAST(len(tk)/300.0, 1.0)"
+    quality = f"ROUND(0.5*({uniq}) + 0.3*(1.0 - {stop}) + 0.2*{lensig}, 6)"
+    gbm = gbm_oracle_sql(["x1", "x2", "x3"], target="q", raw_cte="raw")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_O} AS tk FROM documents),
+rawq AS (SELECT doc_id,
+  {quality} AS q,
+  ROUND({uniq}, 6) AS u6,
+  ROUND({stop}, 6) AS s6,
+  ROUND(CAST({lensig} AS DOUBLE), 6) AS l6
+ FROM t),
+raw AS MATERIALIZED (SELECT doc_id, q,
+  CAST(FLOOR(u6*100.0) AS BIGINT) AS x1, CAST(FLOOR(s6*100.0) AS BIGINT) AS x2, CAST(FLOOR(l6*100.0) AS BIGINT) AS x3
+ FROM rawq),
+{gbm}
+"""
+
+
+ORACLES["text_quality_gbm"] = _gbm_oracle()

@@ -205,3 +205,41 @@ def test_logreg_cv_out_of_fold_metrics(spark):
     n_total = (out["n_pos"] + out["n_neg"]).sum()
     assert (out["n_train"] + out["n_pos"] + out["n_neg"] == n_total).all()
     assert ((out["acc"] >= 0.0) & (out["acc"] <= 1.0)).all()
+
+
+def test_gbm_reduces_error_and_first_stump_is_sensible(spark):
+    from nashville_etl_service_backup_spark.operators.ml import gbm_train
+
+    # q is a noisy step of x1 (integer bins)
+    rows = [
+        (i, (0.8 if i % 10 < 4 else 0.2) + (i % 3) * 0.01,
+         10 if i % 10 < 4 else 50, 7)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, q double, x1 long, x2 long")
+    scored, model = gbm_train(df, ["x1", "x2"], "q", rounds=3)
+    assert model["stumps"][0]["feature"] == "x1"
+    assert model["stumps"][0]["thr"] == 10
+    # left side (x1<=10) holds the high-q docs: positive delta
+    assert model["stumps"][0]["dl"] > 0 > model["stumps"][0]["dr"]
+    base_err = (
+        scored.select(F.avg(F.abs(F.col("q") - F.lit(model["base"]))))
+        .first()[0]
+    )
+    boost_err = (
+        scored.select(F.avg(F.abs(F.col("q") - F.col("pred")))).first()[0]
+    )
+    assert boost_err < base_err / 2
+
+
+def test_gbm_partition_invariant(spark):
+    from nashville_etl_service_backup_spark.operators.ml import gbm_train
+
+    rows = [
+        (i, ((i * 17) % 100) / 100.0, (i * 7) % 20, (i * 3) % 5)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, q double, x1 long, x2 long")
+    _, m1 = gbm_train(df.coalesce(1), ["x1", "x2"], "q", rounds=3)
+    _, m2 = gbm_train(df.repartition(13), ["x1", "x2"], "q", rounds=3)
+    assert m1 == m2
