@@ -1,15 +1,20 @@
-"""In-engine supervised model training: linear classifier fit by
-fixed-iteration full-batch gradient descent, as pure DataFrame algebra.
+"""In-engine supervised model training as pure DataFrame algebra:
+- hard-sigmoid logistic regression by fixed-iteration full-batch GD
+  (logreg_train / logreg_score / logreg_cv),
+- depth-limited decision trees by histogram split search (tree_train),
+- gradient-boosted stumps on squared loss (gbm_train),
+- exact classifier evaluation without a global sort (classifier_eval:
+  histogram-pair ROC-AUC, accuracy, Brier).
 
 The reference filters rows with hand-written heuristics (name-quality
 gates, required-field checks — transform_data.py's rule stack); the
-modern corpus-curation analog is a TRAINED quality classifier
+modern corpus-curation analog is a TRAINED quality filter
 (fastText-style: Joulin et al. 2016; FineWeb-Edu's teacher-labelled
-linear probe): take labels from a cheap teacher (here the corpus
-quality heuristic itself — distillation), fit a linear model, score
-every document with it. This module does the FIT inside the engine, so
-the same pipeline that computes features at 100 TB also trains on them
-— no export to a single-node trainer.
+probe): take labels from a cheap teacher (here the corpus quality
+heuristic itself — distillation), fit a model, score every document
+with it. This module does the FIT inside the engine, so the same
+pipeline that computes features at 100 TB also trains on them — no
+export to a single-node trainer.
 
 Determinism device (the IVF-k-means / PageRank recipe):
 - a FIXED iteration count, so the whole optimization unrolls into SQL
