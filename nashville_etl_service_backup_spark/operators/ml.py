@@ -168,6 +168,81 @@ def logreg_score(
     return hard_sigmoid(_margin(feature_cols, weights))
 
 
+def logreg_train_folds(
+    folds: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    fold_col: str,
+    k: int,
+    iterations: int = 8,
+    lr: float = 4.0,
+) -> list[list[float]]:
+    """All k leave-one-fold-out trainings in `iterations` jobs TOTAL
+    (vs k·iterations for k separate logreg_train loops): each GD round
+    is ONE combinable aggregate whose expressions compute, for every
+    held-out fold i, the gradient of model i over the rows with
+    fold != i (a `when(fold != i, …)` guard inside each decimal SUM —
+    nulls drop out of SUM, so each fold's decimal total adds exactly
+    the same rounded terms as the per-fold loop, in any order). The
+    per-fold weight chains therefore stay bit-identical to
+    logreg_train on the corresponding subset — the CV oracle's
+    per-fold CTE unrolls keep matching unchanged.
+
+    Returns k weight vectors; k·(d+1) scalars visit the driver per
+    round. Caller should persist `folds`."""
+    d = len(feature_cols)
+    ws = [[0.0] * (d + 1) for _ in range(k)]
+    fold = F.col(fold_col)
+    for _ in range(iterations):
+        aggs = []
+        for i in range(k):
+            guard = fold != i
+            r = hard_sigmoid(_margin(feature_cols, ws[i])) - F.col(
+                label_col
+            )
+            aggs.append(
+                F.sum(F.when(guard, F.lit(1)).cast("long")).alias(
+                    f"n_{i}"
+                )
+            )
+            aggs.append(
+                F.sum(
+                    F.when(
+                        guard, F.round(r, GRAD_SCALE)
+                    ).cast("decimal(38,12)")
+                ).alias(f"g{i}_0")
+            )
+            for j, c in enumerate(feature_cols):
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            guard,
+                            F.round(r * F.col(c), GRAD_SCALE),
+                        ).cast("decimal(38,12)")
+                    ).alias(f"g{i}_{j + 1}")
+                )
+        upd = folds.agg(*aggs).select(
+            *[
+                F.round(
+                    F.lit(ws[i][j])
+                    - F.lit(float(lr))
+                    * (
+                        F.col(f"g{i}_{j}").cast("double")
+                        / F.col(f"n_{i}").cast("double")
+                    ),
+                    W_SCALE,
+                ).alias(f"w{i}_{j}")
+                for i in range(k)
+                for j in range(d + 1)
+            ]
+        ).first()
+        ws = [
+            [float(upd[f"w{i}_{j}"]) for j in range(d + 1)]
+            for i in range(k)
+        ]
+    return ws
+
+
 def logreg_oracle_ctes(
     feature_names: list[str],
     label: str,
@@ -593,8 +668,9 @@ def logreg_cv(
     n_neg, acc, auc, brier) — the out-of-sample evidence a pipeline
     needs before trusting a filter model at 100 TB. Features are
     standardized by the caller over the full frame (fit-time
-    convention pinned in the oracle). K small (folds are k full
-    training runs); each run is `iterations` scalar-output aggregates."""
+    convention pinned in the oracle). All k trainings share ONE
+    scalar-output aggregate per GD round (logreg_train_folds), so the
+    whole CV costs `iterations` jobs, not k·`iterations`."""
     from functools import reduce
 
     from nashville_etl_service_backup_spark.operators.text_analysis import (
@@ -602,12 +678,14 @@ def logreg_cv(
     )
 
     folds = feats.withColumn("_fold", hash_bucket(F.col(id_col), k))
+    ws = logreg_train_folds(
+        folds, feature_cols, label_col, "_fold", k, iterations, lr
+    )
     outs = []
     for i in range(k):
         train = folds.filter(F.col("_fold") != i)
         test = folds.filter(F.col("_fold") == i)
-        w = logreg_train(train, feature_cols, label_col, iterations, lr)
-        p = logreg_score(feature_cols, w)
+        p = logreg_score(feature_cols, ws[i])
         scored = test.select(
             F.col(label_col).cast("int").alias("label"),
             F.round(p, 6).alias("score"),
