@@ -902,3 +902,162 @@ def gbm_oracle_sql(
         f" ROUND(ABS({target} - pred), 6) AS abs_err FROM p{rounds}"
     )
     return ",\n".join(parts) + "\n" + final
+
+
+# ---------------------------------------------------------------------------
+# Closed-form least squares (the regression rung of the trainer family):
+# for a SMALL, fixed regressor count the normal equations solve in one
+# combinable aggregate — no iterations, no shuffle of the observations.
+# The exact-moment device is q_correlation_matrix's: every Σx, Σxy, Σx²
+# is a DECIMAL sum of (products of) round-6 doubles, so the moments are
+# partition- and engine-invariant, and the Cramer solve plus R²/RMSE are
+# one correctly-rounded double expression over those exact sums.
+# ---------------------------------------------------------------------------
+
+
+def ols2_by_group(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Per-group OLS fit of y ~ b0 + b1·x1 + b2·x2 by the normal
+    equations in centered-moment (Cramer) form. Input columns must
+    already be round-6 doubles (the caller's projection — mirrored by
+    the oracle). Returns one row per group:
+    (group, n, b0, b1, b2, r2, rmse), every stat round-6.
+
+    100 TB shape: ONE map-side-combinable aggregate over the scan — 9
+    decimal moments per group — then the solve is arithmetic on the
+    |groups|-row frame. The degenerate-design guard (determinant or
+    SST zero → null fit) is explicit CASE logic, mirrored by the SQL
+    twin."""
+    x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
+
+    def dsum(e: Column, name: str) -> Column:
+        return F.sum(e.cast("decimal(38,12)")).alias(name)
+
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x1, "s1"),
+        dsum(x2, "s2"),
+        dsum(y, "sy"),
+        dsum(x1 * x1, "s11"),
+        dsum(x2 * x2, "s22"),
+        dsum(y * y, "syy"),
+        dsum(x1 * x2, "s12"),
+        dsum(x1 * y, "s1y"),
+        dsum(x2 * y, "s2y"),
+    )
+    n = F.col("n").cast("double")
+    d = {
+        c: F.col(c).cast("double")
+        for c in ("s1", "s2", "sy", "s11", "s22", "syy", "s12", "s1y", "s2y")
+    }
+    cent = g.select(
+        "grp",
+        "n",
+        n.alias("nd"),
+        (d["s1"] / n).alias("m1"),
+        (d["s2"] / n).alias("m2"),
+        (d["sy"] / n).alias("my"),
+        (d["s11"] - d["s1"] * d["s1"] / n).alias("c11"),
+        (d["s22"] - d["s2"] * d["s2"] / n).alias("c22"),
+        (d["syy"] - d["sy"] * d["sy"] / n).alias("cyy"),
+        (d["s12"] - d["s1"] * d["s2"] / n).alias("c12"),
+        (d["s1y"] - d["s1"] * d["sy"] / n).alias("c1y"),
+        (d["s2y"] - d["s2"] * d["sy"] / n).alias("c2y"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    solved = cent.select(
+        "grp",
+        "n",
+        "nd",
+        "m1",
+        "m2",
+        "my",
+        "cyy",
+        "c1y",
+        "c2y",
+        det.alias("det"),
+        F.when(
+            det != 0.0,
+            (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y"))
+            / det,
+        ).alias("b1"),
+        F.when(
+            det != 0.0,
+            (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y"))
+            / det,
+        ).alias("b2"),
+    )
+    ssr = F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y")
+    return solved.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(
+            F.col("my") - F.col("b1") * F.col("m1") - F.col("b2") * F.col("m2"),
+            6,
+        ).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.when(F.col("cyy") > 0.0, F.round(ssr / F.col("cyy"), 6)).alias(
+            "r2"
+        ),
+        F.round(
+            F.sqrt(F.greatest((F.col("cyy") - ssr) / F.col("nd"), F.lit(0.0))),
+            6,
+        ).alias("rmse"),
+    ).orderBy(group_col)
+
+
+def ols2_oracle_sql(
+    src: str,
+    group: str,
+    y: str,
+    x1: str,
+    x2: str,
+) -> str:
+    """DuckDB twin of ols2_by_group over a prior CTE `src` exposing
+    round-6 double columns `group`, `y`, `x1`, `x2` — textually
+    identical moment casts and solve arithmetic."""
+    ds = "DECIMAL(38,12)"
+    return f"""
+_ols_m AS (SELECT {group} AS grp, COUNT(*) AS n,
+  SUM(CAST({x1} AS {ds})) AS s1,
+  SUM(CAST({x2} AS {ds})) AS s2,
+  SUM(CAST({y} AS {ds})) AS sy,
+  SUM(CAST({x1}*{x1} AS {ds})) AS s11,
+  SUM(CAST({x2}*{x2} AS {ds})) AS s22,
+  SUM(CAST({y}*{y} AS {ds})) AS syy,
+  SUM(CAST({x1}*{x2} AS {ds})) AS s12,
+  SUM(CAST({x1}*{y} AS {ds})) AS s1y,
+  SUM(CAST({x2}*{y} AS {ds})) AS s2y
+ FROM {src} GROUP BY 1),
+_ols_c AS (SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+  CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS m1,
+  CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS m2,
+  CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) AS my,
+  CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS c11,
+  CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS c22,
+  CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) AS cyy,
+  CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS c12,
+  CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) AS c1y,
+  CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) AS c2y
+ FROM _ols_m),
+_ols_s AS (SELECT grp, n, nd, m1, m2, my, cyy, c1y, c2y,
+  c11*c22 - c12*c12 AS det,
+  CASE WHEN c11*c22 - c12*c12 <> 0.0
+    THEN (c22*c1y - c12*c2y)/(c11*c22 - c12*c12) END AS b1,
+  CASE WHEN c11*c22 - c12*c12 <> 0.0
+    THEN (c11*c2y - c12*c1y)/(c11*c22 - c12*c12) END AS b2
+ FROM _ols_c),
+_ols_out AS (SELECT grp AS {group}, n,
+  ROUND(my - b1*m1 - b2*m2, 6) AS b0,
+  ROUND(b1, 6) AS b1,
+  ROUND(b2, 6) AS b2,
+  CASE WHEN cyy > 0.0
+    THEN ROUND((b1*c1y + b2*c2y)/cyy, 6) END AS r2,
+  ROUND(SQRT(GREATEST((cyy - (b1*c1y + b2*c2y))/nd, 0.0)), 6) AS rmse
+ FROM _ols_s)"""

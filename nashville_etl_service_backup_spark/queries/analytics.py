@@ -2060,3 +2060,58 @@ FROM (SELECT p_name, COUNT(DISTINCT p_partkey) AS nd
       FROM part GROUP BY p_name)
 ORDER BY "constraint"
 """
+
+
+def q_ols_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS fit of line revenue on quantity and discount
+    (operators/ml.ols2_by_group): the regression rung of the in-engine
+    trainer family — closed-form normal equations from ONE combinable
+    decimal-moment aggregate (the q_correlation_matrix device), Cramer
+    solve + R² + RMSE as correctly-rounded double arithmetic on the
+    3-row group frame. No iterations, no shuffle of observations; the
+    oracle replays the identical moments and solve and hash-matches
+    bitwise. The what-drives-revenue diagnostic a pricing pipeline
+    runs before trusting a feature at 100 TB."""
+    from nashville_etl_service_backup_spark.operators.ml import (
+        ols2_by_group,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity").cast("double"), 6)
+    disc = F.round(F.col("l_discount").cast("double"), 6)
+    rev = F.round(
+        F.col("l_extendedprice").cast("double")
+        * (F.lit(1.0) - F.col("l_discount").cast("double")),
+        6,
+    )
+    obs = li.select(
+        F.col("l_returnflag").alias("flag"),
+        rev.alias("y"),
+        qty.alias("x1"),
+        disc.alias("x2"),
+    )
+    return ols2_by_group(obs, "flag", "y", "x1", "x2")
+
+
+QUERIES["q_ols_revenue"] = q_ols_revenue
+
+
+def _ols_oracle() -> str:
+    from nashville_etl_service_backup_spark.operators.ml import (
+        ols2_oracle_sql,
+    )
+
+    ctes = ols2_oracle_sql("_ols_obs", "flag", "y", "x1", "x2")
+    return f"""
+WITH _ols_obs AS (SELECT l_returnflag AS flag,
+  ROUND(CAST(l_extendedprice AS DOUBLE)
+        * (1.0 - CAST(l_discount AS DOUBLE)), 6) AS y,
+  ROUND(CAST(l_quantity AS DOUBLE), 6) AS x1,
+  ROUND(CAST(l_discount AS DOUBLE), 6) AS x2
+ FROM lineitem),
+{ctes}
+SELECT * FROM _ols_out ORDER BY flag
+"""
+
+
+ORACLES["q_ols_revenue"] = _ols_oracle()

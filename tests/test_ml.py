@@ -243,3 +243,55 @@ def test_gbm_partition_invariant(spark):
     _, m1 = gbm_train(df.coalesce(1), ["x1", "x2"], "q", rounds=3)
     _, m2 = gbm_train(df.repartition(13), ["x1", "x2"], "q", rounds=3)
     assert m1 == m2
+
+
+def test_ols2_recovers_exact_linear_relation(spark):
+    from nashville_etl_service_backup_spark.operators.ml import (
+        ols2_by_group,
+    )
+
+    # y = 2 + 3*x1 - 0.5*x2 exactly -> coefficients recovered, r2 = 1,
+    # rmse = 0 (within round-6 of the closed-form solve)
+    rows = [
+        (
+            "g",
+            round(2.0 + 3.0 * (i % 13) - 0.5 * ((i * 5) % 7), 6),
+            float(i % 13),
+            float((i * 5) % 7),
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "grp string, y double, x1 double, x2 double")
+    out = ols2_by_group(df, "grp", "y", "x1", "x2").collect()[0]
+    assert out["n"] == 120
+    assert abs(out["b0"] - 2.0) < 1e-5
+    assert abs(out["b1"] - 3.0) < 1e-5
+    assert abs(out["b2"] + 0.5) < 1e-5
+    assert abs(out["r2"] - 1.0) < 1e-6
+    assert out["rmse"] < 1e-5
+
+
+def test_ols2_partition_invariant_and_degenerate_guard(spark):
+    from nashville_etl_service_backup_spark.operators.ml import (
+        ols2_by_group,
+    )
+
+    rows = [
+        ("a", 1.0 + 0.5 * i + 0.25 * (i % 3), float(i), float(i % 3))
+        for i in range(90)
+    ] + [
+        # degenerate group: x1 constant -> det == 0 -> null fit
+        ("b", float(i % 5), 1.0, 1.0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "grp string, y double, x1 double, x2 double")
+    one = {r["grp"]: r for r in ols2_by_group(df, "grp", "y", "x1", "x2").collect()}
+    many = {
+        r["grp"]: r
+        for r in ols2_by_group(
+            df.repartition(7), "grp", "y", "x1", "x2"
+        ).collect()
+    }
+    assert one == many  # decimal moments make the fit partition-invariant
+    assert one["b"]["b1"] is None and one["b"]["b2"] is None
+    assert one["a"]["r2"] is not None and one["a"]["r2"] > 0.99
