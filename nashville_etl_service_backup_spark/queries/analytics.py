@@ -2115,3 +2115,134 @@ SELECT * FROM _ols_out ORDER BY flag
 
 
 ORACLES["q_ols_revenue"] = _ols_oracle()
+
+
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection over the daily event-value series
+    (Page 1954) — the sequential change-point companion of the drift
+    family (chi-square categorical / KL mixture / PSI distribution):
+    reference mean/std from the first week's daily means, standardized
+    deviations with slack k=0.5σ, and the one-sided CUSUM recursion
+    S_t = max(0, S_{t-1} + d_t) evaluated WITHOUT row-at-a-time
+    recursion via the prefix form S_t = P_t − min(0, min_{j≤t} P_j)
+    (P = running sum): two stacked windows over the tiny daily frame.
+    Alarm at S > 4 (in σ units). Every deviation is round-6 and the
+    running sums are exact decimals, so both engines replay the
+    recursion bitwise. 100 TB shape: one map-side-combinable daily
+    aggregate over the scan; every window runs on the |days|-row
+    aggregate only."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.col("value").cast("double").alias("v"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("v"), 6).cast("decimal(28,6)")).alias("s"),
+    )
+    dm = daily.select(
+        "day",
+        "n",
+        F.round(
+            F.col("s").cast("double") / F.col("n").cast("double"), 6
+        ).alias("daily_mean"),
+    )
+    m = F.col("daily_mean")
+    ref = dm.filter(F.col("day") <= F.lit("2024-01-07")).agg(
+        F.count(F.lit(1)).alias("rd"),
+        F.sum(m.cast("decimal(28,6)")).alias("rs"),
+        F.sum((m * m).cast("decimal(38,12)")).alias("rss"),
+    )
+    rd = F.col("rd").cast("double")
+    rs, rss = F.col("rs").cast("double"), F.col("rss").cast("double")
+    mu = ref.select(
+        F.round(rs / rd, 6).alias("mu0"),
+        F.round(
+            F.sqrt(F.greatest((rss - rs * rs / rd) / rd, F.lit(0.0))), 6
+        ).alias("sg"),
+    )
+    dev = dm.crossJoin(F.broadcast(mu)).select(
+        "day",
+        "n",
+        "daily_mean",
+        F.round((m - F.col("mu0")) / F.col("sg") - 0.5, 6).alias("du"),
+        F.round((F.col("mu0") - m) / F.col("sg") - 0.5, 6).alias("dd"),
+    )
+    wseq = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = dev.select(
+        "day",
+        "n",
+        "daily_mean",
+        F.sum(F.col("du").cast("decimal(28,6)"))
+        .over(wseq)
+        .cast("double")
+        .alias("pu"),
+        F.sum(F.col("dd").cast("decimal(28,6)"))
+        .over(wseq)
+        .cast("double")
+        .alias("pd"),
+    )
+    up = F.round(
+        F.col("pu") - F.least(F.lit(0.0), F.min("pu").over(wseq)), 6
+    )
+    dn = F.round(
+        F.col("pd") - F.least(F.lit(0.0), F.min("pd").over(wseq)), 6
+    )
+    return (
+        p.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            "daily_mean",
+            up.alias("cusum_up"),
+            dn.alias("cusum_down"),
+        )
+        .withColumn(
+            "alarm",
+            (
+                (F.col("cusum_up") > 4.0) | (F.col("cusum_down") > 4.0)
+            ).cast("int"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["q_cusum_shift"] = q_cusum_shift
+
+ORACLES["q_cusum_shift"] = """
+WITH ev AS (SELECT CAST(ts AS DATE) AS day, CAST(value AS DOUBLE) AS v
+  FROM events),
+daily AS (SELECT day, COUNT(*) AS n,
+  SUM(CAST(ROUND(v, 6) AS DECIMAL(28,6))) AS s FROM ev GROUP BY 1),
+dm AS (SELECT day, n,
+  ROUND(CAST(s AS DOUBLE)/CAST(n AS DOUBLE), 6) AS daily_mean
+ FROM daily),
+ref AS (SELECT COUNT(*) AS rd,
+  SUM(CAST(daily_mean AS DECIMAL(28,6))) AS rs,
+  SUM(CAST(daily_mean*daily_mean AS DECIMAL(38,12))) AS rss
+ FROM dm WHERE day <= DATE '2024-01-07'),
+mu AS (SELECT
+  ROUND(CAST(rs AS DOUBLE)/CAST(rd AS DOUBLE), 6) AS mu0,
+  ROUND(SQRT(GREATEST((CAST(rss AS DOUBLE)
+    - CAST(rs AS DOUBLE)*CAST(rs AS DOUBLE)/CAST(rd AS DOUBLE))
+    /CAST(rd AS DOUBLE), 0.0)), 6) AS sg
+ FROM ref),
+dev AS (SELECT day, n, daily_mean,
+  ROUND((daily_mean - mu0)/sg - 0.5, 6) AS du,
+  ROUND((mu0 - daily_mean)/sg - 0.5, 6) AS dd
+ FROM dm, mu),
+p AS (SELECT day, n, daily_mean,
+  CAST(SUM(CAST(du AS DECIMAL(28,6))) OVER w AS DOUBLE) AS pu,
+  CAST(SUM(CAST(dd AS DECIMAL(28,6))) OVER w AS DOUBLE) AS pd
+ FROM dev
+ WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+   AND CURRENT ROW)),
+s AS (SELECT CAST(day AS VARCHAR) AS day, n, daily_mean,
+  ROUND(pu - LEAST(0.0, MIN(pu) OVER w2), 6) AS cusum_up,
+  ROUND(pd - LEAST(0.0, MIN(pd) OVER w2), 6) AS cusum_down
+ FROM p
+ WINDOW w2 AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+   AND CURRENT ROW))
+SELECT day, n, daily_mean, cusum_up, cusum_down,
+  CAST(CASE WHEN cusum_up > 4.0 OR cusum_down > 4.0
+    THEN 1 ELSE 0 END AS INTEGER) AS alarm
+FROM s ORDER BY day
+"""
