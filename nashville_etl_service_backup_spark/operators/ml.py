@@ -1061,3 +1061,146 @@ _ols_out AS (SELECT grp AS {group}, n,
     THEN ROUND((b1*c1y + b2*c2y)/cyy, 6) END AS r2,
   ROUND(SQRT(GREATEST((cyy - (b1*c1y + b2*c2y))/nd, 0.0)), 6) AS rmse
  FROM _ols_s)"""
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes (the counting-based trainer family member):
+# the model IS two aggregates — per-class token totals and per-(term,
+# class) counts — so training is embarrassingly map-side-combinable and
+# there is no iteration at all. Laplace add-one smoothing; every log
+# likelihood is ROUND(LN(·), 6) (the BM25-proven cross-engine ln
+# device) and per-document scores are exact decimal sums of those
+# round-6 terms, so class posteriors and the argmax are bit-identical
+# across engines and partitionings.
+# ---------------------------------------------------------------------------
+
+
+def nb_train(
+    train_docs: DataFrame,
+    class_col: str,
+    tokens_col: str = "tk",
+) -> tuple[DataFrame, DataFrame]:
+    """Fit multinomial NB from (class, token-array) rows. Returns
+    (cls, loglik):
+
+      cls    : (class, prior, dflt, denom) — log prior, the unseen-term
+               log likelihood ln(1/(n_tokens_c + V)), and the smoothing
+               denominator (|classes| rows);
+      loglik : (term, class, ll) — ln((count+1)/(n_tokens_c + V)) per
+               observed (term, class) (≤ V·|classes| rows).
+
+    100 TB shape: two combinable shuffles (class stats; (term, class)
+    counts) over the exploded tokens — the model is the only output,
+    documents never move."""
+    c = F.col(class_col)
+    tot = train_docs.agg(F.count(F.lit(1)).alias("nd"))
+    cs = train_docs.groupBy(class_col).agg(
+        F.count(F.lit(1)).alias("ndc"),
+        F.sum(F.size(tokens_col).cast("long")).alias("ntc"),
+    )
+    trt = train_docs.select(c, F.explode(tokens_col).alias("term"))
+    vocab = trt.agg(F.countDistinct("term").alias("v"))
+    cls = (
+        cs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            class_col,
+            F.round(
+                F.log(
+                    F.col("ndc").cast("double") / F.col("nd").cast("double")
+                ),
+                6,
+            ).alias("prior"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    / (F.col("ntc") + F.col("v")).cast("double")
+                ),
+                6,
+            ).alias("dflt"),
+            (F.col("ntc") + F.col("v")).alias("denom"),
+        )
+    )
+    tc = trt.groupBy("term", class_col).agg(F.count(F.lit(1)).alias("cnt"))
+    loglik = tc.join(
+        F.broadcast(cls.select(class_col, "denom")), class_col
+    ).select(
+        "term",
+        class_col,
+        F.round(
+            F.log(
+                (F.col("cnt") + F.lit(1)).cast("double")
+                / F.col("denom").cast("double")
+            ),
+            6,
+        ).alias("ll"),
+    )
+    return cls, loglik
+
+
+def nb_predict(
+    test_docs: DataFrame,
+    cls: DataFrame,
+    loglik: DataFrame,
+    doc_col: str,
+    class_col: str,
+    tokens_col: str = "tk",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score every test document against every class and pick the
+    posterior argmax (ties → lexicographically smaller class, via a
+    row_number over the |classes|-per-doc grid — deterministic and
+    identically ordered in both engines because the scores are exact
+    decimals). Empty-token documents score prior-only (the exploded
+    contribution join is LEFT from the doc×class grid).
+
+    Returns (doc_col, *keep_cols, pred). 100 TB shape: the model
+    broadcasts (it is V·|classes| small rows — for an enormous vocab
+    swap the broadcast hint for a plain equi-join on term); the only
+    shuffles are the (doc, class) contribution aggregate and the
+    per-doc 5-row window."""
+    from pyspark.sql.window import Window
+
+    tet = test_docs.select(doc_col, F.explode(tokens_col).alias("term"))
+    clsb = cls.select(
+        F.col(class_col).alias("_c"), "prior", "dflt"
+    )
+    llr = loglik.select(
+        F.col("term").alias("_t"), F.col(class_col).alias("_lc"), "ll"
+    )
+    contrib = (
+        tet.crossJoin(F.broadcast(clsb.select("_c", "dflt")))
+        .join(
+            F.broadcast(llr),
+            (F.col("term") == F.col("_t")) & (F.col("_c") == F.col("_lc")),
+            "left",
+        )
+        .groupBy(doc_col, "_c")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("ll"), F.col("dflt")).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("s")
+        )
+    )
+    grid = test_docs.select(doc_col, *keep_cols).crossJoin(
+        F.broadcast(clsb.select("_c", "prior"))
+    )
+    scored = grid.join(contrib, [doc_col, "_c"], "left").select(
+        doc_col,
+        *keep_cols,
+        F.col("_c"),
+        (
+            F.col("prior").cast("decimal(28,6)")
+            + F.coalesce(F.col("s"), F.lit(0).cast("decimal(28,6)"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy(doc_col).orderBy(
+        F.desc("score"), F.asc("_c")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(doc_col, *keep_cols, F.col("_c").alias("pred"))
+    )

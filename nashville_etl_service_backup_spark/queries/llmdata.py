@@ -3940,3 +3940,96 @@ raw AS MATERIALIZED (SELECT doc_id, q,
 
 
 ORACLES["text_quality_gbm"] = _gbm_oracle()
+
+
+def text_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier trained IN-ENGINE
+    (operators/ml.nb_train / nb_predict): md5 hash-bucket 80/20 split,
+    add-one-smoothed per-(term, lang) log likelihoods with round-6 ln
+    (the BM25 cross-engine ln device) and exact-decimal posterior sums,
+    argmax with a deterministic smaller-class tiebreak. Output is the
+    out-of-sample confusion matrix (lang_true, lang_pred, n_docs) — the
+    fastText-style language-ID check a curation pipeline runs against
+    its heuristic langid (SURVEY §2 north-star: text analysis). The
+    model is two combinable aggregates; documents never shuffle."""
+    from nashville_etl_service_backup_spark.operators import track_persist
+    from nashville_etl_service_backup_spark.operators.ml import (
+        nb_predict,
+        nb_train,
+    )
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        hash_bucket,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        tokenize(F.col("text")).alias("tk"),
+        (hash_bucket(F.col("doc_id"), 5)).alias("_b"),
+    )
+    docs = track_persist(docs)
+    train = docs.filter(F.col("_b") != 0)
+    test = docs.filter(F.col("_b") == 0).withColumn(
+        "lang_true", F.col("lang")
+    )
+    cls, loglik = nb_train(train, "lang", "tk")
+    pred = nb_predict(
+        test, cls, loglik, "doc_id", "lang", "tk",
+        keep_cols=("lang_true",),
+    )
+    return (
+        pred.groupBy("lang_true", F.col("pred").alias("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+QUERIES["text_nb_lang"] = text_nb_lang
+
+_NB_BUCKET = (
+    "CAST(list_sum(list_transform(range(1, 9), i ->"
+    " (strpos('0123456789abcdef',"
+    " substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)"
+    " * pow(16, 8 - i))) AS BIGINT) % 5"
+)
+
+ORACLES["text_nb_lang"] = f"""
+WITH d AS (SELECT doc_id, lang, {_TOKS_O} AS tk,
+  {_NB_BUCKET} AS b FROM documents),
+tr AS (SELECT * FROM d WHERE b <> 0),
+te AS (SELECT * FROM d WHERE b = 0),
+tot AS (SELECT COUNT(*) AS nd FROM tr),
+cs AS (SELECT lang, COUNT(*) AS ndc, SUM(len(tk)) AS ntc
+ FROM tr GROUP BY 1),
+trt AS (SELECT lang, unnest(tk) AS term FROM tr),
+vocab AS (SELECT COUNT(DISTINCT term) AS v FROM trt),
+cls AS (SELECT cs.lang,
+  ROUND(LN(CAST(ndc AS DOUBLE)/CAST(nd AS DOUBLE)), 6) AS prior,
+  ROUND(LN(1.0/CAST(ntc + v AS DOUBLE)), 6) AS dflt,
+  ntc + v AS denom
+ FROM cs, tot, vocab),
+tc AS (SELECT term, lang, COUNT(*) AS cnt FROM trt GROUP BY 1, 2),
+ll AS (SELECT tc.term, tc.lang,
+  ROUND(LN(CAST(cnt + 1 AS DOUBLE)/CAST(denom AS DOUBLE)), 6) AS ll
+ FROM tc JOIN cls ON tc.lang = cls.lang),
+tet AS (SELECT doc_id, unnest(tk) AS term FROM te),
+contrib AS (SELECT tet.doc_id, cls.lang AS lang_c,
+  SUM(CAST(COALESCE(ll.ll, cls.dflt) AS DECIMAL(28,6))) AS s
+ FROM tet CROSS JOIN cls
+ LEFT JOIN ll ON ll.term = tet.term AND ll.lang = cls.lang
+ GROUP BY 1, 2),
+grid AS (SELECT te.doc_id, te.lang AS lang_true, cls.lang AS lang_c,
+  cls.prior FROM te, cls),
+scored AS (SELECT g.doc_id, g.lang_true, g.lang_c,
+  CAST(g.prior AS DECIMAL(28,6))
+    + COALESCE(c.s, CAST(0 AS DECIMAL(28,6))) AS score
+ FROM grid g LEFT JOIN contrib c
+   ON c.doc_id = g.doc_id AND c.lang_c = g.lang_c),
+pick AS (SELECT doc_id, lang_true, lang_c AS lang_pred,
+  ROW_NUMBER() OVER (PARTITION BY doc_id
+    ORDER BY score DESC, lang_c ASC) AS rn
+ FROM scored)
+SELECT lang_true, lang_pred, COUNT(*) AS n_docs
+FROM pick WHERE rn = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -295,3 +295,64 @@ def test_ols2_partition_invariant_and_degenerate_guard(spark):
     assert one == many  # decimal moments make the fit partition-invariant
     assert one["b"]["b1"] is None and one["b"]["b2"] is None
     assert one["a"]["r2"] is not None and one["a"]["r2"] > 0.99
+
+
+def test_nb_separable_vocab_and_tiebreak(spark):
+    from nashville_etl_service_backup_spark.operators.ml import (
+        nb_predict,
+        nb_train,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "red", ["apple", "cherry", "apple"]) for i in range(20)]
+        + [(100 + i, "blue", ["sky", "ocean", "sky"]) for i in range(20)],
+        "doc_id long, cls string, tk array<string>",
+    )
+    test = spark.createDataFrame(
+        [
+            (1000, "red", ["apple", "apple"]),
+            (1001, "blue", ["ocean", "sky"]),
+            # unseen tokens only: dflt terms equal across balanced
+            # classes -> tie -> lexicographically smaller class wins
+            (1002, "tie", ["zzz", "qqq"]),
+            # empty token list -> prior-only; balanced priors tie
+            (1003, "tie", []),
+        ],
+        "doc_id long, truth string, tk array<string>",
+    )
+    cls, ll = nb_train(train, "cls", "tk")
+    got = {
+        r["doc_id"]: r["pred"]
+        for r in nb_predict(
+            test, cls, ll, "doc_id", "cls", "tk", keep_cols=("truth",)
+        ).collect()
+    }
+    assert got[1000] == "red"
+    assert got[1001] == "blue"
+    assert got[1002] == "blue"  # 'blue' < 'red'
+    assert got[1003] == "blue"
+
+
+def test_nb_partition_invariant(spark):
+    from nashville_etl_service_backup_spark.operators.ml import (
+        nb_predict,
+        nb_train,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        (i, f"c{i % 3}", [words[(i * j) % 5] for j in range(1, 8)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cls string, tk array<string>")
+    outs = []
+    for parts in (1, 13):
+        d = df.repartition(parts) if parts > 1 else df
+        cls, ll = nb_train(d, "cls", "tk")
+        outs.append(
+            sorted(
+                (r["doc_id"], r["pred"])
+                for r in nb_predict(d, cls, ll, "doc_id", "cls", "tk").collect()
+            )
+        )
+    assert outs[0] == outs[1]
