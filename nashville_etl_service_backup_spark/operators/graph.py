@@ -154,3 +154,57 @@ def triangle_list(edges: DataFrame) -> DataFrame:
     wedges = e1.join(e2, "b").select("a", "b", "c")
     closing = canon.select(F.col("a"), F.col("b").alias("c"))
     return wedges.join(closing, ["a", "c"], "left_semi")
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, rounds: int
+) -> DataFrame:
+    """Fixed-round parallel BFS (unit-weight Bellman–Ford): (node,
+    dist) for every node within `rounds` hops of any seed node.
+
+    Each round is one equi-join of the current distance table to the
+    edge list on src plus one map-side-combinable integer MIN — the
+    textbook iterative-relaxation shape (Malewicz et al. 2010, Pregel):
+    distances only move as (node, int) pairs, never adjacency or
+    payload data, and everything is exact integer arithmetic so the
+    SQL unroll is trivially bit-identical. Lineage is cut lazily per
+    round (the PageRank device) so the optimizer's tree stays
+    round-sized. `seeds`: a (node) frame at distance 0."""
+    dist = seeds.select("node", F.lit(0).alias("dist"))
+    for _ in range(rounds):
+        nxt = edges.join(
+            dist, edges["src"] == dist["node"]
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.lit(1)).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = dist.localCheckpoint(eager=False)
+    return dist
+
+
+def bfs_oracle_sql(
+    edges_sql: str, seeds_sql: str, rounds: int
+) -> str:
+    """DuckDB twin of bfs_hops: the relaxation loop unrolled as CTEs
+    (ends with the `d{rounds}` distance table; caller appends the
+    terminal SELECT)."""
+    parts = [
+        f"edges AS ({edges_sql})",
+        f"d0 AS (SELECT node, 0 AS dist FROM ({seeds_sql}) _seeds)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, d.dist + 1 AS dist"
+            f" FROM edges e JOIN d{i} d ON e.src = d.node)"
+        )
+        parts.append(
+            f"d{i + 1} AS (SELECT node, MIN(dist) AS dist FROM"
+            f" (SELECT * FROM d{i} UNION ALL SELECT * FROM c{i}) _u"
+            f" GROUP BY node)"
+        )
+    return ",\n".join(parts)

@@ -2246,3 +2246,80 @@ SELECT day, n, daily_mean, cusum_up, cusum_down,
     THEN 1 ELSE 0 END AS INTEGER) AS alarm
 FROM s ORDER BY day
 """
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round parallel BFS (operators/graph.bfs_hops) over the
+    part↔supplier bipartite graph from the 1997 lineitem slice — hop
+    distances from the lexicographically smallest supplier node, 6
+    relaxation rounds (enough to saturate this graph's diameter at the
+    test scales), reported as a distance histogram plus an explicit
+    unreached row (dist = -1). Pure integer relaxation: one edge join
+    + one combinable MIN per round, only (node, int) pairs shuffle;
+    the oracle unrolls the identical rounds. Completes the graph
+    family (PageRank: importance; CC: components; triangles: cohesion;
+    BFS: reachability/radius)."""
+    from nashville_etl_service_backup_spark.operators import track_persist
+    from nashville_etl_service_backup_spark.operators.graph import bfs_hops
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    p = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+    sn = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    edges = track_persist(
+        pairs.select(p.alias("src"), sn.alias("dst"))
+        .unionByName(pairs.select(sn.alias("src"), p.alias("dst")))
+        .repartition("src")
+    )
+    seeds = edges.filter(F.col("src").startswith("s:")).agg(
+        F.min("src").alias("node")
+    )
+    dist = bfs_hops(edges, seeds, rounds=6)
+    reached = dist.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    allnodes = edges.select("src").distinct()
+    unreached = (
+        allnodes.join(dist, allnodes["src"] == dist["node"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.lit(-1).alias("dist"), "n_nodes")
+    )
+    return reached.unionByName(unreached).orderBy("dist")
+
+
+QUERIES["q_bfs_hops"] = q_bfs_hops
+
+
+def _bfs_oracle() -> str:
+    from nashville_etl_service_backup_spark.operators.graph import (
+        bfs_oracle_sql,
+    )
+
+    edges_sql = """
+SELECT 'p:' || CAST(l_partkey AS VARCHAR) AS src,
+       's:' || CAST(l_suppkey AS VARCHAR) AS dst
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = 1997) _pairs
+UNION ALL
+SELECT 's:' || CAST(l_suppkey AS VARCHAR),
+       'p:' || CAST(l_partkey AS VARCHAR)
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = 1997) _pairs2"""
+    seeds_sql = (
+        "SELECT MIN(src) AS node FROM edges WHERE src LIKE 's:%'"
+    )
+    ctes = bfs_oracle_sql(edges_sql, seeds_sql, rounds=6)
+    return f"""
+WITH {ctes}
+SELECT dist, COUNT(*) AS n_nodes FROM d6 GROUP BY dist
+UNION ALL
+SELECT -1 AS dist, COUNT(*) AS n_nodes
+FROM (SELECT DISTINCT src FROM edges) a
+WHERE src NOT IN (SELECT node FROM d6)
+ORDER BY dist
+"""
+
+
+ORACLES["q_bfs_hops"] = _bfs_oracle()

@@ -360,3 +360,19 @@ def test_cusum_prefix_form_equals_direct_recursion(spark):
         assert abs(r["cusum_up"] - s_up) < 1e-6, r["day"]
         assert abs(r["cusum_down"] - s_dn) < 1e-6, r["day"]
         assert r["alarm"] == (1 if (r["cusum_up"] > 4.0 or r["cusum_down"] > 4.0) else 0)
+
+
+def test_bfs_hops_path_graph_and_unreachable(spark):
+    from nashville_etl_service_backup_spark.operators.graph import bfs_hops
+
+    # undirected path 0-1-2-3 plus an isolated edge 8-9
+    und = [(0, 1), (1, 2), (2, 3), (8, 9)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_hops(edges, seeds, 6).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 8,9 unreachable -> absent
+    # round-limited: 2 rounds cannot reach node 3
+    got2 = {r["node"]: r["dist"] for r in bfs_hops(edges, seeds, 2).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 2}
