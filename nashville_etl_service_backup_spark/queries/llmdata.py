@@ -4033,3 +4033,164 @@ SELECT lang_true, lang_pred, COUNT(*) AS n_docs
 FROM pick WHERE rn = 1
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def text_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the trained quality classifier
+    (Vovk et al. 2005; Angelopoulos & Bates 2023 tutorial form): train
+    the hard-sigmoid logistic model on folds ≥2 of the md5 hash split,
+    take nonconformity s = 1 − p_true on the CALIBRATION fold (=1),
+    q̂ = the k-th smallest calibration score with k = ⌈(n+1)(1−α)⌉ at
+    α = 0.1 (exact integer k; the quantile is read off the cumulative
+    distinct-score histogram, no per-row global sort — the AUC device),
+    then audit the TEST fold (=0): marginal coverage of the prediction
+    set {c : s_c ≤ q̂} and average set size, per true label. The
+    distribution-free uncertainty gate a pipeline wants before
+    trusting classifier scores at 100 TB; every score is round-6 and
+    the thresholding is exact, so both engines agree bitwise."""
+    from pyspark.sql.window import Window
+
+    from nashville_etl_service_backup_spark.operators import track_persist
+    from nashville_etl_service_backup_spark.operators.ml import (
+        logreg_score,
+        logreg_train,
+        standardize,
+    )
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        hash_bucket,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    qf = quality_features(F.col("text"))
+    nt_d = qf["n_tokens"].cast("double")
+    raw = docs.select(
+        "doc_id",
+        F.when(qf["quality"] >= 0.64, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        qf["uniq_ratio"].alias("x1"),
+        qf["stop_ratio"].alias("x2"),
+        F.round(F.least(nt_d / F.lit(300.0), F.lit(1.0)), 6).alias("x3"),
+    )
+    fcols = ["x1", "x2", "x3"]
+    feats = track_persist(
+        standardize(raw, fcols).withColumn(
+            "_b", hash_bucket(F.col("doc_id"), 5)
+        )
+    )
+    train = feats.filter(F.col("_b") >= 2)
+    w = logreg_train(train, fcols, "y", iterations=8, lr=4.0)
+    p = F.round(logreg_score(fcols, w), 6)
+    # nonconformity of the TRUE class: 1 - p for y=1, p for y=0
+    s_true = F.round(
+        F.when(F.col("y") >= 1.0, F.lit(1.0) - p).otherwise(p), 6
+    )
+    cal = feats.filter(F.col("_b") == 1).select(s_true.alias("s"))
+    hist = cal.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    ncal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    # k = ceil(0.9*(n+1)) in exact integer arithmetic
+    k = (F.lit(9) * (F.col("n_cal") + 1) + F.lit(9)) / 10
+    kk = ncal.select(
+        "n_cal", F.floor(k).cast("long").alias("k")
+    )
+    qhat = (
+        cum.crossJoin(F.broadcast(kk))
+        .filter(F.col("cum") >= F.col("k"))
+        .agg(F.min("s").alias("qhat"))
+    )
+    test = feats.filter(F.col("_b") == 0).select(
+        F.col("y").cast("int").alias("label"),
+        F.round(F.lit(1.0) - p, 6).alias("s1"),
+        p.alias("s0"),
+    )
+    t = test.crossJoin(F.broadcast(qhat)).crossJoin(F.broadcast(kk))
+    in0 = (F.col("s0") <= F.col("qhat")).cast("int")
+    in1 = (F.col("s1") <= F.col("qhat")).cast("int")
+    covered = F.when(F.col("label") == 1, in1).otherwise(in0)
+    return (
+        t.groupBy("label")
+        .agg(
+            F.first("n_cal").alias("n_cal"),
+            F.first("k").alias("k"),
+            F.first("qhat").alias("qhat"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(covered).alias("n_covered"),
+            F.round(
+                F.sum(covered).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("coverage"),
+            F.round(
+                F.sum(in0 + in1).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_set_size"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES["text_conformal_gate"] = text_conformal_gate
+
+
+def _conformal_oracle() -> str:
+    from nashville_etl_service_backup_spark.operators.ml import (
+        logreg_oracle_ctes,
+        logreg_oracle_score_sql,
+    )
+
+    base = _qc_oracle()
+    head = base[: base.index("nn AS MATERIALIZED (")].rstrip().rstrip(",")
+    bucket = (
+        "CAST(list_sum(list_transform(range(1, 9), i ->"
+        " (strpos('0123456789abcdef',"
+        " substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)"
+        f" * pow(16, 8 - i))) AS BIGINT) % 5"
+    )
+    fcols = ["x1", "x2", "x3"]
+    ctes, wname = logreg_oracle_ctes(
+        fcols, "y", iterations=8, lr=4.0, src="ftr", prefix="cf"
+    )
+    p = logreg_oracle_score_sql(fcols, wname, src="ff")
+    return f"""{head},
+ff AS (SELECT f.*, {bucket} AS b FROM f),
+ftr AS (SELECT * FROM ff WHERE b >= 2),
+{ctes},
+sc AS (SELECT ff.b, ff.y,
+  ROUND({p}, 6) AS p FROM ff, {wname} w),
+cal AS (SELECT ROUND(CASE WHEN y >= 1.0 THEN 1.0 - p ELSE p END, 6) AS s
+ FROM sc WHERE b = 1),
+hist AS (SELECT s, COUNT(*) AS c FROM cal GROUP BY s),
+cum AS (SELECT s, SUM(c) OVER (ORDER BY s
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+kk AS (SELECT COUNT(*) AS n_cal,
+  CAST(FLOOR((9*(COUNT(*) + 1) + 9)/10) AS BIGINT) AS k FROM cal),
+qh AS (SELECT MIN(s) AS qhat FROM cum, kk WHERE cum.cum >= kk.k),
+cfte AS (SELECT CAST(y AS INT) AS label,
+  ROUND(1.0 - p, 6) AS s1, p AS s0 FROM sc WHERE b = 0),
+cft AS (SELECT cfte.*, qh.qhat, kk.n_cal, kk.k FROM cfte, qh, kk)
+SELECT label,
+  ANY_VALUE(n_cal) AS n_cal,
+  ANY_VALUE(k) AS k,
+  ANY_VALUE(qhat) AS qhat,
+  COUNT(*) AS n_test,
+  CAST(SUM(CASE WHEN label = 1
+       THEN CASE WHEN s1 <= qhat THEN 1 ELSE 0 END
+       ELSE CASE WHEN s0 <= qhat THEN 1 ELSE 0 END END) AS BIGINT)
+    AS n_covered,
+  ROUND(CAST(SUM(CASE WHEN label = 1
+        THEN CASE WHEN s1 <= qhat THEN 1 ELSE 0 END
+        ELSE CASE WHEN s0 <= qhat THEN 1 ELSE 0 END END) AS DOUBLE)
+    /CAST(COUNT(*) AS DOUBLE), 6) AS coverage,
+  ROUND(CAST(SUM((CASE WHEN s0 <= qhat THEN 1 ELSE 0 END)
+    + (CASE WHEN s1 <= qhat THEN 1 ELSE 0 END)) AS DOUBLE)
+    /CAST(COUNT(*) AS DOUBLE), 6) AS avg_set_size
+FROM cft GROUP BY label ORDER BY label
+"""
+
+
+ORACLES["text_conformal_gate"] = _conformal_oracle()

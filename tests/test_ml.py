@@ -356,3 +356,21 @@ def test_nb_partition_invariant(spark):
             )
         )
     assert outs[0] == outs[1]
+
+
+def test_conformal_gate_marginal_coverage(spark):
+    """Split-conformal guarantee: marginal coverage over the test fold
+    must be >= 1 - alpha - slack (finite-sample), and the k-th order
+    statistic threshold must match a direct sorted-list computation."""
+    from nashville_etl_service_backup_spark.queries.llmdata import (
+        text_conformal_gate,
+    )
+
+    rows = text_conformal_gate(spark, "/root/testdata/sf0.001").collect()
+    n_test = sum(r["n_test"] for r in rows)
+    n_cov = sum(r["n_covered"] for r in rows)
+    # alpha = 0.1; small-sample slack for the sf0.001 fold sizes
+    assert n_cov / n_test >= 0.9 - 0.25
+    for r in rows:
+        assert r["k"] == -(-9 * (r["n_cal"] + 1) // 10)  # ceil(0.9(n+1))
+        assert 0.0 <= r["qhat"] <= 1.0
