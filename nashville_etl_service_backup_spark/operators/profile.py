@@ -300,3 +300,48 @@ def fd_violations(
         "violations",
         (F.col("violations") == 0).cast("int").alias("ok"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Privacy re-identification audit (Sweeney 2002 k-anonymity;
+    Machanavajjhala et al. 2007 l-diversity): group by the
+    quasi-identifier columns and report, in ONE summary row,
+
+      n_rows / n_groups,
+      k_anon        : the smallest equivalence-class size (the dataset
+                      is k-anonymous for this k),
+      rows_lt_k     : rows in classes smaller than `k` (re-identifiable
+                      under the chosen threshold) and their share,
+      l_div_min     : the smallest per-class count of distinct
+                      sensitive values,
+      rows_l1       : rows in classes with a SINGLE sensitive value
+                      (attribute disclosure even without
+                      re-identification).
+
+    The release gate a training-data pipeline runs before publishing
+    joinable metadata — the structural complement of the regex PII
+    scrub (text_pii_scrub). Two map-side-combinable shuffles: the QI
+    groupBy (count + count-distinct ride one Expand pass) and the
+    single-row summary."""
+    g = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col(sensitive_col)).alias("l"),
+    )
+    lt = F.when(F.col("n") < k, F.col("n")).otherwise(F.lit(0))
+    l1 = F.when(F.col("l") < 2, F.col("n")).otherwise(F.lit(0))
+    return g.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("n").alias("k_anon"),
+        F.sum(lt).alias("rows_lt_k"),
+        F.round(
+            F.sum(lt).cast("double") / F.sum("n").cast("double"), 6
+        ).alias("pct_lt_k"),
+        F.min("l").alias("l_div_min"),
+        F.sum(l1).alias("rows_l1"),
+    )

@@ -2323,3 +2323,45 @@ ORDER BY dist
 
 
 ORACLES["q_bfs_hops"] = _bfs_oracle()
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit (operators/profile.py
+    k_anonymity) of the customer table under the (nation, market
+    segment) quasi-identifier with account-balance sign as the
+    sensitive attribute, k = 10 — the privacy gate a pipeline runs on
+    joinable metadata before release, next to the text-side PII scrub."""
+    from nashville_etl_service_backup_spark.operators.profile import (
+        k_anonymity,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .otherwise(F.lit("nonneg"))
+        .alias("bal_sign"),
+    )
+    return k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_sign", k=10
+    )
+
+
+QUERIES["q_k_anonymity"] = q_k_anonymity
+
+ORACLES["q_k_anonymity"] = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+    COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+      ELSE 'nonneg' END) AS l
+  FROM customer GROUP BY 1, 2)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+  COUNT(*) AS n_groups,
+  MIN(n) AS k_anon,
+  CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS rows_lt_k,
+  ROUND(CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE)
+    /CAST(SUM(n) AS DOUBLE), 6) AS pct_lt_k,
+  MIN(l) AS l_div_min,
+  CAST(SUM(CASE WHEN l < 2 THEN n ELSE 0 END) AS BIGINT) AS rows_l1
+FROM g
+"""

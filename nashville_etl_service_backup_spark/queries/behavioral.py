@@ -673,3 +673,126 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
 }
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier estimate of time-to-first-purchase (Kaplan & Meier
+    1958) — the censoring-aware upgrade of q_time_to_convert, which
+    silently drops never-converters: t = days from a user's first
+    event to their first purchase; users with no purchase are RIGHT-
+    CENSORED at the corpus end (their conversion time is only known to
+    exceed the observation window). Per distinct t: the risk set size
+    (a cumulative window over the tiny duration histogram — never the
+    event table), conversions d, censored exits, the hazard
+    d/n_at_risk, and the product-limit survival Π(1 − d/n) evaluated
+    as exp of an exact-decimal sum of round-6 ln factors (the BM25 ln
+    device; an explicit zero-factor flag handles S → 0 exactly).
+    100 TB shape: one per-user conditional min/max aggregate over the
+    scan, then every window runs on the ≤|days| histogram rows."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        (F.col("event_type") == "purchase").alias("is_p"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_d"),
+        F.min(F.when(F.col("is_p"), F.col("day"))).alias("conv_d"),
+    )
+    maxd = ev.agg(F.max("day").alias("max_d"))
+    u = per_user.crossJoin(F.broadcast(maxd)).select(
+        F.when(
+            F.col("conv_d").isNotNull(),
+            F.datediff("conv_d", "first_d"),
+        )
+        .otherwise(F.datediff("max_d", "first_d"))
+        .alias("t"),
+        F.col("conv_d").isNotNull().cast("int").alias("ev"),
+    )
+    h = u.groupBy("t").agg(
+        F.sum("ev").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).alias("c"),
+    )
+    tot = u.agg(F.count(F.lit(1)).alias("n_tot"))
+    wprev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcur = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    base = h.crossJoin(F.broadcast(tot)).withColumn(
+        "n_at_risk",
+        F.col("n_tot")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)),
+    )
+    dd = F.col("d").cast("double")
+    nn = F.col("n_at_risk").cast("double")
+    base = base.withColumn(
+        "lnf",
+        F.when(
+            F.col("d") < F.col("n_at_risk"),
+            F.round(F.log(F.lit(1.0) - dd / nn), 6),
+        ),
+    ).withColumn(
+        "zero",
+        F.max(
+            F.when(F.col("d") >= F.col("n_at_risk"), 1).otherwise(0)
+        ).over(wcur),
+    )
+    surv = F.when(F.col("zero") == 1, F.lit(0.0)).otherwise(
+        F.round(
+            F.exp(
+                F.sum(F.col("lnf").cast("decimal(28,6)"))
+                .over(wcur)
+                .cast("double")
+            ),
+            6,
+        )
+    )
+    return base.select(
+        F.col("t").alias("days_to_convert"),
+        "n_at_risk",
+        F.col("d").alias("n_converted"),
+        F.col("c").alias("n_censored"),
+        F.round(dd / nn, 6).alias("hazard"),
+        surv.alias("survival"),
+    ).orderBy("days_to_convert")
+
+
+QUERIES["q_survival_km"] = q_survival_km
+
+ORACLES["q_survival_km"] = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+  event_type = 'purchase' AS is_p FROM events),
+pu AS (SELECT user_id, MIN(day) AS first_d,
+  MIN(CASE WHEN is_p THEN day END) AS conv_d FROM ev GROUP BY 1),
+mx AS (SELECT MAX(day) AS max_d FROM ev),
+u AS (SELECT CASE WHEN conv_d IS NOT NULL
+    THEN date_diff('day', first_d, conv_d)
+    ELSE date_diff('day', first_d, max_d) END AS t,
+  CASE WHEN conv_d IS NOT NULL THEN 1 ELSE 0 END AS e
+ FROM pu, mx),
+h AS (SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+  CAST(SUM(1 - e) AS BIGINT) AS c FROM u GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_tot FROM u),
+b AS (SELECT t, d, c,
+  n_tot - COALESCE(SUM(d + c) OVER (ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+ FROM h, tot),
+b2 AS (SELECT t, d, c, n_at_risk,
+  CASE WHEN d < n_at_risk
+    THEN ROUND(LN(1.0 - CAST(d AS DOUBLE)/CAST(n_at_risk AS DOUBLE)), 6)
+  END AS lnf,
+  MAX(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zero
+ FROM b),
+b3 AS (SELECT t, d, c, n_at_risk, zero,
+  CAST(SUM(CAST(lnf AS DECIMAL(28,6))) OVER (ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS ls
+ FROM b2)
+SELECT t AS days_to_convert,
+  CAST(n_at_risk AS BIGINT) AS n_at_risk,
+  d AS n_converted, c AS n_censored,
+  ROUND(CAST(d AS DOUBLE)/CAST(n_at_risk AS DOUBLE), 6) AS hazard,
+  CASE WHEN zero = 1 THEN 0.0 ELSE ROUND(EXP(ls), 6) END AS survival
+FROM b3 ORDER BY days_to_convert
+"""

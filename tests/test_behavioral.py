@@ -126,3 +126,46 @@ def test_time_to_convert_counts_cross_check(spark):
     assert all(r["p25_sec"] <= r["p50_sec"] <= r["p90_sec"]
                for r in got.values())
     assert all(r["p25_sec"] > 0 for r in got.values())
+
+
+def test_survival_km_invariants(spark):
+    """Risk set telescopes, survival equals the running product of
+    (1 - hazard) within rounding, and is monotone nonincreasing."""
+    from nashville_etl_service_backup_spark.queries.behavioral import (
+        q_survival_km,
+    )
+
+    rows = q_survival_km(spark, "/root/testdata/sf0.001").orderBy(
+        "days_to_convert"
+    ).collect()
+    assert rows, "empty survival table"
+    n0 = rows[0]["n_at_risk"]
+    assert n0 == sum(r["n_converted"] + r["n_censored"] for r in rows)
+    prod, prev_s, at_risk = 1.0, 1.0, n0
+    for r in rows:
+        assert r["n_at_risk"] == at_risk
+        at_risk -= r["n_converted"] + r["n_censored"]
+        assert abs(r["hazard"] - r["n_converted"] / r["n_at_risk"]) < 1e-5
+        prod *= 1.0 - r["n_converted"] / r["n_at_risk"]
+        assert abs(r["survival"] - prod) < 1e-4
+        assert r["survival"] <= prev_s + 1e-9
+        prev_s = r["survival"]
+
+
+def test_k_anonymity_toy(spark):
+    from nashville_etl_service_backup_spark.operators.profile import (
+        k_anonymity,
+    )
+
+    rows = (
+        [("us", "a", "x")] * 5          # group of 5, single sensitive
+        + [("us", "b", "x"), ("us", "b", "y")]  # group of 2, l=2
+        + [("de", "a", "x")]            # singleton, l=1
+    )
+    df = spark.createDataFrame(rows, "nat string, seg string, s string")
+    out = k_anonymity(df, ["nat", "seg"], "s", k=3).collect()[0]
+    assert out["n_rows"] == 8 and out["n_groups"] == 3
+    assert out["k_anon"] == 1          # the singleton
+    assert out["rows_lt_k"] == 3       # the 2-group + the singleton
+    assert out["l_div_min"] == 1
+    assert out["rows_l1"] == 6         # 5-group + singleton
