@@ -796,3 +796,157 @@ SELECT t AS days_to_convert,
   CASE WHEN zero = 1 THEN 0.0 ELSE ROUND(EXP(ls), 6) END AS survival
 FROM b3 ORDER BY days_to_convert
 """
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over purchase events: per-user
+    recency (days since last purchase at corpus end), frequency
+    (purchase count), monetary (exact decimal value sum), quintile
+    scores assigned by BINNING AGAINST BROADCAST PERCENTILE EDGES
+    (p20/p40/p60/p80 from one aggregate over the per-user table —
+    never an ntile global sort over users, which a 100 TB user base
+    would pay for), and the classic named segments (champions /
+    loyal / at-risk / hibernating) as deterministic CASE rules.
+    Spark `percentile` and DuckDB `quantile_cont` share the p·(n−1)
+    interpolation (q_percentiles precedent); edges and metrics are
+    round-6 and bin comparisons strict, so both engines segment
+    identically."""
+    ev = load(spark, sf_dir, "events")
+    maxd = ev.agg(F.max(F.to_date("ts")).alias("max_d"))
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(
+                F.sum(
+                    F.round(F.col("value"), 6).cast("decimal(18,6)")
+                ).cast("double"),
+                6,
+            ).alias("money"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "user_id",
+            F.datediff("max_d", "last_d").cast("double").alias("rec"),
+            F.col("freq").cast("double").alias("freq"),
+            "money",
+        )
+    )
+    qs = F.lit([0.2, 0.4, 0.6, 0.8])
+    edges = pu.agg(
+        *[
+            F.round(
+                F.element_at(F.percentile(m, qs), i), 6
+            ).alias(f"{m}_e{i}")
+            for m in ("rec", "freq", "money")
+            for i in range(1, 5)
+        ]
+    )
+
+    def score(m: str) -> F.Column:
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + (F.col(m) > F.col(f"{m}_e{i}")).cast("int")
+        return s
+
+    scored = pu.crossJoin(F.broadcast(edges)).select(
+        "user_id",
+        "money",
+        (F.lit(6) - score("rec")).alias("r_score"),
+        score("freq").alias("f_score"),
+        score("money").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            F.lit("champions"),
+        )
+        .when(
+            (F.col("r_score") >= 3) & (F.col("f_score") >= 3),
+            F.lit("loyal"),
+        )
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") >= 3),
+            F.lit("at_risk"),
+        )
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+            F.lit("hibernating"),
+        )
+        .otherwise(F.lit("other"))
+    )
+    return (
+        scored.withColumn("segment", seg)
+        .groupBy("segment", "r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum(
+                    F.round(F.col("money"), 6).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_monetary"),
+        )
+        .orderBy("segment", "r_score", "f_score", "m_score")
+    )
+
+
+QUERIES["q_rfm_segments"] = q_rfm_segments
+
+ORACLES["q_rfm_segments"] = """
+WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events),
+pu AS (SELECT user_id,
+  CAST(date_diff('day', MAX(CAST(ts AS DATE)), ANY_VALUE(mx.max_d))
+    AS DOUBLE) AS rec,
+  CAST(COUNT(*) AS DOUBLE) AS freq,
+  ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
+    AS money
+ FROM events, mx WHERE event_type = 'purchase' GROUP BY user_id),
+e AS (SELECT
+  ROUND(quantile_cont(rec, 0.2), 6) AS rec_e1,
+  ROUND(quantile_cont(rec, 0.4), 6) AS rec_e2,
+  ROUND(quantile_cont(rec, 0.6), 6) AS rec_e3,
+  ROUND(quantile_cont(rec, 0.8), 6) AS rec_e4,
+  ROUND(quantile_cont(freq, 0.2), 6) AS freq_e1,
+  ROUND(quantile_cont(freq, 0.4), 6) AS freq_e2,
+  ROUND(quantile_cont(freq, 0.6), 6) AS freq_e3,
+  ROUND(quantile_cont(freq, 0.8), 6) AS freq_e4,
+  ROUND(quantile_cont(money, 0.2), 6) AS money_e1,
+  ROUND(quantile_cont(money, 0.4), 6) AS money_e2,
+  ROUND(quantile_cont(money, 0.6), 6) AS money_e3,
+  ROUND(quantile_cont(money, 0.8), 6) AS money_e4
+ FROM pu),
+s AS (SELECT user_id, money,
+  6 - (1 + CASE WHEN rec > rec_e1 THEN 1 ELSE 0 END
+         + CASE WHEN rec > rec_e2 THEN 1 ELSE 0 END
+         + CASE WHEN rec > rec_e3 THEN 1 ELSE 0 END
+         + CASE WHEN rec > rec_e4 THEN 1 ELSE 0 END) AS r_score,
+  1 + CASE WHEN freq > freq_e1 THEN 1 ELSE 0 END
+    + CASE WHEN freq > freq_e2 THEN 1 ELSE 0 END
+    + CASE WHEN freq > freq_e3 THEN 1 ELSE 0 END
+    + CASE WHEN freq > freq_e4 THEN 1 ELSE 0 END AS f_score,
+  1 + CASE WHEN money > money_e1 THEN 1 ELSE 0 END
+    + CASE WHEN money > money_e2 THEN 1 ELSE 0 END
+    + CASE WHEN money > money_e3 THEN 1 ELSE 0 END
+    + CASE WHEN money > money_e4 THEN 1 ELSE 0 END AS m_score
+ FROM pu, e)
+SELECT CASE
+    WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+      THEN 'champions'
+    WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+    WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+    ELSE 'other' END AS segment,
+  CAST(r_score AS INTEGER) AS r_score,
+  CAST(f_score AS INTEGER) AS f_score,
+  CAST(m_score AS INTEGER) AS m_score,
+  COUNT(*) AS n_users,
+  ROUND(CAST(SUM(CAST(ROUND(money, 6) AS DECIMAL(18,6))) AS DOUBLE)
+    /COUNT(*), 6) AS avg_monetary
+FROM s GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+"""

@@ -169,3 +169,22 @@ def test_k_anonymity_toy(spark):
     assert out["rows_lt_k"] == 3       # the 2-group + the singleton
     assert out["l_div_min"] == 1
     assert out["rows_l1"] == 6         # 5-group + singleton
+
+
+def test_rfm_scores_and_rules(spark):
+    from nashville_etl_service_backup_spark.queries.behavioral import (
+        q_rfm_segments,
+    )
+
+    rows = q_rfm_segments(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        if r["segment"] == "champions":
+            assert (
+                r["r_score"] >= 4 and r["f_score"] >= 4 and r["m_score"] >= 4
+            )
+        if r["segment"] == "hibernating":
+            assert r["r_score"] <= 2 and r["f_score"] <= 2
