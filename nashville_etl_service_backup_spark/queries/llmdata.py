@@ -4194,3 +4194,115 @@ FROM cft GROUP BY label ORDER BY label
 
 
 ORACLES["text_conformal_gate"] = _conformal_oracle()
+
+
+def sim_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based (simplified) silhouette audit of the IVF k-means
+    clustering (Rousseeuw 1987; the medoid-free variant every
+    large-scale library ships): per vector, a = cosine distance to its
+    OWN centroid and b = distance to the nearest OTHER centroid — read
+    off the SAME |vectors|×k broadcast-cosine pass the quantizer's
+    assignment uses (one row_number window per vector, no second scan)
+    — then s = (b − a)/max(a, b), aggregated per cluster with exact
+    decimal sums. The is-k-right / are-clusters-real diagnostic a
+    pipeline runs before trusting IVF routing or SemDeDup pruning at
+    100 TB. The oracle replays the k-means chain (shared
+    `_kmeans_chain` unroll) and the same window, hash-matching
+    bitwise."""
+    from pyspark.sql.window import Window
+
+    from nashville_etl_service_backup_spark.operators import (
+        release_persisted,  # noqa: F401  (kmeans persists its pts)
+        track_persist,
+    )
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        as_double,
+        dot_unrolled,
+        kmeans_centroids,
+        norm_unrolled,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cents = kmeans_centroids(base, n_centroids=16, iters=1, dim=64)
+    e = base.withColumn("_nv", norm_unrolled(F.col("v"), 64))
+    c = cents.withColumn("_nc", norm_unrolled(F.col("cv"), 64))
+    pairs = e.crossJoin(F.broadcast(c)).withColumn(
+        "_c",
+        dot_unrolled(F.col("v"), F.col("cv"), 64)
+        / (F.col("_nv") * F.col("_nc")),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("_c"), F.desc("cent_id")
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).select(
+        "vec_id",
+        "cent_id",
+        F.round(F.lit(1.0) - F.col("_c"), 6).alias("dist"),
+        "rn",
+    )
+    rn = F.col("rn")
+    pv = ranked.groupBy("vec_id").agg(
+        F.max(F.when(rn == 1, F.col("cent_id"))).alias("cluster"),
+        F.max(F.when(rn == 1, F.col("dist"))).alias("a"),
+        F.min(F.when(rn > 1, F.col("dist"))).alias("b"),
+    )
+    g = F.greatest(F.col("a"), F.col("b"))
+    sv = pv.withColumn(
+        "sil",
+        F.when(g > 0, F.round((F.col("b") - F.col("a")) / g, 6)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+
+    def davg6(col: str, alias: str):
+        return F.round(
+            F.sum(F.col(col).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias(alias)
+
+    return (
+        sv.groupBy(F.col("cluster").alias("cent_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            davg6("sil", "avg_silhouette"),
+            davg6("a", "avg_intra"),
+            davg6("b", "avg_nearest_other"),
+        )
+        .orderBy("cent_id")
+    )
+
+
+QUERIES["sim_cluster_silhouette"] = sim_cluster_silhouette
+
+ORACLES["sim_cluster_silhouette"] = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+base AS (SELECT * FROM v),
+cents0 AS (
+  SELECT vec_id AS cent_id, list_transform(v, x -> round(x, 6)) AS cv
+  FROM base WHERE vec_id < 16){_kmeans_chain(1)},
+ranked AS (SELECT vec_id, cent_id, ROUND(1.0 - c, 6) AS dist,
+  ROW_NUMBER() OVER (PARTITION BY vec_id
+    ORDER BY c DESC, cent_id DESC) AS rn FROM fac),
+pv AS (SELECT vec_id,
+  MAX(CASE WHEN rn = 1 THEN cent_id END) AS cluster,
+  MAX(CASE WHEN rn = 1 THEN dist END) AS a,
+  MIN(CASE WHEN rn > 1 THEN dist END) AS b
+ FROM ranked GROUP BY 1),
+sv AS (SELECT cluster, a, b,
+  CASE WHEN GREATEST(a, b) > 0
+    THEN ROUND((b - a)/GREATEST(a, b), 6) ELSE 0.0 END AS sil
+ FROM pv)
+SELECT cluster AS cent_id, COUNT(*) AS n_vecs,
+  ROUND(CAST(SUM(CAST(sil AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*), 6)
+    AS avg_silhouette,
+  ROUND(CAST(SUM(CAST(a AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*), 6)
+    AS avg_intra,
+  ROUND(CAST(SUM(CAST(b AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*), 6)
+    AS avg_nearest_other
+FROM sv GROUP BY 1 ORDER BY 1
+"""

@@ -424,3 +424,20 @@ def test_jl_topk_recall_vs_bruteforce(spark):
     g = {r["vec_id"]: r["cosine"] for r in jl_topk(base, query, k=10).collect()}
     for vid in truth & got:
         assert t[vid] == g[vid]
+
+
+def test_silhouette_crisp_vs_weak_clusters(spark):
+    """Simplified silhouette should approach 1 on well-separated
+    clusters; the real-embedding query reports per-cluster means that
+    must sit in [-1, 1] with b >= a for the assigned centroid."""
+    from nashville_etl_service_backup_spark.queries.llmdata import (
+        sim_cluster_silhouette,
+    )
+
+    rows = sim_cluster_silhouette(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["avg_silhouette"] <= 1.0
+        # by construction the own centroid is the max-cosine one, so the
+        # nearest-other distance can never be smaller on average
+        assert r["avg_nearest_other"] >= r["avg_intra"] - 1e-9
