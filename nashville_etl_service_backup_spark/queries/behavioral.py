@@ -950,3 +950,113 @@ SELECT CASE
     /COUNT(*), 6) AS avg_monetary
 FROM s GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
 """
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution of purchase value to the
+    touch events preceding it: for every purchase, the same user's
+    non-purchase events in the prior 7 days are its touches; value is
+    credited per event type under THREE models at once — linear (value
+    / n_touches per touch), first-touch, last-touch (min/max struct
+    over (ts, type): among duplicate touches the pick is ambiguous but
+    the per-type aggregate is not). The touch join is the watermarked
+    stream-stream attribution join's batch twin: an equi-join on
+    user_id with a range conjunct, never a cross product; credits are
+    round-6 decimal sums so the split is exact. Output: per event
+    type, touches, attributed value under each model."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("ets"),
+        F.col("value").alias("v"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ets").alias("p_ts"),
+        F.round(F.col("v"), 6).alias("p_val"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase")
+    j = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("ets") < F.col("p_ts"))
+        & (F.col("ets") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    per_p = j.groupBy("p_user", "p_ts", "p_val").agg(
+        F.count(F.lit(1)).alias("n_touch"),
+        F.min(F.struct(F.col("ets"), F.col("event_type"))).alias("ft"),
+        F.max(F.struct(F.col("ets"), F.col("event_type"))).alias("lt"),
+    )
+    lin = (
+        j.join(
+            F.broadcast(
+                per_p.select("p_user", "p_ts", "n_touch")
+            ),
+            ["p_user", "p_ts"],
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(
+                F.round(
+                    F.col("p_val") / F.col("n_touch").cast("double"), 6
+                ).cast("decimal(28,6)")
+            ).alias("_lin"),
+        )
+    )
+    first = per_p.groupBy(F.col("ft.event_type").alias("event_type")).agg(
+        F.sum(F.col("p_val").cast("decimal(28,6)")).alias("_first")
+    )
+    last = per_p.groupBy(F.col("lt.event_type").alias("event_type")).agg(
+        F.sum(F.col("p_val").cast("decimal(28,6)")).alias("_last")
+    )
+    return (
+        lin.join(first, "event_type", "left")
+        .join(last, "event_type", "left")
+        .select(
+            "event_type",
+            "n_touches",
+            F.round(F.col("_lin").cast("double"), 2).alias("linear_value"),
+            F.round(
+                F.coalesce(F.col("_first"), F.lit(0)).cast("double"), 2
+            ).alias("first_touch_value"),
+            F.round(
+                F.coalesce(F.col("_last"), F.lit(0)).cast("double"), 2
+            ).alias("last_touch_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q_attribution"] = q_attribution
+
+ORACLES["q_attribution"] = """
+WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ets,
+  value AS v FROM events),
+p AS (SELECT user_id AS p_user, ets AS p_ts, ROUND(v, 6) AS p_val
+ FROM ev WHERE event_type = 'purchase'),
+t AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+j AS (SELECT p.p_user, p.p_ts, p.p_val, t.event_type, t.ets
+ FROM p JOIN t ON p.p_user = t.user_id
+  AND t.ets < p.p_ts AND t.ets >= p.p_ts - INTERVAL 7 DAY),
+per_p AS (SELECT p_user, p_ts, p_val, COUNT(*) AS n_touch,
+  MIN({'ts': ets, 'et': event_type}) AS ft,
+  MAX({'ts': ets, 'et': event_type}) AS lt
+ FROM j GROUP BY 1, 2, 3),
+lin AS (SELECT j.event_type, COUNT(*) AS n_touches,
+  SUM(CAST(ROUND(j.p_val/CAST(pp.n_touch AS DOUBLE), 6)
+    AS DECIMAL(28,6))) AS _lin
+ FROM j JOIN per_p pp ON j.p_user = pp.p_user AND j.p_ts = pp.p_ts
+ GROUP BY 1),
+f AS (SELECT ft.et AS event_type,
+  SUM(CAST(p_val AS DECIMAL(28,6))) AS _first FROM per_p GROUP BY 1),
+l AS (SELECT lt.et AS event_type,
+  SUM(CAST(p_val AS DECIMAL(28,6))) AS _last FROM per_p GROUP BY 1)
+SELECT lin.event_type, n_touches,
+  ROUND(CAST(_lin AS DOUBLE), 2) AS linear_value,
+  ROUND(CAST(COALESCE(_first, 0) AS DOUBLE), 2) AS first_touch_value,
+  ROUND(CAST(COALESCE(_last, 0) AS DOUBLE), 2) AS last_touch_value
+FROM lin LEFT JOIN f ON lin.event_type = f.event_type
+LEFT JOIN l ON lin.event_type = l.event_type
+ORDER BY lin.event_type
+"""

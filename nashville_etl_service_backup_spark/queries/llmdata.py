@@ -4306,3 +4306,234 @@ SELECT cluster AS cent_id, COUNT(*) AS n_vecs,
     AS avg_nearest_other
 FROM sv GROUP BY 1 ORDER BY 1
 """
+
+
+def text_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the
+    trained quality classifier (Guo et al. 2017 ECE formulation): the
+    round-6 scores bin into 10 fixed-width buckets via exact binary
+    bin math (CAST(FLOOR(score·10)) capped at 9 — the verify-notes
+    device, no decimal-tie ROUND), and each bucket reports its mean
+    predicted score vs observed positive rate (exact decimal sums)
+    plus the |gap|; ece carries the n-weighted |gap| so the whole
+    diagram is one combinable aggregate over the scored frame. The
+    is-the-score-a-probability audit that decides whether a curation
+    threshold like p ≥ 0.5 means what it claims."""
+    from nashville_etl_service_backup_spark.operators import track_persist
+
+    scored = track_persist(text_quality_classifier(spark, sf_dir))
+    b = F.least(
+        F.floor(F.col("score") * 10).cast("int"), F.lit(9)
+    )
+    per = scored.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_score"),
+        F.round(
+            F.sum(F.col("label")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("pos_rate"),
+    )
+    per = per.withColumn(
+        "gap", F.round(F.abs(F.col("avg_score") - F.col("pos_rate")), 6)
+    )
+    tot = per.agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("n").cast("double") * F.col("gap"), 6
+                ).cast("decimal(28,6)")
+            ).cast("double")
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("ece")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select("bin", "n", "avg_score", "pos_rate", "gap", "ece")
+        .orderBy("bin")
+    )
+
+
+QUERIES["text_calibration_curve"] = text_calibration_curve
+
+
+def _calibration_oracle() -> str:
+    base = _qc_oracle()
+    head = base[: base.index("nn AS MATERIALIZED (")].rstrip().rstrip(",")
+    from nashville_etl_service_backup_spark.operators.ml import (
+        logreg_oracle_ctes,
+        logreg_oracle_score_sql,
+    )
+
+    ctes, wname = logreg_oracle_ctes(
+        ["x1", "x2", "x3"], "y", iterations=8, lr=4.0
+    )
+    p = logreg_oracle_score_sql(["x1", "x2", "x3"], wname)
+    return f"""{head},
+{ctes},
+scored AS (SELECT CAST(f.y AS INT) AS label, ROUND({p}, 6) AS score
+ FROM f, {wname} w),
+per AS (SELECT LEAST(CAST(FLOOR(score*10) AS INTEGER), 9) AS bin,
+  COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*), 6)
+    AS avg_score,
+  ROUND(CAST(SUM(label) AS DOUBLE)/COUNT(*), 6) AS pos_rate
+ FROM scored GROUP BY 1),
+per2 AS (SELECT bin, n, avg_score, pos_rate,
+  ROUND(ABS(avg_score - pos_rate), 6) AS gap FROM per),
+tot AS (SELECT ROUND(CAST(SUM(CAST(ROUND(CAST(n AS DOUBLE)*gap, 6)
+    AS DECIMAL(28,6))) AS DOUBLE)/CAST(SUM(n) AS DOUBLE), 6) AS ece
+ FROM per2)
+SELECT bin, n, avg_score, pos_rate, gap, ece
+FROM per2, tot ORDER BY bin
+"""
+
+
+ORACLES["text_calibration_curve"] = _calibration_oracle()
+
+
+def text_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling plan (Neyman 1934): a
+    100-document annotation budget split across language strata
+    proportionally to N_h·s_h (stratum size × token-count std — the
+    allocation that minimizes estimator variance), vs the naive
+    proportional split. Stds are exact decimal moments; allocations
+    are deterministic floors of round-6 shares; the DRAW is the
+    engine-portable md5 rank within each stratum (row_number over
+    md5(doc_id) — the split_assign determinism device, no RNG), so
+    both engines select byte-identical samples. Output per lang:
+    population, std, both allocations, docs actually drawn, and the
+    drawn sample's exact mean token count for comparison. One
+    moments aggregate + one per-stratum window over the rank.
+    """
+    from pyspark.sql.window import Window
+
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        quality_features,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    qf = quality_features(F.col("text"))
+    d = docs.select(
+        "doc_id", "lang", qf["n_tokens"].cast("long").alias("nt")
+    )
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(F.col("nt").cast("decimal(28,6)")).alias("s1"),
+        F.sum((F.col("nt") * F.col("nt")).cast("decimal(38,6)")).alias(
+            "s2"
+        ),
+    )
+    nh = F.col("n_h").cast("double")
+    sd = F.round(
+        F.sqrt(
+            F.greatest(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1").cast("double")
+                    / nh
+                )
+                / nh,
+                F.lit(0.0),
+            )
+        ),
+        6,
+    )
+    g = g.select("lang", "n_h", sd.alias("s_h"))
+    totals = g.agg(
+        F.sum("n_h").alias("n_tot"),
+        F.sum(
+            F.round(nh * F.col("s_h"), 6).cast("decimal(28,6)")
+        ).alias("w_tot"),
+    )
+    alloc = g.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_h",
+        "s_h",
+        F.floor(
+            F.lit(100.0)
+            * F.round(nh * F.col("s_h"), 6)
+            / F.col("w_tot").cast("double")
+        )
+        .cast("long")
+        .alias("neyman_n"),
+        F.floor(
+            F.lit(100.0) * nh / F.col("n_tot").cast("double")
+        )
+        .cast("long")
+        .alias("proportional_n"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.withColumn("rk", F.row_number().over(w)).join(
+        F.broadcast(alloc.select("lang", "neyman_n")), "lang"
+    )
+    drawn = (
+        ranked.filter(F.col("rk") <= F.col("neyman_n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_drawn"),
+            F.round(
+                F.sum(F.col("nt").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("drawn_mean_tokens"),
+        )
+    )
+    return (
+        alloc.join(drawn, "lang", "left")
+        .select(
+            "lang",
+            "n_h",
+            "s_h",
+            "neyman_n",
+            "proportional_n",
+            F.coalesce(F.col("n_drawn"), F.lit(0)).alias("n_drawn"),
+            "drawn_mean_tokens",
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["text_neyman_sample"] = text_neyman_sample
+
+ORACLES["text_neyman_sample"] = f"""
+WITH d AS (SELECT doc_id, lang, len({_TOKS_O}) AS nt FROM documents),
+g0 AS (SELECT lang, COUNT(*) AS n_h,
+  SUM(CAST(nt AS DECIMAL(28,6))) AS s1,
+  SUM(CAST(nt * nt AS DECIMAL(38,6))) AS s2
+ FROM d GROUP BY 1),
+g AS (SELECT lang, n_h,
+  ROUND(SQRT(GREATEST((CAST(s2 AS DOUBLE)
+    - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n_h AS DOUBLE))
+    /CAST(n_h AS DOUBLE), 0.0)), 6) AS s_h
+ FROM g0),
+tt AS (SELECT CAST(SUM(n_h) AS BIGINT) AS n_tot,
+  SUM(CAST(ROUND(CAST(n_h AS DOUBLE)*s_h, 6) AS DECIMAL(28,6)))
+    AS w_tot FROM g),
+alloc AS (SELECT lang, n_h, s_h,
+  CAST(FLOOR(100.0*ROUND(CAST(n_h AS DOUBLE)*s_h, 6)
+    /CAST(w_tot AS DOUBLE)) AS BIGINT) AS neyman_n,
+  CAST(FLOOR(100.0*CAST(n_h AS DOUBLE)/CAST(n_tot AS DOUBLE))
+    AS BIGINT) AS proportional_n
+ FROM g, tt),
+rk AS (SELECT d.*, ROW_NUMBER() OVER (PARTITION BY lang
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM d),
+drawn AS (SELECT rk.lang, COUNT(*) AS n_drawn,
+  ROUND(CAST(SUM(CAST(nt AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*), 6)
+    AS drawn_mean_tokens
+ FROM rk JOIN alloc ON rk.lang = alloc.lang
+ WHERE rk.rk <= alloc.neyman_n GROUP BY 1)
+SELECT a.lang, CAST(a.n_h AS BIGINT) AS n_h, a.s_h, a.neyman_n,
+  a.proportional_n,
+  CAST(COALESCE(dr.n_drawn, 0) AS BIGINT) AS n_drawn,
+  dr.drawn_mean_tokens
+FROM alloc a LEFT JOIN drawn dr ON a.lang = dr.lang
+ORDER BY a.lang
+"""

@@ -188,3 +188,32 @@ def test_rfm_scores_and_rules(spark):
             )
         if r["segment"] == "hibernating":
             assert r["r_score"] <= 2 and r["f_score"] <= 2
+
+
+def test_attribution_models_conserve_value(spark):
+    """Every purchase with >=1 touch distributes exactly its value in
+    each model, so the three per-type totals must agree globally."""
+    from nashville_etl_service_backup_spark.queries.behavioral import (
+        q_attribution,
+    )
+
+    rows = q_attribution(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    lin = sum(r["linear_value"] for r in rows)
+    ft = sum(r["first_touch_value"] for r in rows)
+    lt = sum(r["last_touch_value"] for r in rows)
+    # linear credits are per-touch rounded; allow cent-level slack
+    assert abs(lin - ft) < max(0.01 * len(rows) * 100, 5.0)
+    assert abs(ft - lt) < 1e-6
+
+
+def test_neyman_allocation_favors_variable_strata(spark):
+    from nashville_etl_service_backup_spark.queries.llmdata import (
+        text_neyman_sample,
+    )
+
+    rows = text_neyman_sample(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_drawn"] == min(r["neyman_n"], r["n_h"])
+        assert r["neyman_n"] <= 100 and r["proportional_n"] <= 100

@@ -374,3 +374,18 @@ def test_conformal_gate_marginal_coverage(spark):
     for r in rows:
         assert r["k"] == -(-9 * (r["n_cal"] + 1) // 10)  # ceil(0.9(n+1))
         assert 0.0 <= r["qhat"] <= 1.0
+
+
+def test_calibration_curve_ece_consistency(spark):
+    from nashville_etl_service_backup_spark.queries.llmdata import (
+        text_calibration_curve,
+    )
+
+    rows = text_calibration_curve(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    n_tot = sum(r["n"] for r in rows)
+    ece = sum(r["n"] * r["gap"] for r in rows) / n_tot
+    for r in rows:
+        assert abs(r["gap"] - abs(r["avg_score"] - r["pos_rate"])) < 2e-6
+        assert abs(r["ece"] - ece) < 1e-4
+        assert 0 <= r["bin"] <= 9
