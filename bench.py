@@ -129,6 +129,21 @@ HEADLINE = [
     "q_grouped_topk",
     "q_rank_variants",
     "dedup_recall_audit",
+    "text_nb_lang",
+    "text_conformal_gate",
+    "sim_cluster_silhouette",
+    "text_calibration_curve",
+    "text_neyman_sample",
+    "q_survival_km",
+    "q_rfm_segments",
+    "q_attribution",
+    "q_ols_revenue",
+    "q_cusum_shift",
+    "q_bfs_hops",
+    "q_k_anonymity",
+    "text_lift_gains",
+    "q_bootstrap_ci",
+    "sim_pca_power",
 ]
 
 

@@ -849,3 +849,139 @@ def jl_topk(
         .limit(k)
         .select(id_col, *extra_cols, F.round("_cos", 4).alias("cosine"))
     )
+
+
+def pca_power_top1(
+    vecs: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 8,
+) -> DataFrame:
+    """Top principal direction of the (uncentered) second-moment
+    matrix of an embedding corpus by POWER ITERATION, trained entirely
+    in-engine — the dimensionality-reduction rung of the embedding
+    pipeline (whiten / compress before ANN; complements sim_ann_jl's
+    data-oblivious random projection with the data-ADAPTIVE axis).
+    Uncentered (Gram / corpus second moment) rather than covariance:
+    embeddings are approximately centered by construction and skipping
+    the mean removes a cross-engine-inexact division; the result is
+    the classic "PCA on the Gram" used for embedding compression.
+
+    Training math, engine-exact at every step:
+      1. G = Σ_docs x xᵀ with components rounded to 6dp and multiplied
+         as DECIMAL(8,6) — each G_ij is an exact, order-independent
+         decimal sum (one posexplode of the per-doc flat outer-product
+         array into a dim²-group map-side-combinable aggregate).
+      2. The dim² sums collapse into ONE ROW holding G as
+         array<array<double>> (ordered collect — decimal→double is
+         deterministic), so every power step is a pure expression.
+      3. v₀ = (1/√dim, …); iterate v ← round(Gv / ‖Gv‖, 6): the
+         matvec is the repo's sequential-fold dot (aggregate∘zip_with
+         ≡ DuckDB list_sum∘list_transform — bit-identical IEEE order),
+         the norm the same fold over squares, and the per-step
+         round-6 pins the iterate so both engines walk the exact same
+         trajectory. Fixed ``iters`` — no data-dependent convergence.
+      4. λ = Rayleigh quotient v·Gv / v·v; explained_share = λ / tr(G)
+         (trace from the same exact sums).
+
+    Output: one row per dimension (dim_idx, loading, eigenvalue,
+    explained_share) — the model artifact a corpus build would
+    broadcast to project/compress every embedding.
+
+    100 TB shape: the outer-product explode is a dim²-fold row
+    amplification but shuffles only dim² partial sums PER PARTITION
+    (map-side combine); everything after stage 1 runs on dim² rows
+    then one row. A production variant would compute partial Grams as
+    Arrow-batched numpy matmuls per partition (the SRP-signature
+    device) at the cost of the exact-decimal oracle contract — the
+    explode path is the hash-checkable exact twin.
+
+    Reference parity: the reference has no trainer; this extends its
+    analytics surface the way a vector-serving deployment would
+    (SURVEY §2 A-family), reusing db_extractor.py:51's
+    rank-then-serve shape for the downstream projection."""
+    x6 = F.transform(
+        as_double(F.col(vec_col)),
+        lambda e: F.round(e, 6).cast("decimal(8,6)"),
+    )
+    flat = F.flatten(
+        F.transform(
+            F.col("_x6"),
+            lambda a: F.transform(F.col("_x6"), lambda b: a * b),
+        )
+    )
+    g = (
+        vecs.select(x6.alias("_x6"))
+        .select(F.posexplode(flat).alias("p", "prod"))
+        .groupBy("p")
+        .agg(F.sum("prod").alias("gs"))
+    )
+    rows = g.select(
+        (F.col("p") / F.lit(dim)).cast("int").alias("i"),
+        (F.col("p") % F.lit(dim)).alias("j"),
+        F.col("gs").cast("double").alias("gv"),
+    )
+    rowarr = rows.groupBy("i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "gv"))),
+            lambda s: s["gv"],
+        ).alias("grow")
+    )
+    state = rowarr.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "grow"))),
+            lambda s: s["grow"],
+        ).alias("gmat")
+    ).select(
+        "gmat",
+        F.array(*[F.lit(round(1.0 / dim**0.5, 6))] * dim).alias("v"),
+    )
+    matvec = F.transform(
+        F.col("gmat"), lambda row: dot(row, F.col("v"))
+    )
+    for _ in range(iters):
+        state = state.select("gmat", "v", matvec.alias("w"))
+        state = state.select(
+            "gmat",
+            "w",
+            F.sqrt(
+                F.aggregate(
+                    F.col("w"), F.lit(0.0), lambda acc, t: acc + t * t
+                )
+            ).alias("nrm"),
+        )
+        state = state.select(
+            "gmat",
+            F.transform(
+                F.col("w"), lambda t: F.round(t / F.col("nrm"), 6)
+            ).alias("v"),
+        )
+        # Catalyst's CollapseProject would otherwise inline each
+        # iterate into the next (w appears twice in v — directly and
+        # inside nrm), doubling the expression tree per step: 8 rounds
+        # of a 64-wide matvec become a 2^8-duplicated plan that never
+        # finishes analysis. Truncate lineage per round (the
+        # connected-components device); the state is ONE row.
+        state = state.localCheckpoint()
+    fin = state.select("gmat", "v", matvec.alias("w"))
+    ks = F.sequence(F.lit(1), F.lit(dim))
+    trace = F.aggregate(
+        ks,
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.element_at(F.element_at(F.col("gmat"), k), k),
+    )
+    sc = fin.select(
+        "v",
+        F.round(
+            dot(F.col("v"), F.col("w")) / dot(F.col("v"), F.col("v")), 6
+        ).alias("eigenvalue"),
+        trace.alias("_tr"),
+    )
+    return sc.select(
+        F.posexplode("v").alias("dim_idx", "loading"),
+        "eigenvalue",
+        F.round(F.col("eigenvalue") / F.col("_tr"), 6).alias(
+            "explained_share"
+        ),
+    ).orderBy("dim_idx")

@@ -443,3 +443,126 @@ def bloom_might_contain(
         )
         verdict = verdict & (probe == "1")
     return verdict
+
+
+# floor(CDF_Poisson(λ=1)(k) · 2^20) for k = 0..5; a bucket ≥ the last
+# threshold draws 6 (P(X > 6) ≈ 8.3e-5). Integer literals shared with
+# the DuckDB oracle so the draw is a pure integer compare in both
+# engines.
+POISSON1_THRESHOLDS = (385749, 771499, 964373, 1028665, 1044738, 1047952)
+
+
+def poisson_replica_count(key: Column, rep: Column, salt: str = "boot") -> Column:
+    """Deterministic, engine-portable Poisson(1) replica count for one
+    (row, replicate) pair — the Poisson bootstrap's resampling draw
+    (Chamandy et al. 2012): the salted md5 bucket of 'salt:rep:key' in
+    [0, 2^20) compared against the quantized Poisson CDF thresholds.
+    Partition-, run-, and engine-invariant; no float RNG anywhere."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        hash_bucket,
+    )
+
+    b = hash_bucket(
+        F.concat_ws(
+            ":", F.lit(salt), rep.cast("string"), key.cast("string")
+        ),
+        1_048_576,
+    )
+    cnt: Column = F.lit(6)
+    for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
+        cnt = F.when(b < POISSON1_THRESHOLDS[k], k).otherwise(cnt)
+    return cnt
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    reps: int = 40,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-group mean of
+    ``value_col`` — the bootstrap that actually runs at petabyte scale:
+    instead of materializing R with-replacement resamples, each row
+    contributes an independent Poisson(1)-weighted copy to every
+    replicate, so all R replicate means collapse into ONE map-side-
+    combinable aggregate over an R-fold narrow explode (Chamandy et
+    al. 2012; Kleiner et al.'s bag-of-little-bootstraps is the
+    stratified cousin). Replicate means use exact round-6 decimal
+    sums; the interval is the 2.5/97.5 percentile of the replicate
+    means (Spark `percentile` ≡ DuckDB `quantile_cont`, p·(n−1)
+    interpolation) and ``boot_se`` the exact-moment stddev.
+
+    Output: (group, n_rows, mean_value, boot_se, ci_lo, ci_hi).
+
+    100 TB shape: the explode carries (group, round-6 value, small-int
+    count) only; shuffle = |groups|·R partial rows per partition; the
+    quantile/moment pass runs over |groups|·R replicate means."""
+    ev = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        F.round(value_col, 6).cast("decimal(18,6)").alias("_v"),
+    )
+    d = ev.select(
+        "_id",
+        "_g",
+        "_v",
+        F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("_rep"),
+    )
+    cnt = poisson_replica_count(F.col("_id"), F.col("_rep"), salt)
+    m = (
+        d.select("_g", "_rep", "_v", cnt.alias("_cnt"))
+        .groupBy("_g", "_rep")
+        .agg(
+            F.sum("_cnt").alias("_ct"),
+            F.sum(F.col("_v") * F.col("_cnt")).alias("_sv"),
+        )
+        .filter(F.col("_ct") > 0)
+        .select(
+            "_g",
+            F.round(
+                F.col("_sv").cast("double") / F.col("_ct").cast("double"),
+                6,
+            ).alias("_mr"),
+        )
+    )
+    mr6 = F.col("_mr").cast("decimal(18,6)")
+    pct = F.percentile("_mr", F.lit([0.025, 0.975]))
+    ci = m.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_nrep"),
+        F.round(F.element_at(pct, 1), 6).alias("ci_lo"),
+        F.round(F.element_at(pct, 2), 6).alias("ci_hi"),
+        F.sum(mr6).cast("double").alias("_s"),
+        F.sum(mr6 * mr6).cast("double").alias("_ss"),
+    )
+    nrep_d = F.col("_nrep").cast("double")
+    se = F.round(
+        F.sqrt(
+            F.greatest(
+                (F.col("_ss") - F.col("_s") * F.col("_s") / nrep_d)
+                / (nrep_d - F.lit(1.0)),
+                F.lit(0.0),
+            )
+        ),
+        6,
+    )
+    pt = ev.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum("_v").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_value"),
+    )
+    return (
+        pt.join(F.broadcast(ci), "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_rows",
+            "mean_value",
+            se.alias("boot_se"),
+            "ci_lo",
+            "ci_hi",
+        )
+        .orderBy(group_col)
+    )

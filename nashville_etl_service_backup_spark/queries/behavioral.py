@@ -1060,3 +1060,89 @@ FROM lin LEFT JOIN f ON lin.event_type = f.event_type
 LEFT JOIN l ON lin.event_type = l.event_type
 ORDER BY lin.event_type
 """
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean event value
+    per event_type (Chamandy et al. 2012, "Estimating uncertainty for
+    massive data streams" — the Google formulation; Kleiner et al.'s
+    BLB is the heavier cousin): classical bootstrap resampling draws
+    n rows WITH replacement per replicate, which a distributed engine
+    cannot do without materializing the sample — the Poisson trick
+    replaces each row's multinomial replica count with an independent
+    Poisson(1) draw, so every replicate becomes a weighted pass over
+    the SAME scan and all R replicates fit in ONE map-side-combinable
+    aggregate over an R-fold narrow explode.
+
+    Engine-portable randomness: each (event, replicate) draws its
+    Poisson(1) count by comparing the salted md5 bucket
+    (hash_bucket — the repo's split/sample device, partition- and
+    engine-invariant) against the Poisson CDF quantized to integer
+    thresholds out of 1,048,576 (floor(CDF·2^20) literals inlined on
+    BOTH sides — pure integer compares, no float RNG), capped at 6
+    (P(X>6) ≈ 8e-5). Replicate means use exact decimal sums; the CI
+    is the 2.5/97.5 percentile of the R=40 replicate means (shared
+    p·(n−1) interpolation) and boot_se the exact-moment stddev.
+
+    100 TB shape: explode ×40 of a 3-column projection (type, round-6
+    value, small-int count) into one combinable groupBy — shuffle
+    carries |types|·R partial rows per partition; the percentile/
+    moment pass runs over |types|·R replicate means. The bootstrap
+    that actually runs at petabyte scale."""
+    from nashville_etl_service_backup_spark.operators.sketch import (
+        poisson_bootstrap_ci,
+    )
+
+    return poisson_bootstrap_ci(
+        load(spark, sf_dir, "events"),
+        id_col="event_id",
+        group_col="event_type",
+        value_col="value",
+        reps=40,
+    ).withColumnRenamed("n_rows", "n_events")
+
+
+QUERIES["q_bootstrap_ci"] = q_bootstrap_ci
+
+# salted md5-hex -> bucket in [0, 1048576): the _PSAMPLE_BUCKET_SQL
+# nibble expansion over 'boot:' || rep || ':' || event_id, mirroring
+# hash_bucket(concat_ws(':', 'boot', rep, event_id)) exactly
+_BOOT_BUCKET_SQL = """CAST(list_sum(list_transform(range(1, 9), i ->
+      (strpos('0123456789abcdef',
+              substr(md5('boot:' || CAST(rep AS VARCHAR) || ':'
+                     || CAST(event_id AS VARCHAR)),
+                     CAST(i AS INT), 1)) - 1)
+      * pow(16, 8 - i))) AS BIGINT) % 1048576"""
+
+ORACLES["q_bootstrap_ci"] = f"""
+WITH ev AS (SELECT event_id, event_type,
+  CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v
+ FROM events WHERE value IS NOT NULL),
+d AS (SELECT event_id, event_type, v, CAST(r.rep AS INT) AS rep
+ FROM ev, (SELECT unnest(range(40)) AS rep) r),
+c AS (SELECT event_type, rep, v,
+  CASE WHEN b < 385749 THEN 0 WHEN b < 771499 THEN 1
+       WHEN b < 964373 THEN 2 WHEN b < 1028665 THEN 3
+       WHEN b < 1044738 THEN 4 WHEN b < 1047952 THEN 5
+       ELSE 6 END AS cnt
+ FROM (SELECT event_type, rep, v, {_BOOT_BUCKET_SQL} AS b FROM d) _b),
+m AS (SELECT event_type,
+  ROUND(CAST(SUM(v * cnt) AS DOUBLE)/CAST(SUM(cnt) AS DOUBLE), 6) AS mr
+ FROM c GROUP BY event_type, rep HAVING SUM(cnt) > 0),
+ci AS (SELECT event_type, COUNT(*) AS nrep,
+  ROUND(quantile_cont(mr, 0.025), 6) AS ci_lo,
+  ROUND(quantile_cont(mr, 0.975), 6) AS ci_hi,
+  CAST(SUM(CAST(mr AS DECIMAL(18,6))) AS DOUBLE) AS s,
+  CAST(SUM(CAST(mr AS DECIMAL(18,6)) * CAST(mr AS DECIMAL(18,6)))
+    AS DOUBLE) AS ss
+ FROM m GROUP BY 1),
+pt AS (SELECT event_type, COUNT(*) AS n_events,
+  ROUND(CAST(SUM(v) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE), 6) AS mean_value
+ FROM ev GROUP BY 1)
+SELECT pt.event_type, pt.n_events, pt.mean_value,
+  ROUND(SQRT(GREATEST((ss - s*s/CAST(nrep AS DOUBLE))
+    /(CAST(nrep AS DOUBLE) - 1.0), 0.0)), 6) AS boot_se,
+  ci_lo, ci_hi
+FROM pt JOIN ci USING (event_type)
+ORDER BY pt.event_type
+"""

@@ -4537,3 +4537,201 @@ SELECT a.lang, CAST(a.n_h AS BIGINT) AS n_h, a.s_h, a.neyman_n,
 FROM alloc a LEFT JOIN drawn dr ON a.lang = dr.lang
 ORDER BY a.lang
 """
+
+
+def text_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table for the trained quality classifier —
+    the targeting-efficiency audit that complements the reliability
+    diagram (text_calibration_curve): rank the corpus by the trained
+    score, cut into deciles, and report how concentrated the positive
+    (high-quality) documents are at the top. Per decile (10 = highest
+    scores): n, positives, positive rate, lift vs the base rate, and
+    the cumulative capture / population share a curation run gets by
+    keeping the top-k deciles — the "what fraction of the good
+    documents do I keep if I only afford to keep 30% of the corpus"
+    curve (gains chart; Provost & Fawcett 2013 ch.8).
+
+    Determinism: deciles are assigned by BINNING AGAINST BROADCAST
+    PERCENTILE EDGES (one aggregate; Spark `percentile` and DuckDB
+    `quantile_cont` share the p·(n−1) interpolation — the RFM/
+    q_percentiles precedent), never an ntile global row sort; edges
+    and every ratio are round-6; count arithmetic is exact integer.
+    Ties collapsing a decile shrink the output identically in both
+    engines (strict > comparisons against identical edges).
+
+    100 TB shape: scoring is the classifier's narrow map, the edge
+    fit is one combinable aggregate, the decile rollup a 10-group
+    combinable aggregate, and every window runs over the ≤10-row
+    decile table — nothing but scalars crosses stages."""
+    from pyspark.sql.window import Window
+
+    from nashville_etl_service_backup_spark.operators import track_persist
+
+    scored = track_persist(text_quality_classifier(spark, sf_dir))
+    qs = F.lit([i / 10.0 for i in range(1, 10)])
+    edges = scored.agg(
+        *[
+            F.round(F.element_at(F.percentile("score", qs), i), 6).alias(
+                f"e{i}"
+            )
+            for i in range(1, 10)
+        ]
+    )
+    dec: F.Column = F.lit(1)
+    for i in range(1, 10):
+        dec = dec + (F.col("score") > F.col(f"e{i}")).cast("int")
+    per = (
+        scored.crossJoin(F.broadcast(edges))
+        .groupBy(dec.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").alias("n_pos"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").alias("n_tot"), F.sum("n_pos").alias("pos_tot")
+    )
+    w = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    nn = F.col("n").cast("double")
+    np_ = F.col("n_pos").cast("double")
+    base = F.col("pos_tot").cast("double") / F.col("n_tot").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(np_ / nn, 6).alias("pos_rate"),
+            F.round((np_ / nn) / base, 6).alias("lift"),
+            F.round(
+                F.sum("n_pos").over(w).cast("double")
+                / F.col("pos_tot").cast("double"),
+                6,
+            ).alias("cum_capture"),
+            F.round(
+                F.sum("n").over(w).cast("double")
+                / F.col("n_tot").cast("double"),
+                6,
+            ).alias("cum_pop_share"),
+        )
+        .orderBy(F.desc("decile"))
+    )
+
+
+QUERIES["text_lift_gains"] = text_lift_gains
+
+
+def _lift_gains_oracle() -> str:
+    base = _qc_oracle()
+    head = base[: base.index("nn AS MATERIALIZED (")].rstrip().rstrip(",")
+    from nashville_etl_service_backup_spark.operators.ml import (
+        logreg_oracle_ctes,
+        logreg_oracle_score_sql,
+    )
+
+    ctes, wname = logreg_oracle_ctes(
+        ["x1", "x2", "x3"], "y", iterations=8, lr=4.0
+    )
+    p = logreg_oracle_score_sql(["x1", "x2", "x3"], wname)
+    edge_cols = ",\n  ".join(
+        f"ROUND(quantile_cont(score, {i / 10.0}), 6) AS e{i}"
+        for i in range(1, 10)
+    )
+    dec = "1" + "".join(
+        f" + CASE WHEN score > e{i} THEN 1 ELSE 0 END" for i in range(1, 10)
+    )
+    return f"""{head},
+{ctes},
+scored AS (SELECT CAST(f.y AS INT) AS label, ROUND({p}, 6) AS score
+ FROM f, {wname} w),
+ed AS (SELECT {edge_cols} FROM scored),
+per AS (SELECT {dec} AS decile, COUNT(*) AS n,
+  CAST(SUM(label) AS BIGINT) AS n_pos
+ FROM scored, ed GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+  CAST(SUM(n_pos) AS BIGINT) AS pos_tot FROM per)
+SELECT decile, n, n_pos,
+  ROUND(CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE), 6) AS pos_rate,
+  ROUND((CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE))
+    /(CAST(pos_tot AS DOUBLE)/CAST(n_tot AS DOUBLE)), 6) AS lift,
+  ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    /CAST(pos_tot AS DOUBLE), 6) AS cum_capture,
+  ROUND(CAST(SUM(n) OVER (ORDER BY decile DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    /CAST(n_tot AS DOUBLE), 6) AS cum_pop_share
+FROM per, tot ORDER BY decile DESC
+"""
+
+
+ORACLES["text_lift_gains"] = _lift_gains_oracle()
+
+
+def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by in-engine
+    power iteration (operators.similarity.pca_power_top1) — loadings,
+    eigenvalue (Rayleigh quotient), and explained-variance share of
+    the uncentered second moment. The oracle unrolls the identical
+    exact-decimal Gram build and all 8 round-6 power steps in SQL
+    CTEs (the IVF train-in-SQL device), so the trained axis
+    hash-matches bitwise."""
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        pca_power_top1,
+    )
+
+    vecs = load(spark, sf_dir, "embeddings")
+    return pca_power_top1(vecs, "embedding", dim=64, iters=8)
+
+
+QUERIES["sim_pca_power"] = sim_pca_power
+
+
+def _pca_oracle(dim: int = 64, iters: int = 8) -> str:
+    v0 = repr(round(1.0 / dim**0.5, 6))
+    mv = (
+        "list_transform(gmat, row -> list_sum(list_transform("
+        f"range(1, {dim + 1}), k -> row[k] * v[k])))"
+    )
+    parts = [
+        f"""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+    x -> CAST(round(x, 6) AS DECIMAL(8,6))) AS x FROM embeddings),
+ij AS (SELECT a.i, b.j FROM (SELECT unnest(range({dim})) AS i) a,
+  (SELECT unnest(range({dim})) AS j) b),
+g AS (SELECT i, j,
+  CAST(SUM(x[CAST(i AS INT)+1] * x[CAST(j AS INT)+1]) AS DOUBLE) AS gv
+ FROM e, ij GROUP BY i, j),
+gr AS (SELECT i, list(gv ORDER BY j) AS grow FROM g GROUP BY i),
+gm AS (SELECT list(grow ORDER BY i) AS gmat FROM gr),
+it0 AS (SELECT gmat,
+  list_transform(range({dim}), k -> CAST({v0} AS DOUBLE)) AS v FROM gm)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+w{t} AS (SELECT gmat, {mv} AS w FROM it{t - 1}),
+n{t} AS (SELECT gmat, w,
+  sqrt(list_sum(list_transform(w, t -> t*t))) AS nrm FROM w{t}),
+it{t} AS (SELECT gmat,
+  list_transform(w, t -> round(t / nrm, 6)) AS v FROM n{t})"""
+        )
+    parts.append(
+        f""",
+fin AS (SELECT gmat, v, {mv} AS w FROM it{iters}),
+sc AS (SELECT gmat, v,
+  round(list_sum(list_transform(range(1, {dim + 1}), k -> v[k] * w[k]))
+    / list_sum(list_transform(v, t -> t*t)), 6) AS eigenvalue FROM fin),
+tr AS (SELECT v, eigenvalue,
+  round(eigenvalue / list_sum(list_transform(range(1, {dim + 1}),
+    k -> gmat[CAST(k AS INT)][CAST(k AS INT)])), 6) AS explained_share
+ FROM sc)
+SELECT CAST(ks.k - 1 AS INT) AS dim_idx, v[CAST(ks.k AS INT)] AS loading,
+  eigenvalue, explained_share
+FROM tr, (SELECT unnest(range(1, {dim + 1})) AS k) ks
+ORDER BY dim_idx"""
+    )
+    return "".join(parts)
+
+
+ORACLES["sim_pca_power"] = _pca_oracle()

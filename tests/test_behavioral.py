@@ -217,3 +217,54 @@ def test_neyman_allocation_favors_variable_strata(spark):
     for r in rows:
         assert r["n_drawn"] == min(r["neyman_n"], r["n_h"])
         assert r["neyman_n"] <= 100 and r["proportional_n"] <= 100
+
+
+def test_bootstrap_ci_brackets_sample_mean(spark):
+    from nashville_etl_service_backup_spark.queries.behavioral import (
+        q_bootstrap_ci,
+    )
+
+    rows = q_bootstrap_ci(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # 40 Poisson replicates center on the sample mean: the 2.5/97.5
+        # percentile band must bracket it, and the width is positive
+        assert r.ci_lo <= r.mean_value <= r.ci_hi
+        assert r.ci_lo < r.ci_hi
+        assert r.boot_se > 0.0
+        assert r.n_events > 0
+
+
+def test_bootstrap_ci_partition_invariant(spark):
+    from nashville_etl_service_backup_spark.operators.sketch import (
+        poisson_bootstrap_ci,
+    )
+    from nashville_etl_service_backup_spark.tables import load
+
+    ev = load(spark, SF, "events")
+    base = poisson_bootstrap_ci(
+        ev, "event_id", "event_type", "value", reps=40
+    ).collect()
+    # same computation over a 13-partition shuffle of the input: the
+    # md5 draws and exact decimal sums must reproduce every column
+    again = poisson_bootstrap_ci(
+        ev.repartition(13), "event_id", "event_type", "value", reps=40
+    ).collect()
+    assert base == again
+
+
+def test_poisson_replica_counts_mean_one(spark):
+    from nashville_etl_service_backup_spark.operators.sketch import (
+        poisson_replica_count,
+    )
+
+    # across many (key, rep) draws the Poisson(1) counts average ~1
+    # and never exceed the cap of 6
+    df = spark.range(2000).select(
+        poisson_replica_count(F.col("id"), F.lit(0)).alias("c")
+    )
+    stats = df.agg(
+        F.avg("c").alias("m"), F.max("c").alias("mx"), F.min("c").alias("mn")
+    ).first()
+    assert 0.9 < stats.m < 1.1
+    assert 0 <= stats.mn and stats.mx <= 6

@@ -441,3 +441,77 @@ def test_silhouette_crisp_vs_weak_clusters(spark):
         # by construction the own centroid is the max-cosine one, so the
         # nearest-other distance can never be smaller on average
         assert r["avg_nearest_other"] >= r["avg_intra"] - 1e-9
+
+
+def test_pca_power_matches_numpy_axis(spark):
+    import numpy as np
+
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        pca_power_top1,
+    )
+    from nashville_etl_service_backup_spark.tables import load
+
+    vecs = load(spark, "/root/testdata/sf0.001", "embeddings")
+    out = pca_power_top1(vecs, "embedding", dim=64, iters=8).collect()
+    assert [r.dim_idx for r in out] == list(range(64))
+    v = np.array([r.loading for r in out])
+    lam = out[0].eigenvalue
+    share = out[0].explained_share
+    # round-6 unit vector, positive dominant eigenvalue, sane share
+    assert abs(float(v @ v) - 1.0) < 1e-4
+    assert lam > 0.0
+    assert 0.0 < share <= 1.0
+    # Rayleigh identity on the same round-6 Gram: the reported
+    # eigenvalue must equal v·Gv / v·v for the returned axis (the
+    # corpus spectrum is near-isotropic at this SF, so 8 fixed rounds
+    # need NOT find the global top axis — convergence is pinned by
+    # the anisotropic toy below)
+    x = np.round(
+        np.array([row.embedding for row in vecs.collect()], dtype=np.float64),
+        6,
+    )
+    g = x.T @ x
+    assert abs(lam - float(v @ g @ v) / float(v @ v)) < 1e-3
+    assert lam <= float(np.linalg.eigvalsh(g)[-1]) + 1e-6
+
+
+def test_pca_power_converges_on_anisotropic_toy(spark):
+    import numpy as np
+
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        pca_power_top1,
+    )
+
+    # 200 vectors with one dominant direction + small deterministic
+    # noise: a real spectral gap, so 8 power rounds must align with
+    # the true top eigenvector
+    rng = np.random.default_rng(7)
+    axis = rng.normal(size=8)
+    axis /= np.linalg.norm(axis)
+    scale = rng.normal(size=(200, 1)) * 3.0
+    x = scale * axis + rng.normal(size=(200, 8)) * 0.1
+    rows = [(i, [float(c) for c in x[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    out = pca_power_top1(df, "embedding", dim=8, iters=8).collect()
+    v = np.array([r.loading for r in out])
+    g = np.round(x, 6).T @ np.round(x, 6)
+    evals, evecs = np.linalg.eigh(g)
+    assert abs(float(v @ evecs[:, -1])) > 0.999
+    assert abs(out[0].eigenvalue - float(evals[-1])) / float(evals[-1]) < 1e-3
+    assert (
+        abs(out[0].explained_share - float(evals[-1] / np.trace(g))) < 1e-3
+    )
+
+
+def test_pca_power_partition_invariant(spark):
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        pca_power_top1,
+    )
+    from nashville_etl_service_backup_spark.tables import load
+
+    vecs = load(spark, "/root/testdata/sf0.001", "embeddings")
+    a = pca_power_top1(vecs, "embedding", dim=64, iters=8).collect()
+    b = pca_power_top1(
+        vecs.repartition(17), "embedding", dim=64, iters=8
+    ).collect()
+    assert a == b

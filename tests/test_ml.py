@@ -389,3 +389,26 @@ def test_calibration_curve_ece_consistency(spark):
         assert abs(r["gap"] - abs(r["avg_score"] - r["pos_rate"])) < 2e-6
         assert abs(r["ece"] - ece) < 1e-4
         assert 0 <= r["bin"] <= 9
+
+
+def test_lift_gains_shape_and_mass(spark):
+    from nashville_etl_service_backup_spark.queries.llmdata import (
+        text_lift_gains,
+    )
+    from nashville_etl_service_backup_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = text_lift_gains(spark, sf).collect()
+    n_docs = load(spark, sf, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    # rows come highest decile first; the full-corpus cumulative row is
+    # last and must capture everything
+    assert rows[0].decile == max(r.decile for r in rows)
+    assert rows[-1].cum_capture == 1.0
+    assert rows[-1].cum_pop_share == 1.0
+    for r in rows:
+        assert 0.0 <= r.pos_rate <= 1.0
+        assert r.lift >= 0.0
+    # the classifier distills its own teacher labels: the top decile
+    # must be enriched vs the base rate
+    assert rows[0].lift >= 1.0
