@@ -868,10 +868,11 @@ def pca_power_top1(
     the classic "PCA on the Gram" used for embedding compression.
 
     Training math, engine-exact at every step:
-      1. G = Σ_docs x xᵀ with components rounded to 6dp and multiplied
-         as DECIMAL(8,6) — each G_ij is an exact, order-independent
-         decimal sum (one posexplode of the per-doc flat outer-product
-         array into a dim²-group map-side-combinable aggregate).
+      1. G = Σ_docs x xᵀ with components rounded to 6dp and each pair
+         product quantized to floor(a·b·10¹²) — each G_ij is an exact,
+         order-independent BIGINT sum (one posexplode of the per-doc
+         flat outer-product array into a dim²-group map-side-
+         combinable aggregate on the long fast path).
       2. The dim² sums collapse into ONE ROW holding G as
          array<array<double>> (ordered collect — decimal→double is
          deterministic), so every power step is a pure expression.
@@ -901,13 +902,24 @@ def pca_power_top1(
     (SURVEY §2 A-family), reusing db_extractor.py:51's
     rank-then-serve shape for the downstream projection."""
     x6 = F.transform(
-        as_double(F.col(vec_col)),
-        lambda e: F.round(e, 6).cast("decimal(8,6)"),
+        as_double(F.col(vec_col)), lambda e: F.round(e, 6)
     )
+    # per-pair product quantized to an exact integer floor(a·b·10¹²)
+    # (round-6 components → the product is mathematically a 12-dp
+    # value): the Gram sums become plain BIGINT sums — order-
+    # independent, engine-identical (FLOOR of the same IEEE double on
+    # both sides), and on Spark's long-backed fast path instead of
+    # per-row Decimal128 (the ols2_by_group split-accumulator
+    # rationale; measured ~6× on 20M-row product streams). Headroom:
+    # |Σ| per (i,j) < rows·10¹² for unit-scale components — good to
+    # ~10⁶ vectors per partition-combined group; split hi/lo beyond.
     flat = F.flatten(
         F.transform(
             F.col("_x6"),
-            lambda a: F.transform(F.col("_x6"), lambda b: a * b),
+            lambda a: F.transform(
+                F.col("_x6"),
+                lambda b: F.floor(a * b * F.lit(1000000000000.0)),
+            ),
         )
     )
     g = (
@@ -919,7 +931,9 @@ def pca_power_top1(
     rows = g.select(
         (F.col("p") / F.lit(dim)).cast("int").alias("i"),
         (F.col("p") % F.lit(dim)).alias("j"),
-        F.col("gs").cast("double").alias("gv"),
+        (F.col("gs").cast("double") / F.lit(1000000000000.0)).alias(
+            "gv"
+        ),
     )
     rowarr = rows.groupBy("i").agg(
         F.transform(

@@ -499,30 +499,38 @@ def poisson_bootstrap_ci(
     100 TB shape: the explode carries (group, round-6 value, small-int
     count) only; shuffle = |groups|·R partial rows per partition; the
     quantile/moment pass runs over |groups|·R replicate means."""
+    # values ride as exact floor-scaled micro-units (floor(round-6
+    # double · 10⁶) as BIGINT — bit-identical across engines, and the
+    # weighted sums stay on Spark's long-backed fast path instead of
+    # per-row Decimal128 allocation; the ols2_by_group split-accumulator
+    # rationale). Headroom: |Σ v·cnt·10⁶| per (group, replicate) must
+    # stay under 2⁶³ — good to ~10¹² value-mass per group.
     ev = df.filter(F.col(value_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(group_col).alias("_g"),
-        F.round(value_col, 6).cast("decimal(18,6)").alias("_v"),
+        F.floor(F.round(value_col, 6) * F.lit(1000000.0)).alias("_v6"),
     )
     d = ev.select(
         "_id",
         "_g",
-        "_v",
+        "_v6",
         F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("_rep"),
     )
     cnt = poisson_replica_count(F.col("_id"), F.col("_rep"), salt)
     m = (
-        d.select("_g", "_rep", "_v", cnt.alias("_cnt"))
+        d.select("_g", "_rep", "_v6", cnt.alias("_cnt"))
         .groupBy("_g", "_rep")
         .agg(
             F.sum("_cnt").alias("_ct"),
-            F.sum(F.col("_v") * F.col("_cnt")).alias("_sv"),
+            F.sum(F.col("_v6") * F.col("_cnt")).alias("_sv"),
         )
         .filter(F.col("_ct") > 0)
         .select(
             "_g",
             F.round(
-                F.col("_sv").cast("double") / F.col("_ct").cast("double"),
+                F.col("_sv").cast("double")
+                / F.lit(1000000.0)
+                / F.col("_ct").cast("double"),
                 6,
             ).alias("_mr"),
         )
@@ -550,7 +558,9 @@ def poisson_bootstrap_ci(
     pt = ev.groupBy("_g").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(
-            F.sum("_v").cast("double") / F.count(F.lit(1)).cast("double"),
+            F.sum("_v6").cast("double")
+            / F.lit(1000000.0)
+            / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("mean_value"),
     )

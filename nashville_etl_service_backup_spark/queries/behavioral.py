@@ -1116,18 +1116,19 @@ _BOOT_BUCKET_SQL = """CAST(list_sum(list_transform(range(1, 9), i ->
 
 ORACLES["q_bootstrap_ci"] = f"""
 WITH ev AS (SELECT event_id, event_type,
-  CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v
+  CAST(FLOOR(ROUND(value, 6) * 1000000.0) AS BIGINT) AS v6
  FROM events WHERE value IS NOT NULL),
-d AS (SELECT event_id, event_type, v, CAST(r.rep AS INT) AS rep
+d AS (SELECT event_id, event_type, v6, CAST(r.rep AS INT) AS rep
  FROM ev, (SELECT unnest(range(40)) AS rep) r),
-c AS (SELECT event_type, rep, v,
+c AS (SELECT event_type, rep, v6,
   CASE WHEN b < 385749 THEN 0 WHEN b < 771499 THEN 1
        WHEN b < 964373 THEN 2 WHEN b < 1028665 THEN 3
        WHEN b < 1044738 THEN 4 WHEN b < 1047952 THEN 5
        ELSE 6 END AS cnt
- FROM (SELECT event_type, rep, v, {_BOOT_BUCKET_SQL} AS b FROM d) _b),
+ FROM (SELECT event_type, rep, v6, {_BOOT_BUCKET_SQL} AS b FROM d) _b),
 m AS (SELECT event_type,
-  ROUND(CAST(SUM(v * cnt) AS DOUBLE)/CAST(SUM(cnt) AS DOUBLE), 6) AS mr
+  ROUND(CAST(SUM(v6 * cnt) AS DOUBLE)/1000000.0
+    /CAST(SUM(cnt) AS DOUBLE), 6) AS mr
  FROM c GROUP BY event_type, rep HAVING SUM(cnt) > 0),
 ci AS (SELECT event_type, COUNT(*) AS nrep,
   ROUND(quantile_cont(mr, 0.025), 6) AS ci_lo,
@@ -1137,7 +1138,8 @@ ci AS (SELECT event_type, COUNT(*) AS nrep,
     AS DOUBLE) AS ss
  FROM m GROUP BY 1),
 pt AS (SELECT event_type, COUNT(*) AS n_events,
-  ROUND(CAST(SUM(v) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE), 6) AS mean_value
+  ROUND(CAST(SUM(v6) AS DOUBLE)/1000000.0
+    /CAST(COUNT(*) AS DOUBLE), 6) AS mean_value
  FROM ev GROUP BY 1)
 SELECT pt.event_type, pt.n_events, pt.mean_value,
   ROUND(SQRT(GREATEST((ss - s*s/CAST(nrep AS DOUBLE))

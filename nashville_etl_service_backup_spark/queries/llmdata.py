@@ -4696,11 +4696,12 @@ def _pca_oracle(dim: int = 64, iters: int = 8) -> str:
     )
     parts = [
         f"""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
-    x -> CAST(round(x, 6) AS DECIMAL(8,6))) AS x FROM embeddings),
+    x -> round(x, 6)) AS x FROM embeddings),
 ij AS (SELECT a.i, b.j FROM (SELECT unnest(range({dim})) AS i) a,
   (SELECT unnest(range({dim})) AS j) b),
 g AS (SELECT i, j,
-  CAST(SUM(x[CAST(i AS INT)+1] * x[CAST(j AS INT)+1]) AS DOUBLE) AS gv
+  CAST(SUM(CAST(FLOOR(x[CAST(i AS INT)+1] * x[CAST(j AS INT)+1]
+    * 1000000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS gv
  FROM e, ij GROUP BY i, j),
 gr AS (SELECT i, list(gv ORDER BY j) AS grow FROM g GROUP BY i),
 gm AS (SELECT list(grow ORDER BY i) AS gmat FROM gr),
