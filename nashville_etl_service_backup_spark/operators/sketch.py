@@ -452,26 +452,93 @@ def bloom_might_contain(
 POISSON1_THRESHOLDS = (385749, 771499, 964373, 1028665, 1044738, 1047952)
 
 
-def poisson_replica_count(key: Column, rep: Column, salt: str = "boot") -> Column:
-    """Deterministic, engine-portable Poisson(1) replica count for one
-    (row, replicate) pair — the Poisson bootstrap's resampling draw
-    (Chamandy et al. 2012): the salted md5 bucket of 'salt:rep:key' in
-    [0, 2^20) compared against the quantized Poisson CDF thresholds.
-    Partition-, run-, and engine-invariant; no float RNG anywhere."""
-    from nashville_etl_service_backup_spark.operators.text_analysis import (
-        hash_bucket,
-    )
-
-    b = hash_bucket(
-        F.concat_ws(
-            ":", F.lit(salt), rep.cast("string"), key.cast("string")
-        ),
-        1_048_576,
-    )
+def _poisson_count_from_bucket(b: Column) -> Column:
+    """Map a uniform bucket in [0, 2^20) to a Poisson(1) count via the
+    quantized-CDF threshold cascade (capped at 6)."""
     cnt: Column = F.lit(6)
     for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
         cnt = F.when(b < POISSON1_THRESHOLDS[k], k).otherwise(cnt)
     return cnt
+
+
+def poisson_replica_count(key: Column, rep: Column, salt: str = "boot") -> Column:
+    """Deterministic, engine-portable Poisson(1) replica count for one
+    (row, replicate) pair — the Poisson bootstrap's resampling draw
+    (Chamandy et al. 2012). One md5 serves SIX replicates: replicate
+    rep reads lane ``rep % 6`` (5 hex chars = exactly 20 bits, so the
+    bucket is uniform in [0, 2^20) with no modulo) of
+    md5('salt:block:key') where block = rep div 6, then compares the
+    bucket against the quantized Poisson CDF thresholds. Partition-,
+    run-, and engine-invariant; no float RNG anywhere — and 6× fewer
+    md5 evaluations than hashing each (row, replicate) pair."""
+    block = (rep.cast("long") / F.lit(6)).cast("long")
+    lane = rep.cast("long") % 6
+    hexstr = F.md5(
+        F.concat_ws(
+            ":", F.lit(salt), block.cast("string"), key.cast("string")
+        )
+    )
+    b = F.conv(
+        F.substring(hexstr, (lane * 5 + 1).cast("int"), F.lit(5)), 16, 10
+    ).cast("long")
+    return _poisson_count_from_bucket(b)
+
+
+def poisson_rep_counts(
+    df: DataFrame, id_col: str, reps: int, salt: str = "boot"
+) -> DataFrame:
+    """Explode ``df`` into (every input column, _rep, _cnt) rows — one
+    per (row, replicate) with the replicate's deterministic Poisson(1)
+    count. Draw-identical to :func:`poisson_replica_count` but shaped
+    for whole-stage codegen: explode ceil(reps/6) blocks, materialize
+    ONE md5 per (row, block) in a projection, then posexplode a plain
+    6-element array of threshold-cascade counts (no interpreted
+    higher-order lambdas, and 6× fewer md5s than hashing each
+    (row, replicate) pair — 7/row for R=40, not 40)."""
+    n_blocks = (reps + 5) // 6
+    cols = [c for c in df.columns if c != id_col]
+    blocks = df.select(
+        F.col(id_col).alias("_pk"),
+        *cols,
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_blk"),
+    )
+    hexed = blocks.select(
+        "_pk",
+        *cols,
+        "_blk",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(salt),
+                F.col("_blk").cast("string"),
+                F.col("_pk").cast("string"),
+            )
+        ).alias("_hex"),
+    )
+    lane_counts = F.array(
+        *[
+            _poisson_count_from_bucket(
+                F.conv(F.substring("_hex", lane * 5 + 1, 5), 16, 10).cast(
+                    "long"
+                )
+            )
+            for lane in range(6)
+        ]
+    )
+    out = hexed.select(
+        F.col("_pk").alias(id_col),
+        *cols,
+        (F.col("_blk") * 6).alias("_blk6"),
+        F.posexplode(lane_counts).alias("_lane", "_cnt"),
+    ).select(
+        id_col,
+        *cols,
+        (F.col("_blk6") + F.col("_lane")).alias("_rep"),
+        "_cnt",
+    )
+    if reps % 6:
+        out = out.filter(F.col("_rep") < reps)
+    return out
 
 
 def poisson_bootstrap_ci(
@@ -505,21 +572,22 @@ def poisson_bootstrap_ci(
     # per-row Decimal128 allocation; the ols2_by_group split-accumulator
     # rationale). Headroom: |Σ v·cnt·10⁶| per (group, replicate) must
     # stay under 2⁶³ — good to ~10¹² value-mass per group.
-    ev = df.filter(F.col(value_col).isNotNull()).select(
-        F.col(id_col).alias("_id"),
-        F.col(group_col).alias("_g"),
-        F.floor(F.round(value_col, 6) * F.lit(1000000.0)).alias("_v6"),
+    from nashville_etl_service_backup_spark.operators import spread
+
+    # spread: the R-fold explode + md5 draws are CPU-heavy relative to
+    # the 3-column input — fan a single-split local scan out to all
+    # cores (no-op when the scan already has >= defaultParallelism
+    # splits, i.e. always at real scale).
+    ev = spread(
+        df.filter(F.col(value_col).isNotNull()).select(
+            F.col(id_col).alias("_id"),
+            F.col(group_col).alias("_g"),
+            F.floor(F.round(value_col, 6) * F.lit(1000000.0)).alias("_v6"),
+        )
     )
-    d = ev.select(
-        "_id",
-        "_g",
-        "_v6",
-        F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("_rep"),
-    )
-    cnt = poisson_replica_count(F.col("_id"), F.col("_rep"), salt)
+    d = poisson_rep_counts(ev, "_id", reps, salt)
     m = (
-        d.select("_g", "_rep", "_v6", cnt.alias("_cnt"))
-        .groupBy("_g", "_rep")
+        d.groupBy("_g", "_rep")
         .agg(
             F.sum("_cnt").alias("_ct"),
             F.sum(F.col("_v6") * F.col("_cnt")).alias("_sv"),

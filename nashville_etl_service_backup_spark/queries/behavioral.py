@@ -1075,12 +1075,13 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over an R-fold narrow explode.
 
     Engine-portable randomness: each (event, replicate) draws its
-    Poisson(1) count by comparing the salted md5 bucket
-    (hash_bucket — the repo's split/sample device, partition- and
-    engine-invariant) against the Poisson CDF quantized to integer
-    thresholds out of 1,048,576 (floor(CDF·2^20) literals inlined on
-    BOTH sides — pure integer compares, no float RNG), capped at 6
-    (P(X>6) ≈ 8e-5). Replicate means use exact decimal sums; the CI
+    Poisson(1) count by comparing a blocked-lane md5 bucket — replicate
+    r reads lane r%6 (5 hex chars = exactly 20 bits, so the bucket is
+    uniform in [0, 2^20) with no modulo) of md5('boot:r//6:event_id'),
+    ONE md5 serving six replicates (7 md5s/row for R=40, not 40) —
+    against the Poisson CDF quantized to integer thresholds out of
+    1,048,576 (floor(CDF·2^20) literals inlined on BOTH sides — pure
+    integer compares, no float RNG), capped at 6 (P(X>6) ≈ 8e-5). Replicate means use exact decimal sums; the CI
     is the 2.5/97.5 percentile of the R=40 replicate means (shared
     p·(n−1) interpolation) and boot_se the exact-moment stddev.
 
@@ -1104,15 +1105,16 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_bootstrap_ci"] = q_bootstrap_ci
 
-# salted md5-hex -> bucket in [0, 1048576): the _PSAMPLE_BUCKET_SQL
-# nibble expansion over 'boot:' || rep || ':' || event_id, mirroring
-# hash_bucket(concat_ws(':', 'boot', rep, event_id)) exactly
-_BOOT_BUCKET_SQL = """CAST(list_sum(list_transform(range(1, 9), i ->
+# blocked-lane salted md5-hex -> bucket in [0, 1048576): replicate
+# rep reads lane rep%6 (5 hex chars = exactly 20 bits, no modulo) of
+# md5('boot:' || rep//6 || ':' || event_id) — mirroring poisson_draws
+# (operators/sketch.py) exactly: ONE md5 serves six replicates
+_BOOT_BUCKET_SQL = """CAST(list_sum(list_transform(range(1, 6), i ->
       (strpos('0123456789abcdef',
-              substr(md5('boot:' || CAST(rep AS VARCHAR) || ':'
+              substr(md5('boot:' || CAST(rep // 6 AS VARCHAR) || ':'
                      || CAST(event_id AS VARCHAR)),
-                     CAST(i AS INT), 1)) - 1)
-      * pow(16, 8 - i))) AS BIGINT) % 1048576"""
+                     CAST((rep % 6) * 5 + i AS INT), 1)) - 1)
+      * pow(16, 5 - i))) AS BIGINT)"""
 
 ORACLES["q_bootstrap_ci"] = f"""
 WITH ev AS (SELECT event_id, event_type,
