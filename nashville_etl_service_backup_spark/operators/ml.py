@@ -188,10 +188,11 @@ def logreg_train_folds(
     logreg_train on the corresponding subset — the CV oracle's
     per-fold CTE unrolls keep matching unchanged.
 
-    Returns k weight vectors; k·(d+1) scalars visit the driver per
-    round. Caller should persist `folds`."""
+    Returns (k weight vectors, k train-row counts); k·(d+2) scalars
+    visit the driver per round. Caller should persist `folds`."""
     d = len(feature_cols)
     ws = [[0.0] * (d + 1) for _ in range(k)]
+    ns = [0] * k
     fold = F.col(fold_col)
     for _ in range(iterations):
         aggs = []
@@ -234,13 +235,15 @@ def logreg_train_folds(
                 ).alias(f"w{i}_{j}")
                 for i in range(k)
                 for j in range(d + 1)
-            ]
+            ],
+            *[F.col(f"n_{i}") for i in range(k)],
         ).first()
         ws = [
             [float(upd[f"w{i}_{j}"]) for j in range(d + 1)]
             for i in range(k)
         ]
-    return ws
+        ns = [int(upd[f"n_{i}"]) for i in range(k)]
+    return ws, ns
 
 
 def logreg_oracle_ctes(
@@ -678,12 +681,11 @@ def logreg_cv(
     )
 
     folds = feats.withColumn("_fold", hash_bucket(F.col(id_col), k))
-    ws = logreg_train_folds(
+    ws, ns = logreg_train_folds(
         folds, feature_cols, label_col, "_fold", k, iterations, lr
     )
     outs = []
     for i in range(k):
-        train = folds.filter(F.col("_fold") != i)
         test = folds.filter(F.col("_fold") == i)
         p = logreg_score(feature_cols, ws[i])
         scored = test.select(
@@ -692,11 +694,13 @@ def logreg_cv(
             (p >= 0.5).cast("int").alias("pred"),
         )
         m = classifier_eval(scored)
-        ntr = train.agg(F.count(F.lit(1)).alias("n_train"))
+        # n_train rode along with every GD round's aggregate (the n_i
+        # guard counts), so no extra per-fold count job / broadcast
+        # subquery is needed here.
         outs.append(
-            m.crossJoin(F.broadcast(ntr)).select(
+            m.select(
                 F.lit(i).alias("fold"),
-                "n_train",
+                F.lit(ns[i]).cast("long").alias("n_train"),
                 "n_pos",
                 "n_neg",
                 "acc",
