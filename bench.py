@@ -144,6 +144,7 @@ HEADLINE = [
     "text_lift_gains",
     "q_bootstrap_ci",
     "sim_pca_power",
+    "sim_quantize_recall",
 ]
 
 

@@ -85,6 +85,97 @@ def cosine_topk(
     )
 
 
+def int8_quantize_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8 scalar quantization of the embedding column + recall audit
+    against the exact inner-product top-k — the 4× memory/scan-
+    reduction story for ANN at 100 TB (float32 → int8 codes), with the
+    quality loss quantified in-engine.
+
+    Quantizer: symmetric global max-abs — s = max|x| over the corpus
+    (a one-row aggregate, broadcast back; no collect), code =
+    clamp(floor(x / s · 127 + 0.5), ±127). The floor(+0.5) form is
+    pure binary double arithmetic, bit-identical across engines
+    (Spark ROUND is decimal-string HALF_UP, DuckDB's is half-even —
+    the repo's standard cross-engine-rounding dodge). Quantized
+    ranking is then an exact INTEGER dot product — no float fold-order
+    concerns — and the dequantized approximation is idot·s²/127².
+
+    Output: the exact top-k rows (id, dot_exact, dot_quant,
+    in_quant_topk) where in_quant_topk marks membership in the
+    quantized top-k — sum(in_quant_topk)/k IS recall@k.
+
+    100 TB shape: two scans (exact + quantized ranking) each ending in
+    a TakeOrderedAndProject per-partition heap, a broadcast 1-row
+    scale, and a k-row broadcast join. Nothing shuffles the vectors.
+    In a real deployment the int8 codes are materialized once at
+    corpus build; the audit then prices the recall loss before
+    switching scans to the compressed column."""
+    v = as_double(F.col(vec_col))
+    sdf = emb.agg(
+        F.max(
+            F.array_max(F.transform(v, lambda x: F.abs(x)))
+        ).alias("_s")
+    )
+
+    def _codes(arr: Column) -> Column:
+        return F.transform(
+            arr,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x / F.col("_s") * F.lit(127.0) + F.lit(0.5)),
+                ),
+            ),
+        )
+
+    idot = F.aggregate(
+        F.zip_with(_codes(v), _codes(F.col("qv")), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(query))
+        .crossJoin(F.broadcast(sdf))
+        .select(
+            id_col,
+            dot(v, F.col("qv")).alias("_de"),
+            idot.alias("_di"),
+            "_s",
+        )
+    )
+    qtop = (
+        scored.orderBy(F.desc("_di"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("_qid"))
+    )
+    etop = scored.orderBy(F.desc("_de"), F.asc(id_col)).limit(k)
+    return (
+        etop.join(
+            F.broadcast(qtop), etop[id_col] == qtop["_qid"], "left"
+        )
+        .select(
+            id_col,
+            F.round("_de", 4).alias("dot_exact"),
+            F.round(
+                F.col("_di").cast("double")
+                * F.col("_s")
+                * F.col("_s")
+                / F.lit(16129.0),
+                4,
+            ).alias("dot_quant"),
+            F.col("_qid").isNotNull().cast("int").alias("in_quant_topk"),
+        )
+        .orderBy(F.desc("dot_exact"), F.asc(id_col))
+    )
+
+
 def _plane(seed: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit hyperplane from md5 bytes."""
     vals: list[float] = []

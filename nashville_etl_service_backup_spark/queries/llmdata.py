@@ -2842,6 +2842,56 @@ FROM rer ORDER BY c DESC, vec_id ASC LIMIT {k}
 ORACLES["sim_ann_jl"] = _jl_oracle()
 
 
+def sim_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization + recall@10 audit for the exact
+    inner-product top-10 of vec_id=7 (operators.similarity.
+    int8_quantize_topk): symmetric global max-abs scale fitted on the
+    corpus (one-row broadcast aggregate), clamp(floor(x/s·127+0.5))
+    codes, EXACT integer-dot quantized ranking, and per-row
+    in_quant_topk membership flags — sum/10 is recall@10. The 4×
+    compressed-scan story for 100 TB ANN with the quality loss
+    measured in-engine; quantizer arithmetic is floor-form binary
+    double math, bit-identical in DuckDB's twin."""
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        int8_quantize_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 7).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    return int8_quantize_topk(
+        emb.filter(F.col("vec_id") != 7), query, k=10
+    )
+
+
+QUERIES["sim_quantize_recall"] = sim_quantize_recall
+
+ORACLES["sim_quantize_recall"] = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM v WHERE vec_id = 7),
+corp AS (SELECT vec_id, v FROM v WHERE vec_id <> 7),
+s AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS s FROM corp),
+sc AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, len(v)+1), i -> v[i] * qv[i])) AS de,
+    CAST(list_sum(list_transform(range(1, len(v)+1), i ->
+      GREATEST(-127, LEAST(127, CAST(FLOOR(v[i] / s * 127.0 + 0.5) AS BIGINT)))
+      * GREATEST(-127, LEAST(127, CAST(FLOOR(qv[i] / s * 127.0 + 0.5) AS BIGINT)))
+    )) AS BIGINT) AS di,
+    s
+  FROM corp, q, s),
+qtop AS (SELECT vec_id FROM sc ORDER BY di DESC, vec_id ASC LIMIT 10),
+etop AS (SELECT * FROM sc ORDER BY de DESC, vec_id ASC LIMIT 10)
+SELECT e.vec_id, ROUND(e.de, 4) AS dot_exact,
+  ROUND(CAST(e.di AS DOUBLE) * e.s * e.s / 16129.0, 4) AS dot_quant,
+  CAST(q2.vec_id IS NOT NULL AS INT) AS in_quant_topk
+FROM etop e LEFT JOIN qtop q2 ON e.vec_id = q2.vec_id
+ORDER BY e.de DESC, e.vec_id ASC
+"""
+
+
 def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension maintenance (Kimball type-2) over the customer
     dimension: a two-deep synthetic version history (every 11th key

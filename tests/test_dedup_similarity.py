@@ -515,3 +515,46 @@ def test_pca_power_partition_invariant(spark):
         vecs.repartition(17), "embedding", dim=64, iters=8
     ).collect()
     assert a == b
+
+
+def test_int8_quantize_topk_recall_and_error(spark):
+    """Int8 global max-abs quantization must keep most of the exact
+    inner-product top-10 (in_quant_topk flags) and the dequantized dot
+    must track the exact dot within the quantization step bound
+    (64 dims x s/127 half-steps; loose factor for accumulation)."""
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        as_double,
+        int8_quantize_topk,
+    )
+    from nashville_etl_service_backup_spark.tables import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = load(spark, sf, "embeddings")
+        query = emb.filter(F.col("vec_id") == 7).select(
+            as_double(F.col("embedding")).alias("qv")
+        )
+        rows = int8_quantize_topk(
+            emb.filter(F.col("vec_id") != 7), query, k=10
+        ).collect()
+        assert len(rows) == 10
+        assert sum(r["in_quant_topk"] for r in rows) >= 7
+        s = (
+            emb.filter(F.col("vec_id") != 7)
+            .agg(
+                F.max(
+                    F.array_max(
+                        F.transform(
+                            as_double(F.col("embedding")),
+                            lambda x: F.abs(x),
+                        )
+                    )
+                )
+            )
+            .first()[0]
+        )
+        step = s / 127.0
+        bound = 64 * step * 2.0  # 64 dims, half-step each side, slack
+        for r in rows:
+            assert abs(r["dot_exact"] - r["dot_quant"]) <= bound
