@@ -145,6 +145,7 @@ HEADLINE = [
     "q_bootstrap_ci",
     "sim_pca_power",
     "sim_quantize_recall",
+    "text_bigram_lm",
 ]
 
 

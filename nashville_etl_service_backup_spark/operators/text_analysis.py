@@ -664,6 +664,101 @@ def corpus_lm_scores(
     )
 
 
+def bigram_lm_nll(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Word-bigram add-one LM trained in-engine on the TRAIN hash-split
+    and scored over every document — the held-out-model cousin of
+    :func:`corpus_lm_scores` (CCNet/Wenzek et al. 2020 filter shape:
+    there a KenLM n-gram model fit on trusted text scores the crawl;
+    here the trusted subset is the stable 90% train split, so val/test
+    docs are scored OUT of model). Per doc:
+
+        nll(d) = avg over bigrams (w1,w2) of
+                 -ln( (c(w1,w2)+1) / (c(w1)+V) )
+
+    with c(·) counted on train-split bigrams, c(w1) the bigram-head
+    count (so the conditional rows sum to 1), and V the train vocab
+    size — add-one smoothing keeps unseen pairs finite; a fully-OOV
+    bigram scores ln(V) exactly.
+
+    Cross-engine determinism: the two log terms are each rounded to 9
+    decimals and summed separately as DECIMAL(28,9) (order-independent
+    exact sums; the corpus_lm_scores device) — only the final
+    subtract/divide runs in doubles, then round 6.
+
+    100 TB shape: the model is two map-side-combinable counts shuffled
+    on the bigram/head key; scoring is two equi-joins on those keys
+    (bigram vocabularies can exceed broadcast size at corpus scale, so
+    the join IS the scale plan; a head-count/V broadcast is the small-
+    corpus special case Spark's AQE already picks when it fits) plus a
+    combinable per-doc reduce. Nothing is quadratic; no driver data."""
+    from nashville_etl_service_backup_spark.functions.text import tokenize
+
+    toks = tokenize(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        (split_assign(F.col(id_col)) == "train").alias("_is_train"),
+    )
+    n = F.size("_t")
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("_t"), 1, n - 1),
+            F.slice(F.col("_t"), 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = base.select(
+        id_col, "_is_train", F.explode(pairs).alias("_p")
+    ).select(
+        id_col,
+        "_is_train",
+        F.col("_p.w1").alias("w1"),
+        F.col("_p.w2").alias("w2"),
+    )
+    train_bg = bg.filter(F.col("_is_train"))
+    c12 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    c1 = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = (
+        base.filter(F.col("_is_train"))
+        .select(F.explode("_t").alias("tok"))
+        .agg(F.count_distinct("tok").alias("_v"))
+    )
+    l1 = F.round(
+        F.log((F.coalesce(F.col("_c12"), F.lit(0)) + 1).cast("double")), 9
+    )
+    l2 = F.round(
+        F.log(
+            (F.coalesce(F.col("_c1"), F.lit(0)) + F.col("_v")).cast(
+                "double"
+            )
+        ),
+        9,
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(l1.cast("decimal(28,9)")).alias("_s1"),
+            F.sum(l2.cast("decimal(28,9)")).alias("_s2"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        F.round(
+            (F.col("_s2") - F.col("_s1")).cast("double")
+            / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("nll"),
+    )
+
+
 def strip_boilerplate_lines(
     df,
     min_docs: int = 3,

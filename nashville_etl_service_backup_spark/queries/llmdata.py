@@ -38,6 +38,7 @@ from nashville_etl_service_backup_spark.operators.multimodal import (
 )
 from nashville_etl_service_backup_spark.operators.text_analysis import (
     bag_fingerprint,
+    bigram_lm_nll,
     bm25_topk,
     bpe_token_count,
     content_fingerprint,
@@ -917,6 +918,15 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal, self-fit). Returns every doc with ≥1 trigram."""
     docs = spread(load(spark, sf_dir, "documents"))
     return corpus_lm_scores(docs, id_col="doc_id", text_col="text")
+
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram add-one LM fit on the train hash-split, per-doc mean
+    negative log-likelihood over ALL docs (operators.text_analysis.
+    bigram_lm_nll) — the held-out LM-filter signal: val/test docs are
+    scored out of model, and unusual word sequences score high nll."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return bigram_lm_nll(docs, id_col="doc_id", text_col="text")
 
 
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2866,6 +2876,47 @@ def sim_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sim_quantize_recall"] = sim_quantize_recall
+
+QUERIES["text_bigram_lm"] = text_bigram_lm
+
+# bigram LM: train-split counts, add-one conditionals, per-doc NLL.
+# ln terms rounded to 9 and summed separately as DECIMAL(28,9) —
+# exactly the corpus_lm_scores determinism device.
+ORACLES["text_bigram_lm"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_O} AS tk,
+    CAST(list_sum(list_transform(range(1, 9), i ->
+      (strpos('0123456789abcdef',
+              substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+      * pow(16, 8 - i))) AS BIGINT) % 100 < 90 AS is_train
+  FROM documents),
+bgl AS (
+  SELECT doc_id, is_train,
+    unnest(list_transform(range(1, len(tk)),
+           i -> {{'w1': tk[i], 'w2': tk[i+1]}})) AS p
+  FROM t),
+bg AS (SELECT doc_id, is_train, p.w1 AS w1, p.w2 AS w2 FROM bgl),
+c12 AS (SELECT w1, w2, COUNT(*) AS c FROM bg WHERE is_train GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c FROM bg WHERE is_train GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(tk) AS tok FROM t WHERE is_train)),
+sc AS (
+  SELECT bg.doc_id,
+    ROUND(ln(COALESCE(c12.c, 0) + 1), 9) AS l1,
+    ROUND(ln(COALESCE(c1.c, 0) + v.v), 9) AS l2
+  FROM bg
+  LEFT JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+  LEFT JOIN c1 ON bg.w1 = c1.w1
+  CROSS JOIN v),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+    SUM(CAST(l1 AS DECIMAL(28,9))) AS s1,
+    SUM(CAST(l2 AS DECIMAL(28,9))) AS s2
+  FROM sc GROUP BY 1)
+SELECT doc_id, n_bigrams,
+  ROUND(CAST(s2 - s1 AS DOUBLE) / n_bigrams, 6) AS nll
+FROM agg
+"""
 
 ORACLES["sim_quantize_recall"] = """
 WITH v AS (

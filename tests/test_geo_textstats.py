@@ -807,3 +807,29 @@ def test_normalize_url_and_domain(spark):
     got = {r["i"]: (r["n"], r["d"]) for r in out.collect()}
     for i, (_, n, d) in enumerate(cases):
         assert got[i] == (n, d), (i, got[i], (n, d))
+
+
+def test_bigram_lm_nll_flags_scrambled_text(spark):
+    """A doc made of train-corpus sentences must score lower NLL than a
+    doc of the same words in scrambled order (unseen bigrams pay the
+    add-one OOV penalty ln(V))."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        bigram_lm_nll,
+    )
+
+    sent = "the quick brown fox jumps over the lazy dog"
+    words = sent.split()
+    scrambled = " ".join(words[::-1])
+    # doc_ids chosen so the corpus docs land in the train split
+    # (split_assign is md5-deterministic; ids 1..40 give a train
+    # majority) and the probe docs score against that model.
+    rows = [(i, sent) for i in range(1, 41)]
+    rows.append((1001, sent))
+    rows.append((1002, scrambled))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["nll"]
+        for r in bigram_lm_nll(df, "doc_id", "text").collect()
+    }
+    assert out[1001] < out[1002]
+    assert all(v > 0 for v in out.values())
