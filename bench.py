@@ -146,6 +146,7 @@ HEADLINE = [
     "sim_pca_power",
     "sim_quantize_recall",
     "text_bigram_lm",
+    "q_compaction_plan",
 ]
 
 

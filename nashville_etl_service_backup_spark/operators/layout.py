@@ -273,3 +273,79 @@ SELECT col, n_rows, n_distinct,
   n_runs,
   ROUND(CAST(n_runs AS DOUBLE) / n_rows, 6) AS runs_ratio
 FROM agg"""
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    part_col: str,
+    file_col: str,
+    bytes_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planner (the Delta/Iceberg ``OPTIMIZE``
+    bin-packing step): within each table partition, files ordered by
+    (bytes DESC, file_id ASC) are assigned to output bins by cumulative
+    size — bin = floor(bytes-before-this-file / target) — so every bin
+    closes as near the target size as a single-pass plan can and the
+    long small-file tail coalesces into shared bins. This is the
+    sorted-cumulative-sum approximation of first-fit-decreasing: one
+    window pass, deterministic, no driver state, versus FFD's
+    inherently sequential open-bin list.
+
+    Input is a MANIFEST (one row per file), not the data — at 100 TB
+    the planner touches metadata only (~1e6 rows for 100 MB files),
+    one shuffle on the partition key + a per-partition sort window
+    (sort-based, spills), then a combinable aggregate. The actual
+    rewrite jobs consume the (partition, bin) groups.
+
+    Output: one row per (partition, bin): n_files, tot_bytes,
+    biggest/smallest file ids for audit. Exact integer arithmetic —
+    the DuckDB twin replays it bit-for-bit."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(bytes_col).desc(), F.col(file_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(bytes_col).over(w), F.lit(0))
+    binned = manifest.withColumn(
+        "bin", F.floor(before / F.lit(target_bytes)).cast("int")
+    )
+    return (
+        binned.groupBy(part_col, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(bytes_col).alias("tot_bytes"),
+            F.min(file_col).alias("first_file"),
+            F.max(file_col).alias("last_file"),
+        )
+        .orderBy(part_col, "bin")
+    )
+
+
+def compaction_plan_sql(
+    manifest_sql: str,
+    part_col: str,
+    file_col: str,
+    bytes_col: str,
+    target_bytes: int,
+) -> str:
+    """DuckDB twin of :func:`compaction_plan` over a manifest subquery."""
+    return f"""
+WITH m AS ({manifest_sql}),
+b AS (
+  SELECT {part_col}, {file_col}, {bytes_col},
+    CAST(FLOOR(COALESCE(SUM({bytes_col}) OVER (
+        PARTITION BY {part_col}
+        ORDER BY {bytes_col} DESC, {file_col} ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      / {target_bytes}.0) AS INT) AS bin
+  FROM m)
+SELECT {part_col}, bin, COUNT(*) AS n_files,
+  CAST(SUM({bytes_col}) AS BIGINT) AS tot_bytes,
+  MIN({file_col}) AS first_file, MAX({file_col}) AS last_file
+FROM b
+GROUP BY {part_col}, bin
+ORDER BY {part_col}, bin
+"""

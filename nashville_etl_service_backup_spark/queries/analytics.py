@@ -1759,6 +1759,51 @@ ORACLES["q_zorder_layout"] = (
 )
 
 
+COMPACT_TARGET = 2048
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (operators/layout.compaction_plan —
+    the Delta/Iceberg OPTIMIZE bin-packer): the documents table plays
+    a file manifest (partition = source, file = doc_id div 20, bytes =
+    char mass), packed into 2 KiB-target bins via the one-window-pass
+    sorted cumulative-sum plan. Planner cost is metadata-sized at any
+    corpus scale; output is the per-(partition, bin) rewrite work
+    list."""
+    from nashville_etl_service_backup_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    manifest = (
+        load(spark, sf_dir, "documents")
+        .groupBy(
+            F.col("source"),
+            F.expr("doc_id div 20").alias("file_id"),
+        )
+        .agg(F.sum(F.length("text")).alias("bytes"))
+    )
+    return compaction_plan(
+        manifest, "source", "file_id", "bytes", COMPACT_TARGET
+    )
+
+
+QUERIES["q_compaction_plan"] = q_compaction_plan
+
+from nashville_etl_service_backup_spark.operators.layout import (  # noqa: E402
+    compaction_plan_sql,
+)
+
+ORACLES["q_compaction_plan"] = compaction_plan_sql(
+    "SELECT source, doc_id // 20 AS file_id,"
+    " CAST(SUM(LENGTH(text)) AS BIGINT) AS bytes"
+    " FROM documents GROUP BY 1, 2",
+    "source",
+    "file_id",
+    "bytes",
+    COMPACT_TARGET,
+)
+
+
 def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-record survivorship merge (operators/linkage.py
     golden_records — the MDM step after match/cluster): two synthetic

@@ -271,3 +271,19 @@ def test_ngram_builders_match_python_reference(spark):
         ).collect()[0].s
         ct = [s2[i : i + 3] for i in range(max(len(s2) - 2, 0))]
         assert r.ct == ct, (t, r.ct)
+
+
+def test_compaction_plan_bins_sorted_cumsum(spark):
+    """Files 1000,900,500,300,200,100 at target 1000 must bin as
+    0 | 1,1 | 2,2,2 (cum-before 0,1000,1900,2400,2700,2900)."""
+    from nashville_etl_service_backup_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    rows = [("p", i, b) for i, b in enumerate([1000, 900, 500, 300, 200, 100])]
+    m = spark.createDataFrame(rows, ["part", "file_id", "bytes"])
+    out = {
+        r["bin"]: (r["n_files"], r["tot_bytes"])
+        for r in compaction_plan(m, "part", "file_id", "bytes", 1000).collect()
+    }
+    assert out == {0: (1, 1000), 1: (2, 1400), 2: (3, 600)}
