@@ -147,6 +147,7 @@ HEADLINE = [
     "sim_quantize_recall",
     "text_bigram_lm",
     "q_compaction_plan",
+    "sim_sparse_cosine",
 ]
 
 

@@ -759,6 +759,96 @@ def bigram_lm_nll(
     )
 
 
+def tfidf_cosine_topk(
+    df,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sparse tf-idf cosine top-k via an inverted-index equi-join — the
+    THIRD similarity plan family next to dense HOF dots (similarity.py)
+    and BM25 rank: document vectors never materialize; the dot product
+    is a join on the term key restricted to the query doc's terms, so
+    the work is O(postings of query terms), not O(corpus · dim).
+
+    Weights: w(d,t) = round(tf · (ln(N+1) − ln(df+1)), 6) with each ln
+    of an INTEGER rounded to 9 decimals (the corpus_lm_scores cross-
+    engine device — never ln of a ratio); dot/norm partial sums route
+    through DECIMAL(28,6) (order-independent), and the final cosine is
+    dot/(√nd·√nq) — IEEE sqrt is correctly rounded, so bit-identical
+    across engines.
+
+    100 TB shape: tf/df are map-side-combinable counts shuffled on the
+    term; the query vector is a one-doc broadcast; scoring joins ONLY
+    the postings of the query's terms (stop-word-heavy queries cost
+    the most — cap or idf-floor them in a real deployment); top-k is a
+    TakeOrderedAndProject heap. No driver data beyond the plan."""
+    from nashville_etl_service_backup_spark.functions.text import tokenize
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    nn = df.agg(F.count(F.lit(1)).alias("_n"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("_tf")
+                * (
+                    F.round(F.log((F.col("_n") + 1).cast("double")), 9)
+                    - F.round(F.log((F.col("_df") + 1).cast("double")), 9)
+                ),
+                6,
+            ).alias("_w"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sum(
+            F.round(F.col("_w") * F.col("_w"), 6).cast("decimal(28,6)")
+        ).alias("_n2")
+    )
+    qvec = w.filter(F.col(id_col) == query_id).select(
+        "term", F.col("_w").alias("_wq")
+    )
+    qn = norms.filter(F.col(id_col) == query_id).select(
+        F.col("_n2").alias("_qn2")
+    )
+    dots = (
+        w.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(qvec), "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.round(F.col("_w") * F.col("_wq"), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("_dot"),
+            F.count(F.lit(1)).alias("n_shared_terms"),
+        )
+    )
+    cos = F.round(
+        F.col("_dot").cast("double")
+        / (
+            F.sqrt(F.col("_n2").cast("double"))
+            * F.sqrt(F.col("_qn2").cast("double"))
+        ),
+        4,
+    )
+    return (
+        dots.join(norms, id_col)
+        .crossJoin(F.broadcast(qn))
+        .select(id_col, cos.alias("cosine"), "n_shared_terms")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def strip_boilerplate_lines(
     df,
     min_docs: int = 3,

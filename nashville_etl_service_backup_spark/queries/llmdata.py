@@ -55,6 +55,7 @@ from nashville_etl_service_backup_spark.operators.text_analysis import (
     split_assign,
     stratified_sample,
     strip_boilerplate_lines,
+    tfidf_cosine_topk,
     ws_token_count,
     zscore_by_group,
 )
@@ -2878,6 +2879,48 @@ def sim_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sim_quantize_recall"] = sim_quantize_recall
 
 QUERIES["text_bigram_lm"] = text_bigram_lm
+
+
+def sim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine top-10 neighbors of doc_id=3 via the
+    inverted-index join plan (operators.text_analysis.tfidf_cosine_topk)
+    — term-key equi-join scoring touching only the query terms'
+    postings; the sparse-MIPS sibling of the dense HOF top-k."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return tfidf_cosine_topk(docs, query_id=3, k=10)
+
+
+QUERIES["sim_sparse_cosine"] = sim_sparse_cosine
+
+ORACLES["sim_sparse_cosine"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_O}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+w AS (
+  SELECT doc_id, term,
+    ROUND(tf * (ROUND(ln(n + 1), 9) - ROUND(ln(df + 1), 9)), 6) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nn),
+norms AS (
+  SELECT doc_id, SUM(CAST(ROUND(w * w, 6) AS DECIMAL(28,6))) AS n2
+  FROM w GROUP BY 1),
+q AS (SELECT term, w AS wq FROM w WHERE doc_id = 3),
+qn AS (SELECT n2 AS qn2 FROM norms WHERE doc_id = 3),
+dots AS (
+  SELECT w.doc_id,
+    SUM(CAST(ROUND(w.w * q.wq, 6) AS DECIMAL(28,6))) AS dt,
+    COUNT(*) AS n_shared_terms
+  FROM w JOIN q USING (term) WHERE w.doc_id <> 3 GROUP BY 1)
+SELECT d.doc_id,
+  ROUND(CAST(d.dt AS DOUBLE)
+        / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE))),
+        4) AS cosine,
+  d.n_shared_terms
+FROM dots d JOIN norms n ON d.doc_id = n.doc_id CROSS JOIN qn
+ORDER BY cosine DESC, d.doc_id ASC
+LIMIT 10
+"""
 
 # bigram LM: train-split counts, add-one conditionals, per-doc NLL.
 # ln terms rounded to 9 and summed separately as DECIMAL(28,9) —

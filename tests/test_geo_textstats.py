@@ -833,3 +833,27 @@ def test_bigram_lm_nll_flags_scrambled_text(spark):
     }
     assert out[1001] < out[1002]
     assert all(v > 0 for v in out.values())
+
+
+def test_tfidf_cosine_topk_finds_planted_neighbor(spark):
+    """A near-copy of the query doc must rank first with cosine near 1;
+    the query doc itself is excluded."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        tfidf_cosine_topk,
+    )
+
+    base = "apples and oranges make a tasty fruit salad in summer"
+    rows = [
+        (0, base),
+        (1, base + " indeed"),
+        (2, "completely different words about rockets and planets"),
+        (3, "the band plays loud rock music tonight on stage"),
+        (4, "fruit salad with apples is tasty"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_cosine_topk(df, query_id=0, k=3).collect()
+    assert [r["doc_id"] for r in out][0] == 1
+    # the one extra rare term ("indeed") carries high idf in a 5-doc
+    # corpus, so the near-copy tops out around 0.85 here
+    assert out[0]["cosine"] > 0.8
+    assert all(r["doc_id"] != 0 for r in out)
