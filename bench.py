@@ -148,6 +148,7 @@ HEADLINE = [
     "text_bigram_lm",
     "q_compaction_plan",
     "sim_sparse_cosine",
+    "sim_mmr_diverse",
 ]
 
 

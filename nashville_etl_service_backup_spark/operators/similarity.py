@@ -176,6 +176,101 @@ def int8_quantize_topk(
     )
 
 
+def mmr_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 4,
+    shortlist: int = 8,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick the candidate maximizing
+    λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), so near-duplicate results
+    don't crowd the answer list — the retrieval-side counterpart of
+    SemDeDup.
+
+    Plan: the SHORTLIST (exact cosine top-``shortlist``) and its
+    pairwise cosine matrix are computed in-engine (one scan + a
+    shortlist²-row broadcast self-join); the greedy selection then
+    runs on that ≤ shortlist² scalar matrix driver-side — a bounded
+    model-artifact collect, same budget class as the IVF centroids:
+    MMR is inherently an O(k·|C|) post-retrieval step over an already
+    k-bounded candidate set, never over the corpus. Ranks re-enter the
+    plan as a literal map over the candidate frame.
+
+    Ties break on ascending id at every argmax (both engines). The
+    DuckDB twin unrolls the k greedy steps as CTEs over the identical
+    sim formula, so scores hash-match."""
+    v = as_double(F.col(vec_col))
+    cands = (
+        emb.crossJoin(F.broadcast(query))
+        .select(
+            F.col(id_col).alias("_cid"),
+            cosine(v, F.col("qv")).alias("_sq"),
+            v.alias("_v"),
+        )
+        .orderBy(F.desc("_sq"), F.asc("_cid"))
+        .limit(shortlist)
+    )
+    a = cands.select(
+        F.col("_cid").alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("_sq").alias("_sqa"),
+    )
+    b = cands.select(
+        F.col("_cid").alias("_idb"), F.col("_v").alias("_vb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("_ida") != F.col("_idb"))
+        .select(
+            "_ida",
+            "_idb",
+            "_sqa",
+            cosine(F.col("_va"), F.col("_vb")).alias("_sab"),
+        )
+        .collect()
+    )
+    sim_q: dict = {}
+    sim: dict = {}
+    for r in pairs:
+        sim_q[r["_ida"]] = r["_sqa"]
+        sim[(r["_ida"], r["_idb"])] = r["_sab"]
+    remaining = sorted(sim_q)
+    selected: list = []
+    picks: list[tuple[int, float]] = []
+    for _ in range(min(k, len(remaining))):
+        best_id, best_score = None, None
+        for c in remaining:
+            penalty = max(
+                (sim[(c, s)] for s in selected), default=0.0
+            )
+            score = lam * sim_q[c] - (1.0 - lam) * penalty
+            if best_score is None or score > best_score:
+                best_id, best_score = c, score
+        selected.append(best_id)
+        picks.append((best_id, best_score))
+        remaining.remove(best_id)
+    rank_expr: Column = F.lit(None).cast("int")
+    score_expr: Column = F.lit(None).cast("double")
+    for rk, (cid, sc) in enumerate(picks, start=1):
+        rank_expr = F.when(F.col("_cid") == cid, rk).otherwise(rank_expr)
+        score_expr = F.when(
+            F.col("_cid") == cid, F.lit(float(sc))
+        ).otherwise(score_expr)
+    return (
+        cands.select(
+            F.col("_cid").alias(id_col),
+            rank_expr.alias("mmr_rank"),
+            F.round(F.col("_sq"), 4).alias("sim_to_query"),
+            F.round(score_expr, 4).alias("mmr_score"),
+        )
+        .filter(F.col("mmr_rank").isNotNull())
+        .orderBy("mmr_rank")
+    )
+
+
 def _plane(seed: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit hyperplane from md5 bytes."""
     vals: list[float] = []

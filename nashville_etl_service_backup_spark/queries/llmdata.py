@@ -2878,6 +2878,76 @@ def sim_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_quantize_recall"] = sim_quantize_recall
 
+
+def sim_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-4 from the exact-cosine top-8 shortlist of
+    vec_id=0 (operators.similarity.mmr_topk, λ=0.7): greedy
+    relevance-minus-redundancy selection so near-duplicates don't
+    crowd the result list. Shortlist + pairwise sims in-engine; the
+    greedy loop runs on the bounded shortlist² scalar matrix."""
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        mmr_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    return mmr_topk(
+        emb.filter(F.col("vec_id") != 0), query, k=4, shortlist=8, lam=0.7
+    )
+
+
+QUERIES["sim_mmr_diverse"] = sim_mmr_diverse
+
+
+def _mmr_oracle(k: int = 4, shortlist: int = 8, qid: int = 0) -> str:
+    """Unroll the k greedy MMR steps as CTEs. The redundancy weight is
+    written (1.0 - 0.7), NOT 0.3 — Python computes 1.0-lam in doubles
+    (0.30000000000000004) and the SQL must replay the same bits."""
+    steps = []
+    sel: list[str] = []
+    for i in range(1, k + 1):
+        if i == 1:
+            steps.append(
+                "s1 AS MATERIALIZED (SELECT vec_id, sq,"
+                " 0.7 * sq - (1.0 - 0.7) * 0.0 AS score"
+                " FROM cands ORDER BY score DESC, vec_id ASC LIMIT 1)"
+            )
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT vec_id FROM s{j}" for j in range(1, i)
+            )
+            steps.append(
+                f"s{i} AS MATERIALIZED (SELECT c.vec_id, c.sq,"
+                f" 0.7 * c.sq - (1.0 - 0.7) * COALESCE((SELECT MAX(p.sab)"
+                f" FROM pr p WHERE p.ia = c.vec_id"
+                f" AND p.ib IN ({prev})), 0.0) AS score"
+                f" FROM cands c WHERE c.vec_id NOT IN ({prev})"
+                f" ORDER BY score DESC, c.vec_id ASC LIMIT 1)"
+            )
+        sel.append(
+            f"SELECT vec_id, {i} AS mmr_rank, ROUND(sq, 4) AS sim_to_query,"
+            f" ROUND(score, 4) AS mmr_score FROM s{i}"
+        )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM v WHERE vec_id = {qid}),
+cands AS MATERIALIZED (
+  SELECT vec_id, {_cos_sql('v.v', 'q.qv')} AS sq, v.v AS v
+  FROM v CROSS JOIN q WHERE vec_id <> {qid}
+  ORDER BY sq DESC, vec_id ASC LIMIT {shortlist}),
+pr AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {_cos_sql('a.v', 'b.v')} AS sab
+  FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+{", ".join(steps)}
+SELECT * FROM ({" UNION ALL ".join(sel)}) ORDER BY mmr_rank
+"""
+
+
+ORACLES["sim_mmr_diverse"] = _mmr_oracle()
+
 QUERIES["text_bigram_lm"] = text_bigram_lm
 
 

@@ -558,3 +558,32 @@ def test_int8_quantize_topk_recall_and_error(spark):
         bound = 64 * step * 2.0  # 64 dims, half-step each side, slack
         for r in rows:
             assert abs(r["dot_exact"] - r["dot_quant"]) <= bound
+
+
+def test_mmr_topk_skips_near_duplicates(spark):
+    """With two near-identical high-relevance vectors, plain top-2 takes
+    both; MMR's redundancy penalty must pick one of them plus the
+    moderately-relevant diverse vector instead."""
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        as_double,
+        mmr_topk,
+    )
+    from pyspark.sql import functions as F
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    a = [0.99, 0.1, 0.0, 0.0]      # near-dup pair, both very relevant
+    a2 = [0.985, 0.11, 0.0, 0.0]
+    b = [0.7, 0.0, 0.7, 0.0]       # diverse, moderately relevant
+    c = [0.1, 0.1, 0.0, 0.9]       # filler
+    rows = [(0, q), (1, a), (2, a2), (3, b), (4, c)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    query = df.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    out = mmr_topk(
+        df.filter(F.col("vec_id") != 0), query, k=2, shortlist=4, lam=0.5
+    ).collect()
+    picked = [r["vec_id"] for r in out]
+    assert picked[0] == 1          # most relevant first
+    assert picked[1] == 3          # diverse beats the near-dup twin
+    assert out[0]["mmr_rank"] == 1 and out[1]["mmr_rank"] == 2
