@@ -149,6 +149,7 @@ HEADLINE = [
     "q_compaction_plan",
     "sim_sparse_cosine",
     "sim_mmr_diverse",
+    "q_forget_cascade",
 ]
 
 

@@ -345,3 +345,87 @@ def k_anonymity(
         F.min("l").alias("l_div_min"),
         F.sum(l1).alias("rows_l1"),
     )
+
+
+def forget_cascade_audit(
+    events: DataFrame,
+    tombstones: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    day_col: str = "ts",
+) -> DataFrame:
+    """Right-to-be-forgotten delete-propagation audit (the GDPR/CCPA
+    erasure pass every serving pipeline needs): given a tombstone set
+    of subject ids, measure the cascade through the three derived
+    shapes a warehouse keeps — the raw event log (row anti-join), the
+    per-user rollup (whole-key removal), and the daily aggregate
+    (RETRACTION: per-day totals shrink by the tombstoned contribution;
+    a day row vanishes only when all its events were the subject's).
+
+    Output: one row per derived table — rows_before, rows_after,
+    rows_removed, value_removed (exact micro-unit integer mass of the
+    erased contribution, reported in value units — floor(round(v,6)*1e6)
+    BIGINT sums, the repo's bit-exact cross-engine device).
+
+    100 TB shape: the tombstone set is small relative to the corpus
+    (broadcast anti-/semi-joins; no raw-side shuffle); every count/
+    mass is a map-side-combinable aggregate; the daily retraction
+    aggregates tombstoned rows only. This is the AUDIT; the physical
+    delete is plans.load.overwrite/cdc territory (deletion vectors at
+    file level in a real lakehouse)."""
+    ts = F.broadcast(tombstones.select(F.col(user_col).alias("_tu")).distinct())
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.to_date(day_col).alias("_d"),
+        F.floor(
+            F.round(F.coalesce(F.col(value_col), F.lit(0.0)), 6)
+            * F.lit(1000000.0)
+        ).alias("_v6"),
+    )
+    hit = F.col("_tu").isNotNull()
+    tagged = ev.join(ts, ev["_u"] == F.col("_tu"), "left")
+    vmass = lambda cond: F.sum(  # noqa: E731
+        F.when(cond, F.col("_v6")).otherwise(F.lit(0))
+    )
+    as_units = lambda c: F.round(  # noqa: E731
+        c.cast("double") / F.lit(1000000.0), 6
+    )
+    # raw event log: row-level anti-join removal
+    raw = tagged.agg(
+        F.count(F.lit(1)).alias("rows_before"),
+        F.sum((~hit).cast("long")).alias("rows_after"),
+        F.sum(hit.cast("long")).alias("rows_removed"),
+        as_units(vmass(hit)).alias("value_removed"),
+    ).select(F.lit("events_raw").alias("table"), "*")
+    # per-user rollup: whole keys disappear
+    users = tagged.groupBy("_u").agg(
+        F.max(hit.cast("int")).alias("_hit"),
+        vmass(F.lit(True)).alias("_vm"),
+    )
+    user_roll = users.agg(
+        F.count(F.lit(1)).alias("rows_before"),
+        F.sum((F.col("_hit") == 0).cast("long")).alias("rows_after"),
+        F.sum((F.col("_hit") == 1).cast("long")).alias("rows_removed"),
+        as_units(
+            F.sum(
+                F.when(F.col("_hit") == 1, F.col("_vm")).otherwise(F.lit(0))
+            )
+        ).alias("value_removed"),
+    ).select(F.lit("user_rollup").alias("table"), "*")
+    # daily aggregate: retraction — day rows survive unless fully erased
+    days = tagged.groupBy("_d").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(hit.cast("long")).alias("_nt"),
+        vmass(hit).alias("_vt"),
+    )
+    daily = days.agg(
+        F.count(F.lit(1)).alias("rows_before"),
+        F.sum((F.col("_n") > F.col("_nt")).cast("long")).alias(
+            "rows_after"
+        ),
+        F.sum((F.col("_n") == F.col("_nt")).cast("long")).alias(
+            "rows_removed"
+        ),
+        as_units(F.sum("_vt")).alias("value_removed"),
+    ).select(F.lit("daily_rollup").alias("table"), "*")
+    return raw.unionAll(user_roll).unionAll(daily)

@@ -1759,6 +1759,66 @@ ORACLES["q_zorder_layout"] = (
 )
 
 
+def q_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten delete-propagation audit (operators/
+    profile.forget_cascade_audit): erasure subjects = every user_id
+    divisible by 37; the cascade is measured through the raw event
+    log (row anti-join), the per-user rollup (whole-key removal), and
+    the daily aggregate (retraction — day rows shrink, vanishing only
+    when fully erased). Broadcast tombstones, combinable aggregates,
+    exact micro-unit value mass."""
+    from nashville_etl_service_backup_spark.operators.profile import (
+        forget_cascade_audit,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    tombstones = (
+        ev.select("user_id").filter(F.col("user_id") % 37 == 0).distinct()
+    )
+    return forget_cascade_audit(ev, tombstones)
+
+
+QUERIES["q_forget_cascade"] = q_forget_cascade
+
+ORACLES["q_forget_cascade"] = """
+WITH ev AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS d,
+    CAST(FLOOR(ROUND(COALESCE(value, 0.0), 6) * 1000000.0) AS BIGINT) AS v6,
+    user_id % 37 = 0 AS hit
+  FROM events),
+raw AS (
+  SELECT 'events_raw' AS "table", COUNT(*) AS rows_before,
+    CAST(SUM(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS rows_after,
+    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS rows_removed,
+    ROUND(CAST(SUM(CASE WHEN hit THEN v6 ELSE 0 END) AS DOUBLE)
+          / 1000000.0, 6) AS value_removed
+  FROM ev),
+users AS (
+  SELECT u, MAX(CASE WHEN hit THEN 1 ELSE 0 END) AS h, SUM(v6) AS vm
+  FROM ev GROUP BY u),
+user_roll AS (
+  SELECT 'user_rollup' AS "table", COUNT(*) AS rows_before,
+    CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_after,
+    CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rows_removed,
+    ROUND(CAST(SUM(CASE WHEN h = 1 THEN vm ELSE 0 END) AS DOUBLE)
+          / 1000000.0, 6) AS value_removed
+  FROM users),
+days AS (
+  SELECT d, COUNT(*) AS n,
+    SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS nt,
+    SUM(CASE WHEN hit THEN v6 ELSE 0 END) AS vt
+  FROM ev GROUP BY d),
+daily AS (
+  SELECT 'daily_rollup' AS "table", COUNT(*) AS rows_before,
+    CAST(SUM(CASE WHEN n > nt THEN 1 ELSE 0 END) AS BIGINT) AS rows_after,
+    CAST(SUM(CASE WHEN n = nt THEN 1 ELSE 0 END) AS BIGINT) AS rows_removed,
+    ROUND(CAST(SUM(vt) AS DOUBLE) / 1000000.0, 6) AS value_removed
+  FROM days)
+SELECT * FROM raw UNION ALL SELECT * FROM user_roll
+UNION ALL SELECT * FROM daily
+"""
+
+
 COMPACT_TARGET = 2048
 
 

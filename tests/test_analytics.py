@@ -376,3 +376,35 @@ def test_bfs_hops_path_graph_and_unreachable(spark):
     # round-limited: 2 rounds cannot reach node 3
     got2 = {r["node"]: r["dist"] for r in bfs_hops(edges, seeds, 2).collect()}
     assert got2 == {0: 0, 1: 1, 2: 2}
+
+
+def test_forget_cascade_retraction_semantics(spark):
+    """User 1 is tombstoned: raw loses its 3 rows; the user rollup
+    loses exactly one key; day d1 (mixed) survives with retracted mass
+    while day d2 (only user 1) vanishes."""
+    import datetime
+
+    from nashville_etl_service_backup_spark.operators.profile import (
+        forget_cascade_audit,
+    )
+
+    d1 = datetime.datetime(2026, 1, 1, 10, 0)
+    d2 = datetime.datetime(2026, 1, 2, 10, 0)
+    rows = [
+        (1, d1, 10.0), (1, d1, 5.0), (1, d2, 1.0),   # tombstoned
+        (2, d1, 7.0), (3, d1, 2.0),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    tomb = spark.createDataFrame([(1,)], ["user_id"])
+    out = {
+        r["table"]: (
+            r["rows_before"],
+            r["rows_after"],
+            r["rows_removed"],
+            r["value_removed"],
+        )
+        for r in forget_cascade_audit(ev, tomb).collect()
+    }
+    assert out["events_raw"] == (5, 2, 3, 16.0)
+    assert out["user_rollup"] == (3, 2, 1, 16.0)
+    assert out["daily_rollup"] == (2, 1, 1, 16.0)
