@@ -150,6 +150,7 @@ HEADLINE = [
     "sim_sparse_cosine",
     "sim_mmr_diverse",
     "q_forget_cascade",
+    "sim_ann_ndcg",
 ]
 
 

@@ -271,6 +271,67 @@ def mmr_topk(
     )
 
 
+def ndcg_at_k(
+    ranked: DataFrame,
+    ideal: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """NDCG@k of an approximate ranking against the exact ideal — the
+    ranking-quality audit that complements recall@k (recall counts
+    hits; NDCG weights WHERE they landed). Graded relevance: the ideal
+    rank-i item carries rel = k+1−i, absent items rel = 0; DCG = Σ
+    rel/log₂(rank+1) over the approximate list's order.
+
+    Determinism: both lists are re-ranked by (round-4 score DESC, id
+    ASC) — the operators' own output contract — and each DCG term is
+    rounded to 9 decimals and summed as DECIMAL(28,9), so both engines
+    produce identical sums in any order; log₂ arguments are small
+    integers. Both inputs are top-k frames, so the rank windows run on
+    metric-sized (≤ k rows) single partitions — audit cost, not a data
+    pass.
+
+    Output one row: (k, n_hits, dcg, idcg, ndcg) rounded to 6."""
+    from pyspark.sql import Window
+
+    w_r = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    r = ranked.select(
+        F.col(id_col).alias("_rid"),
+        F.row_number().over(w_r).alias("_rrank"),
+    ).filter(F.col("_rrank") <= k)
+    i = ideal.select(
+        F.col(id_col).alias("_iid"),
+        F.row_number().over(w_r).alias("_irank"),
+    ).filter(F.col("_irank") <= k)
+    rel = (F.lit(k + 1) - F.col("_irank")).cast("double")
+    term = lambda rank_col: F.round(  # noqa: E731
+        rel / F.log2(rank_col.cast("double") + F.lit(1.0)), 9
+    ).cast("decimal(28,9)")
+    dcg = (
+        r.join(i, r["_rid"] == i["_iid"])
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum(term(F.col("_rrank"))).alias("_dcg"),
+        )
+    )
+    idcg = i.agg(F.sum(term(F.col("_irank"))).alias("_idcg"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            F.lit(k).alias("k"),
+            "n_hits",
+            F.round(F.col("_dcg").cast("double"), 6).alias("dcg"),
+            F.round(F.col("_idcg").cast("double"), 6).alias("idcg"),
+            F.round(
+                F.col("_dcg").cast("double")
+                / F.col("_idcg").cast("double"),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+
+
 def _plane(seed: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit hyperplane from md5 bytes."""
     vals: list[float] = []

@@ -2948,6 +2948,54 @@ SELECT * FROM ({" UNION ALL ".join(sel)}) ORDER BY mmr_rank
 
 ORACLES["sim_mmr_diverse"] = _mmr_oracle()
 
+
+def sim_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the SRP-LSH ANN ranking against the exact cosine
+    ideal (operators.similarity.ndcg_at_k) — the ranking-quality audit
+    that complements recall: a hit at rank 1 is worth more than the
+    same hit at rank 10. Composes the two existing retrieval paths;
+    the windows run on the two top-10 frames (metric-sized)."""
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        ndcg_at_k,
+    )
+
+    return ndcg_at_k(
+        sim_ann_lsh(spark, sf_dir),
+        sim_topk_bruteforce(spark, sf_dir),
+        k=10,
+    )
+
+
+QUERIES["sim_ann_ndcg"] = sim_ann_ndcg
+
+
+def _ndcg_oracle(k: int = 10) -> str:
+    return f"""
+WITH ranked AS ({ORACLES["sim_ann_lsh"]}),
+ideal AS ({ORACLES["sim_topk_bruteforce"]}),
+r AS (SELECT vec_id,
+        ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rrank
+      FROM ranked),
+i AS (SELECT vec_id,
+        ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS irank
+      FROM ideal),
+d AS (SELECT COUNT(*) AS n_hits,
+        SUM(CAST(ROUND(({k} + 1 - irank) / log2(rrank + 1.0), 9)
+            AS DECIMAL(28,9))) AS dcg
+      FROM r JOIN i USING (vec_id)),
+ic AS (SELECT SUM(CAST(ROUND(({k} + 1 - irank) / log2(irank + 1.0), 9)
+            AS DECIMAL(28,9))) AS idcg
+       FROM i)
+SELECT {k} AS k, n_hits,
+  ROUND(CAST(dcg AS DOUBLE), 6) AS dcg,
+  ROUND(CAST(idcg AS DOUBLE), 6) AS idcg,
+  ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+FROM d CROSS JOIN ic
+"""
+
+
+ORACLES["sim_ann_ndcg"] = _ndcg_oracle()
+
 QUERIES["text_bigram_lm"] = text_bigram_lm
 
 

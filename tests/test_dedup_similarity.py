@@ -587,3 +587,23 @@ def test_mmr_topk_skips_near_duplicates(spark):
     assert picked[0] == 1          # most relevant first
     assert picked[1] == 3          # diverse beats the near-dup twin
     assert out[0]["mmr_rank"] == 1 and out[1]["mmr_rank"] == 2
+
+
+def test_ndcg_perfect_and_degraded(spark):
+    """Identical ranking scores NDCG=1; pushing the best item to the
+    bottom must strictly lower it."""
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        ndcg_at_k,
+    )
+
+    ideal = spark.createDataFrame(
+        [(i, 1.0 - i * 0.05) for i in range(1, 6)], ["vec_id", "cosine"]
+    )
+    perfect = ndcg_at_k(ideal, ideal, k=5).collect()[0]
+    assert perfect["ndcg"] == 1.0 and perfect["n_hits"] == 5
+    # same items, best item demoted to last place
+    degraded_rows = [(1, 0.1)] + [(i, 1.0 - i * 0.05) for i in range(2, 6)]
+    degraded = spark.createDataFrame(degraded_rows, ["vec_id", "cosine"])
+    worse = ndcg_at_k(degraded, ideal, k=5).collect()[0]
+    assert worse["n_hits"] == 5
+    assert worse["ndcg"] < 1.0
