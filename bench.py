@@ -151,6 +151,7 @@ HEADLINE = [
     "sim_mmr_diverse",
     "q_forget_cascade",
     "sim_ann_ndcg",
+    "q_dp_release",
 ]
 
 

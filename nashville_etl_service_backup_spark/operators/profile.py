@@ -429,3 +429,63 @@ def forget_cascade_audit(
         as_units(F.sum("_vt")).alias("value_removed"),
     ).select(F.lit("daily_rollup").alias("table"), "*")
     return raw.unionAll(user_roll).unionAll(daily)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    salt: str = "dp",
+) -> DataFrame:
+    """Differentially-private count release (Dwork et al. 2006 Laplace
+    mechanism): per-group counts + Laplace(1/ε) noise — counting
+    queries have sensitivity 1, so scale b = 1/ε. The third leg of the
+    governance family (k_anonymity = structural audit,
+    forget_cascade_audit = erasure, this = private release).
+
+    Engine-portable noise: the uniform draw is the salted md5 bucket
+    of the group key mapped to u = (bucket + 0.5) / 2^20 ∈ (0,1) — a
+    dyadic rational, exactly representable — and the Laplace deviate
+    is the inverse CDF −b·sign(u−½)·ln(1−2|u−½|), its ln rounded to 9
+    decimals (the repo's cross-engine ln device; 1−2|u−½| is again an
+    exact dyadic rational, never 0 thanks to the +0.5 offset). No
+    float RNG; re-releases are deterministic per salt — REUSING a salt
+    for two releases of the same key spends no extra privacy budget
+    but releasing with two salts composes (2ε), which is the caller's
+    ledger to keep.
+
+    Output: (group, n_true, noise, n_noisy) — n_true rides along
+    because this engine's releases are oracle-audited; a production
+    release would project it away.
+
+    100 TB shape: ONE map-side-combinable count shuffled on the group
+    key; the noise is a narrow per-row expression over the |groups|
+    aggregate rows."""
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        hash_bucket,
+    )
+
+    b = 1.0 / float(epsilon)
+    counts = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    u = (
+        hash_bucket(
+            F.concat_ws(":", F.lit(salt), F.col(group_col).cast("string")),
+            1_048_576,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1048576.0)
+    centered = u - F.lit(0.5)
+    mag = F.lit(1.0) - F.lit(2.0) * F.abs(centered)
+    noise = (
+        F.lit(-b)
+        * F.signum(centered)
+        * F.round(F.log(mag), 9)
+    )
+    return counts.select(
+        group_col,
+        "n_true",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n_true") + noise, 6).alias("n_noisy"),
+    ).orderBy(group_col)

@@ -786,13 +786,19 @@ def tfidf_cosine_topk(
     TakeOrderedAndProject heap. No driver data beyond the plan."""
     from nashville_etl_service_backup_spark.functions.text import tokenize
 
+    from nashville_etl_service_backup_spark.operators import track_persist
+
     tok = df.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
     )
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     nn = df.agg(F.count(F.lit(1)).alias("_n"))
-    w = (
+    # persist the weighted postings: they feed norms, the query vector,
+    # and the scoring join — a real deployment materializes this index
+    # once at corpus build, and without it each consumer re-tokenizes
+    # the corpus
+    w = track_persist(
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(nn))
         .select(

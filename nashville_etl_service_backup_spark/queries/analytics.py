@@ -1759,6 +1759,46 @@ ORACLES["q_zorder_layout"] = (
 )
 
 
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-event-type count release at ε=1
+    (operators/profile.dp_noisy_counts — Laplace mechanism with
+    deterministic md5-derived noise, no float RNG): one combinable
+    count shuffle + a narrow noise expression over the group rows;
+    n_true rides along for the oracle audit."""
+    from nashville_etl_service_backup_spark.operators.profile import (
+        dp_noisy_counts,
+    )
+
+    return dp_noisy_counts(
+        load(spark, sf_dir, "events"), "event_type", epsilon=1.0
+    )
+
+
+QUERIES["q_dp_release"] = q_dp_release
+
+# salted md5 nibble bucket of 'dp:' || event_type, the hash_bucket twin
+_DP_BUCKET_SQL = """CAST(list_sum(list_transform(range(1, 9), i ->
+      (strpos('0123456789abcdef',
+              substr(md5('dp:' || event_type), CAST(i AS INT), 1)) - 1)
+      * pow(16, 8 - i))) AS BIGINT) % 1048576"""
+
+ORACLES["q_dp_release"] = f"""
+WITH c AS (
+  SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY 1),
+u AS (
+  SELECT event_type, n_true,
+    (({_DP_BUCKET_SQL}) + 0.5) / 1048576.0 - 0.5 AS ctr
+  FROM c),
+n AS (
+  SELECT event_type, n_true,
+    (-1.0 * SIGN(ctr)) * ROUND(ln(1.0 - 2.0 * ABS(ctr)), 9) AS noise
+  FROM u)
+SELECT event_type, n_true, ROUND(noise, 6) AS noise,
+  ROUND(n_true + noise, 6) AS n_noisy
+FROM n ORDER BY event_type
+"""
+
+
 def q_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten delete-propagation audit (operators/
     profile.forget_cascade_audit): erasure subjects = every user_id

@@ -408,3 +408,24 @@ def test_forget_cascade_retraction_semantics(spark):
     assert out["events_raw"] == (5, 2, 3, 16.0)
     assert out["user_rollup"] == (3, 2, 1, 16.0)
     assert out["daily_rollup"] == (2, 1, 1, 16.0)
+
+
+def test_dp_noisy_counts_deterministic_laplace(spark):
+    """Noise is deterministic per (salt, key), zero-mean-ish Laplace
+    magnitudes at eps=1 (|noise| = -ln(u') stays within ~15 for 2^20
+    buckets), and re-release with the same salt is identical."""
+    from nashville_etl_service_backup_spark.operators.profile import (
+        dp_noisy_counts,
+    )
+
+    rows = [(i, f"t{i % 4}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    a = {r["grp"]: (r["noise"], r["n_noisy"]) for r in dp_noisy_counts(df, "grp").collect()}
+    b = {r["grp"]: (r["noise"], r["n_noisy"]) for r in dp_noisy_counts(df, "grp").collect()}
+    assert a == b and len(a) == 4
+    for grp, (noise, noisy) in a.items():
+        assert abs(noise) < 15.0
+        assert noisy != 25 or noise == 0.0  # noise actually applied
+    # a different salt re-draws
+    c = {r["grp"]: r["noise"] for r in dp_noisy_counts(df, "grp", salt="dp2").collect()}
+    assert any(c[g] != a[g][0] for g in c)
