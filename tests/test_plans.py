@@ -356,3 +356,57 @@ def test_classifier_eval_windows_over_histogram_only(spark):
     assert plan.index("HashAggregate") < plan.index("Window") or (
         "SortAggregate" in plan
     )
+
+
+def test_quantize_recall_twin_topk_heaps(spark):
+    """Both rankings (exact + quantized) end in TakeOrderedAndProject
+    heaps; the scale and query vector broadcast; never a cartesian."""
+    plan = plan_of(spark, "sim_quantize_recall")
+    # two heap nodes (each named twice in formatted output: tree + detail)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sparse_cosine_is_posting_join_topk(spark):
+    """tf-idf scoring is equi-joins over the postings + a top-k heap —
+    no cartesian, no corpus-wide global sort."""
+    plan = plan_of(spark, "sim_sparse_cosine")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # postings index materialized once
+
+
+def test_bigram_lm_counts_are_partial(spark):
+    """Model counts map-side combine before their shuffles; scoring is
+    equi-joins (the 100 TB plan: bigram vocab can exceed broadcast)."""
+    plan = plan_of(spark, "text_bigram_lm")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_compaction_plan_no_data_sort(spark):
+    """The planner windows the metadata manifest only: one hash
+    exchange on the partition key; the final ORDER BY sorts the
+    (partition, bin) summary, not the manifest."""
+    plan = plan_of(spark, "q_compaction_plan")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_forget_cascade_broadcasts_tombstones(spark):
+    """The tombstone set broadcasts into every branch — the raw scan is
+    never shuffled on user_id for the erasure tag."""
+    plan = plan_of(spark, "q_forget_cascade")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_draws_are_codegen_side(spark):
+    """The Poisson draw pipeline stays in whole-stage codegen: block
+    explode + md5 projection + posexplode of the count array — no
+    Python stages, no cartesian."""
+    plan = plan_of(spark, "q_bootstrap_ci")
+    assert "Generate posexplode" in plan or "posexplode" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
