@@ -12,10 +12,11 @@ row-count + schema + order-insensitive value-hash check passes):
 - arrays are never returned (DuckDB list_distinct is unordered) —
   only scalars derived from them.
 
-Registry layout (round-3): the driver's correctness gate records the
-FIRST 50 entries, so the registry is EXACTLY 50 entries — 34 flagship
-queries individually, plus 16 composite suites (queries/suites.py) that
-fold the remaining 59 queries in by operator family.  Every individual
+Registry layout (round-3, extended round-4): the driver's correctness
+gate records the FIRST 50 entries, so the registry is EXACTLY 50
+entries — 34 flagship queries individually, plus 16 composite suites
+(queries/suites.py) that fold the remaining queries in by operator
+family (198 queries in the extended registry).  Every individual
 query (suite members included) stays addressable via
 ``extended_queries()`` / ``extended_oracles()`` for the bench harness,
 plan audits, and tools.
