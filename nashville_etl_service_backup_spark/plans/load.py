@@ -104,6 +104,21 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def export_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC export — the second columnar interchange format next to
+    parquet (Spark ships a native vectorized ORC reader/writer; Hive/
+    Trino ecosystems frequently hand data over as ORC). Same pushdown
+    contract as parquet: predicates and column pruning reach the ORC
+    scan (PushedFilters/ReadSchema — plan-audited in test_sources),
+    so a consumer reading the export pays only for what it asks."""
+    df.write.mode(mode).orc(path)
+
+
+def scan_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC scan with full Catalyst pushdown."""
+    return spark.read.orc(path)
+
+
 def jdbc_driver_available(spark: SparkSession, driver_class: str) -> bool:
     """True if `driver_class` is loadable on the JVM classpath — gates
     the JDBC path in environments without a driver jar."""
