@@ -152,6 +152,7 @@ HEADLINE = [
     "q_forget_cascade",
     "sim_ann_ndcg",
     "q_dp_release",
+    "text_feature_woe",
 ]
 
 

@@ -1266,3 +1266,81 @@ def nb_predict(
         .filter(F.col("_rn") == 1)
         .select(doc_col, *keep_cols, F.col("_c").alias("pred"))
     )
+
+
+def feature_woe(
+    feats: DataFrame,
+    feature_col: str,
+    label_col: str,
+    n_bins: int = 5,
+) -> DataFrame:
+    """Weight-of-evidence / information-value feature screening (the
+    credit-scoring audit, Siddiqi 2006 — the standard "is this feature
+    worth training on" gate): bin the feature into ``n_bins``
+    equi-depth bins by exact percentile edges, then per bin
+
+        woe = ln(pos_i + ½) − ln(neg_i + ½) − ln(pos_tot) + ln(neg_tot)
+        iv_term = ((pos_i + ½)/pos_tot − (neg_i + ½)/neg_tot) · woe
+
+    (½-smoothing keeps empty cells finite; Σ iv_term is the feature's
+    IV — <0.02 useless, >0.3 strong). Every ln argument is kept
+    INTEGER via ln(x+½) = ln(2x+1) − ln 2, where the ln 2 terms cancel
+    in the woe difference — so the cross-engine round-9 integer-ln
+    device applies everywhere and the DuckDB twin is bit-identical.
+
+    100 TB shape: one exact-percentile aggregate for the edges
+    (broadcast back), one combinable groupBy over n_bins cells, and a
+    broadcast 1-row totals join. The bin assignment is a narrow
+    comparison chain — no shuffle of the corpus beyond the percentile
+    pass."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = feats.agg(
+        F.percentile(feature_col, F.lit(qs)).alias("_e")
+    )
+    bin_expr: Column = F.lit(0)
+    for i in range(n_bins - 1):
+        bin_expr = bin_expr + (
+            F.col(feature_col) > F.element_at("_e", i + 1)
+        ).cast("int")
+    g = (
+        feats.crossJoin(F.broadcast(edges))
+        .select(
+            bin_expr.alias("bin"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("_y")).alias("n_neg"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_pos").alias("_pt"), F.sum("n_neg").alias("_nt")
+    )
+    ln9 = lambda c: F.round(F.log(c.cast("double")), 9)  # noqa: E731
+    woe = (
+        ln9(F.lit(2) * F.col("n_pos") + 1)
+        - ln9(F.lit(2) * F.col("n_neg") + 1)
+        - ln9(F.col("_pt"))
+        + ln9(F.col("_nt"))
+    )
+    dp = (F.col("n_pos").cast("double") + F.lit(0.5)) / F.col("_pt").cast(
+        "double"
+    )
+    dn = (F.col("n_neg").cast("double") + F.lit(0.5)) / F.col("_nt").cast(
+        "double"
+    )
+    woe6 = F.round(woe, 6)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "n_neg",
+            woe6.alias("woe"),
+            F.round((dp - dn) * woe6, 6).alias("iv_term"),
+        )
+        .orderBy("bin")
+    )

@@ -2996,6 +2996,76 @@ FROM d CROSS JOIN ic
 
 ORACLES["sim_ann_ndcg"] = _ndcg_oracle()
 
+
+def text_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screening of the
+    uniq_ratio feature against the quality label (operators.ml.
+    feature_woe): quintile equi-depth bins by exact percentile edges,
+    half-smoothed WOE and IV contribution per bin — the 'is this
+    feature worth training on' audit in front of the classifier
+    family."""
+    from nashville_etl_service_backup_spark.operators.ml import feature_woe
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    qf = quality_features(F.col("text"))
+    feats = docs.select(
+        qf["uniq_ratio"].alias("f"),
+        F.when(qf["quality"] >= 0.64, 1).otherwise(0).alias("y"),
+    )
+    return feature_woe(feats, "f", "y", n_bins=5)
+
+
+QUERIES["text_feature_woe"] = text_feature_woe
+
+
+def _woe_oracle(n_bins: int = 5) -> str:
+    uniq = (
+        "CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE)"
+        "/len(tk) ELSE 0.0 END"
+    )
+    stop = (
+        "CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,"
+        " x -> x IN ('the','a','and','of','to'))) AS DOUBLE)/len(tk)"
+        " ELSE 0.0 END"
+    )
+    quality = (
+        f"ROUND(0.5*({uniq}) + 0.3*(1.0 - {stop})"
+        f" + 0.2*LEAST(len(tk)/300.0, 1.0), 6)"
+    )
+    qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    bin_sum = " + ".join(
+        f"(CASE WHEN f > e[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, n_bins)
+    )
+    ln9 = lambda x: f"ROUND(ln({x}), 9)"  # noqa: E731
+    woe = (
+        f"{ln9('2*n_pos + 1')} - {ln9('2*n_neg + 1')}"
+        f" - {ln9('pt')} + {ln9('nt')}"
+    )
+    return f"""
+WITH t AS (SELECT {_TOKS_O} AS tk FROM documents),
+feats AS (SELECT ROUND({uniq}, 6) AS f,
+  CASE WHEN {quality} >= 0.64 THEN 1 ELSE 0 END AS y FROM t),
+e AS (SELECT quantile_cont(f, [{qs}]) AS e FROM feats),
+b AS (SELECT CAST({bin_sum} AS INT) AS bin, y FROM feats, e),
+g AS (SELECT bin, COUNT(*) AS n,
+  CAST(SUM(y) AS BIGINT) AS n_pos,
+  CAST(SUM(1 - y) AS BIGINT) AS n_neg
+ FROM b GROUP BY bin),
+tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS pt,
+  CAST(SUM(n_neg) AS BIGINT) AS nt FROM g)
+SELECT bin, n, n_pos, n_neg,
+  ROUND({woe}, 6) AS woe,
+  ROUND(((CAST(n_pos AS DOUBLE) + 0.5)/CAST(pt AS DOUBLE)
+        - (CAST(n_neg AS DOUBLE) + 0.5)/CAST(nt AS DOUBLE))
+        * ROUND({woe}, 6), 6) AS iv_term
+FROM g CROSS JOIN tot
+ORDER BY bin
+"""
+
+
+ORACLES["text_feature_woe"] = _woe_oracle()
+
 QUERIES["text_bigram_lm"] = text_bigram_lm
 
 

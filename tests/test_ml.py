@@ -412,3 +412,28 @@ def test_lift_gains_shape_and_mass(spark):
     # the classifier distills its own teacher labels: the top decile
     # must be enriched vs the base rate
     assert rows[0].lift >= 1.0
+
+
+def test_feature_woe_separates_predictive_from_noise(spark):
+    """A feature that determines the label gets monotone WOE and large
+    IV; an md5-noise feature gets near-zero IV."""
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.ml import feature_woe
+
+    df = spark.range(1000).select(
+        (F.col("id") % 100 / 100.0).alias("good"),
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 1000 / 1000.0
+        ).alias("noise"),
+        ((F.col("id") % 100) >= 50).cast("int").alias("y"),
+    )
+    woe_good = feature_woe(df, "good", "y", n_bins=5).collect()
+    woe_noise = feature_woe(df, "noise", "y", n_bins=5).collect()
+    iv_good = sum(r["iv_term"] for r in woe_good)
+    iv_noise = sum(r["iv_term"] for r in woe_noise)
+    assert iv_good > 1.0          # decisive feature
+    assert iv_noise < 0.05        # uninformative feature
+    # WOE monotone for the decisive feature (low bins negative, top positive)
+    assert woe_good[0]["woe"] < 0 < woe_good[-1]["woe"]
