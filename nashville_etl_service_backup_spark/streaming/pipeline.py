@@ -443,12 +443,68 @@ def read_rollup(
 ) -> DataFrame:
     """Serve the continuous aggregate: merge all per-batch partials.
     Missing path is NOT swallowed — a vanished rollup is an error, not a
-    cold start (the ADVICE-flagged failure mode)."""
+    cold start (the ADVICE-flagged failure mode). Cells whose count
+    reaches 0 are fully-retracted tombstone residue (only
+    :func:`forget_from_rollup` writes negative partials) and are
+    dropped from the served view."""
     return (
         spark.read.option("basePath", rollup_path)
         .parquet(rollup_path)
         .groupBy("window_start", key_col)
         .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .filter(F.col("n") > 0)
+    )
+
+
+def forget_from_rollup(
+    spark: SparkSession,
+    events_path: str,
+    rollup_path: str,
+    tombstones: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    forget_id: int = -2,
+) -> None:
+    """Right-to-be-forgotten RETRACTION for the continuous aggregate —
+    the streaming-side leg of the forget cascade (the batch audit is
+    profile.forget_cascade_audit): recompute the tombstoned records'
+    per-(window, key) contribution from the raw zone and append it
+    NEGATED as one ``batch_id=<forget_id>`` partial. Because the
+    rollup's n/total are commutative monoids, every existing partial
+    stays untouched (no read-modify-write of history) and
+    :func:`read_rollup` absorbs the retraction at merge time —
+    fully-erased cells sum to n=0 and vanish from the served view;
+    :func:`compact_rollup` later folds the negative partial away
+    physically.
+
+    Idempotent: re-running overwrites the SAME forget partial from the
+    same tombstone set — it can never double-retract (the
+    incremental_rollup replay argument). Run offline like compaction;
+    one forget_id per erasure campaign.
+
+    100 TB shape: tombstones broadcast into a semi-join on the raw
+    scan; the retraction aggregate is map-side combinable and
+    tiny (one row per touched window×key)."""
+    raw = spark.read.parquet(events_path)
+    hit = raw.join(
+        F.broadcast(tombstones.select(F.col(id_col)).distinct()),
+        id_col,
+        "semi",
+    )
+    part = (
+        hit.groupBy(
+            F.window(F.col(ts_col), window).alias("w"), F.col(key_col)
+        )
+        .agg(
+            (-F.count(F.lit(1))).alias("n"),
+            (-F.sum(F.col("value").cast("decimal(18,6)"))).alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "n", "total")
+    )
+    part.write.mode("overwrite").parquet(
+        f"{rollup_path.rstrip('/')}/batch_id={forget_id}"
     )
 
 

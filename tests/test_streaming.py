@@ -551,3 +551,63 @@ def test_incremental_bloom_gate(spark, tmp_path):
     # batch 1 appended only key 3's positions (≤ k = 4 new rows)
     b1 = store.filter(F.col("batch_id") == 1).count()
     assert 1 <= b1 <= 4
+
+
+def test_forget_from_rollup_retracts_and_is_idempotent(spark, tmp_path):
+    """GDPR retraction partial: tombstoned records' contribution is
+    subtracted at read-merge time, a fully-erased cell vanishes,
+    re-running never double-retracts, and compaction folds the
+    negative partial away physically."""
+    from datetime import datetime
+
+    from nashville_etl_service_backup_spark.streaming.pipeline import (
+        compact_rollup,
+        forget_from_rollup,
+        incremental_rollup,
+        read_rollup,
+    )
+
+    src = str(tmp_path / "ev")
+    roll = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ck")
+    rows = [
+        (1, "2024-01-01T10:05:00", "click", 1.5),
+        (2, "2024-01-01T10:40:00", "click", 2.0),
+        (3, "2024-01-01T11:10:00", "view", 4.0),   # only event in its cell
+        (4, "2024-01-01T10:59:00", "click", 0.5),
+    ]
+    spark.createDataFrame(
+        [(i, datetime.fromisoformat(ts), et, v) for i, ts, et, v in rows],
+        "event_id long, ts timestamp, event_type string, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    incremental_rollup(spark, src, roll, ckpt).awaitTermination(120)
+
+    def state():
+        return {
+            (str(r["window_start"]), r["event_type"]): (
+                r["n"],
+                float(r["total"]),
+            )
+            for r in read_rollup(spark, roll).collect()
+        }
+
+    before = state()
+    assert sum(n for n, _ in before.values()) == 4
+
+    tomb = spark.createDataFrame([(2,), (3,)], ["event_id"])
+    forget_from_rollup(spark, src, roll, tomb)
+    after = state()
+    # event 2 retracted from the 10:00 click cell; event 3's cell gone
+    assert sum(n for n, _ in after.values()) == 2
+    assert all(et != "view" for (_, et) in after)
+    click_cells = {k: v for k, v in after.items() if k[1] == "click"}
+    assert sum(n for n, _ in click_cells.values()) == 2
+    assert abs(sum(t for _, t in after.values()) - 2.0) < 1e-9
+
+    # idempotent: same campaign id overwrites the same partial
+    forget_from_rollup(spark, src, roll, tomb)
+    assert state() == after
+
+    # compaction folds the retraction physically; served view unchanged
+    compact_rollup(spark, roll)
+    assert state() == after
