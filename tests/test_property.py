@@ -228,3 +228,60 @@ def test_boilerplate_strip_accounting_invariants(spark, texts, min_docs):
             assert r["cleaned_md5"] == empty_md5
         else:
             assert r["cleaned_md5"] != empty_md5
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(1, 5000)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(500, 4000),
+)
+def test_compaction_plan_conserves_and_bounds(spark, files, target):
+    """Bin packing conserves files and bytes exactly, and no bin
+    exceeds target + its largest member (the sorted-cumsum guarantee:
+    a bin closes within one file of the target)."""
+    from nashville_etl_service_backup_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    rows = [(f"p{p}", i, b) for i, (p, b) in enumerate(files)]
+    m = spark.createDataFrame(rows, ["part", "file_id", "bytes"])
+    out = compaction_plan(m, "part", "file_id", "bytes", target).collect()
+    assert sum(r["n_files"] for r in out) == len(rows)
+    assert sum(r["tot_bytes"] for r in out) == sum(b for _, b in files)
+    max_file = max(b for _, b in files)
+    for r in out:
+        assert r["tot_bytes"] <= target + max_file
+
+
+@SLOW
+@given(st.integers(1, 10_000))
+def test_poisson_draws_match_scalar_form(spark, n_keys):
+    """poisson_rep_counts (blocked-lane, codegen shape) must reproduce
+    poisson_replica_count (scalar form) draw for draw — position i of
+    the blocked pipeline equals the scalar draw at rep=i."""
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.sketch import (
+        poisson_rep_counts,
+        poisson_replica_count,
+    )
+
+    n = min(n_keys, 50)  # 50 keys x 13 reps is plenty per example
+    df = spark.range(n).select(F.col("id").alias("k"))
+    blocked = {
+        (r["k"], r["_rep"]): r["_cnt"]
+        for r in poisson_rep_counts(df, "k", reps=13).collect()
+    }
+    assert len(blocked) == n * 13
+    scalar = df.select(
+        "k",
+        F.explode(F.sequence(F.lit(0), F.lit(12))).alias("rep"),
+    ).select(
+        "k", "rep", poisson_replica_count(F.col("k"), F.col("rep")).alias("c")
+    )
+    for r in scalar.collect():
+        assert blocked[(r["k"], r["rep"])] == r["c"]
