@@ -153,6 +153,7 @@ HEADLINE = [
     "sim_ann_ndcg",
     "q_dp_release",
     "text_feature_woe",
+    "text_score_drift",
 ]
 
 

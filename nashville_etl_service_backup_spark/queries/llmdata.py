@@ -3066,6 +3066,176 @@ ORDER BY bin
 
 ORACLES["text_feature_woe"] = _woe_oracle()
 
+
+def text_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-serving skew audit (the MLOps gate between fit and
+    deploy): the quality classifier is trained on the train hash-split
+    ONLY, every doc is scored, and the score distribution of the
+    held-out serve traffic is compared to the train distribution by
+    PSI over 10 fixed score bins — psi_term = (d_train − d_serve)·
+    ln(d_train/d_serve) with half-smoothing, every ln argument kept
+    INTEGER via ln(x+½)=ln(2x+1)−ln 2 (the ln 2 terms cancel in the
+    ratio; the feature_woe device). Σ psi_term > 0.2 = retrain signal.
+
+    100 TB shape: standardization + each GD round are combinable
+    aggregates (train rows only), scoring is a narrow projection, the
+    PSI is a 10-cell groupBy + broadcast totals."""
+    from nashville_etl_service_backup_spark.operators import track_persist
+    from nashville_etl_service_backup_spark.operators.ml import (
+        logreg_score,
+        logreg_train,
+        standardize,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    qf = quality_features(F.col("text"))
+    nt_d = qf["n_tokens"].cast("double")
+    raw = docs.select(
+        "doc_id",
+        F.when(qf["quality"] >= 0.64, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        qf["uniq_ratio"].alias("x1"),
+        qf["stop_ratio"].alias("x2"),
+        F.round(F.least(nt_d / F.lit(300.0), F.lit(1.0)), 6).alias("x3"),
+        (split_assign(F.col("doc_id")) == "train").alias("is_tr"),
+    )
+    fcols = ["x1", "x2", "x3"]
+    feats = track_persist(standardize(raw, fcols))
+    w = logreg_train(feats.filter(F.col("is_tr")), fcols, "y")
+    s = F.round(logreg_score(fcols, w), 6)
+    binned = feats.select(
+        F.least(F.floor(s * 10).cast("int"), F.lit(9)).alias("bin"),
+        F.col("is_tr"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.sum(F.col("is_tr").cast("long")).alias("n_train"),
+        F.sum((~F.col("is_tr")).cast("long")).alias("n_serve"),
+    )
+    tot = g.agg(
+        F.sum("n_train").alias("_ta"), F.sum("n_serve").alias("_tb")
+    )
+    ln9 = lambda c: F.round(F.log(c.cast("double")), 9)  # noqa: E731
+    lnr = (
+        ln9(F.lit(2) * F.col("n_train") + 1)
+        - ln9(F.lit(2) * F.col("n_serve") + 1)
+        - ln9(F.col("_ta"))
+        + ln9(F.col("_tb"))
+    )
+    da = (F.col("n_train").cast("double") + F.lit(0.5)) / F.col(
+        "_ta"
+    ).cast("double")
+    db = (F.col("n_serve").cast("double") + F.lit(0.5)) / F.col(
+        "_tb"
+    ).cast("double")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_train",
+            "n_serve",
+            F.round((da - db) * F.round(lnr, 6), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUERIES["text_score_drift"] = text_score_drift
+
+
+def _drift_oracle() -> str:
+    from nashville_etl_service_backup_spark.operators.ml import (
+        logreg_oracle_ctes,
+        logreg_oracle_score_sql,
+    )
+
+    uniq = (
+        "CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE)"
+        "/len(tk) ELSE 0.0 END"
+    )
+    stop = (
+        "CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,"
+        " x -> x IN ('the','a','and','of','to'))) AS DOUBLE)/len(tk)"
+        " ELSE 0.0 END"
+    )
+    lensig = "LEAST(len(tk)/300.0, 1.0)"
+    quality = f"ROUND(0.5*({uniq}) + 0.3*(1.0 - {stop}) + 0.2*{lensig}, 6)"
+
+    def moments(c: str) -> str:
+        s = f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
+        ss = (
+            f"CAST(SUM(CAST({c} AS DECIMAL(18,6))"
+            f"*CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
+        )
+        n = "CAST(COUNT(*) AS DOUBLE)"
+        return (
+            f"ROUND({s}/{n}, 6) AS m_{c},\n"
+            f"  ROUND(SQRT(GREATEST(({ss} - {s}*{s}/{n})/{n}, 0.0)), 6)"
+            f" AS s_{c}"
+        )
+
+    def zscore(c: str) -> str:
+        return (
+            f"CASE WHEN st.s_{c} > 0.0"
+            f" THEN ROUND((raw.{c} - st.m_{c})/st.s_{c}, 6)"
+            f" ELSE 0.0 END AS {c}"
+        )
+
+    fcols = ["x1", "x2", "x3"]
+    train_ctes, w_final = logreg_oracle_ctes(
+        fcols, "y", iterations=8, lr=4.0, src="ftr"
+    )
+    p = logreg_oracle_score_sql(fcols, w_final, src="f")
+    ln9 = lambda x: f"ROUND(ln({x}), 9)"  # noqa: E731
+    lnr = (
+        f"{ln9('2*n_train + 1')} - {ln9('2*n_serve + 1')}"
+        f" - {ln9('ta')} + {ln9('tb')}"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_O} AS tk,
+  CAST(list_sum(list_transform(range(1, 9), i ->
+    (strpos('0123456789abcdef',
+            substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+    * pow(16, 8 - i))) AS BIGINT) % 100 < 90 AS is_tr
+ FROM documents),
+raw AS (SELECT doc_id,
+  CASE WHEN {quality} >= 0.64 THEN 1.0 ELSE 0.0 END AS y,
+  ROUND({uniq}, 6) AS x1,
+  ROUND({stop}, 6) AS x2,
+  ROUND(CAST({lensig} AS DOUBLE), 6) AS x3,
+  is_tr
+ FROM t),
+st AS (SELECT {moments('x1')},
+  {moments('x2')},
+  {moments('x3')}
+ FROM raw),
+f AS (SELECT raw.doc_id, raw.y, raw.is_tr,
+  {zscore('x1')},
+  {zscore('x2')},
+  {zscore('x3')}
+ FROM raw, st),
+ftr AS (SELECT * FROM f WHERE is_tr),
+{train_ctes},
+scored AS (SELECT f.is_tr, ROUND({p}, 6) AS s FROM f, {w_final} w),
+b AS (SELECT LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bin, is_tr
+      FROM scored),
+g AS (SELECT bin,
+  CAST(SUM(CASE WHEN is_tr THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+  CAST(SUM(CASE WHEN is_tr THEN 0 ELSE 1 END) AS BIGINT) AS n_serve
+ FROM b GROUP BY bin),
+tot AS (SELECT CAST(SUM(n_train) AS BIGINT) AS ta,
+  CAST(SUM(n_serve) AS BIGINT) AS tb FROM g)
+SELECT bin, n_train, n_serve,
+  ROUND(((CAST(n_train AS DOUBLE) + 0.5)/CAST(ta AS DOUBLE)
+        - (CAST(n_serve AS DOUBLE) + 0.5)/CAST(tb AS DOUBLE))
+        * ROUND({lnr}, 6), 6) AS psi_term
+FROM g CROSS JOIN tot
+ORDER BY bin
+"""
+
+
+ORACLES["text_score_drift"] = _drift_oracle()
+
 QUERIES["text_bigram_lm"] = text_bigram_lm
 
 

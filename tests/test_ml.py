@@ -437,3 +437,33 @@ def test_feature_woe_separates_predictive_from_noise(spark):
     assert iv_noise < 0.05        # uninformative feature
     # WOE monotone for the decisive feature (low bins negative, top positive)
     assert woe_good[0]["woe"] < 0 < woe_good[-1]["woe"]
+
+
+def test_score_drift_psi_detects_shift(spark):
+    """PSI over fixed bins: identical distributions score near zero;
+    a shifted serve distribution scores high."""
+    from pyspark.sql import functions as F
+
+    # reuse the same PSI algebra via the registry function's building
+    # blocks: construct two binned populations directly
+    def psi(train_counts, serve_counts):
+        ta, tb = sum(train_counts), sum(serve_counts)
+        import math
+
+        out = 0.0
+        for na, nb in zip(train_counts, serve_counts):
+            da = (na + 0.5) / ta
+            db = (nb + 0.5) / tb
+            lnr = (
+                round(math.log(2 * na + 1), 9)
+                - round(math.log(2 * nb + 1), 9)
+                - round(math.log(ta), 9)
+                + round(math.log(tb), 9)
+            )
+            out += (da - db) * round(lnr, 6)
+        return out
+
+    same = psi([100, 200, 300, 400], [50, 100, 150, 200])
+    shifted = psi([100, 200, 300, 400], [400, 300, 200, 100])
+    assert abs(same) < 0.01
+    assert shifted > 0.2
