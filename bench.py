@@ -216,15 +216,39 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver captures only the TAIL of stdout (~2 KB in round 4,
+    # which truncated the 131-query JSON line from the front and left
+    # "parsed": null). Full per-query detail goes to a side file; the
+    # stdout line carries the headline totals plus only the slowest
+    # queries so the whole object fits the capture window.
+    detail = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, separators=(",", ":"))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "n_queries": len(timings),
+                "queries": slowest,
+                "queries_file": "BENCH_DETAIL.json",
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -454,6 +454,16 @@ def dp_noisy_counts(
     but releasing with two salts composes (2ε), which is the caller's
     ledger to keep.
 
+    SECURITY CAVEAT — the salt is part of the secret: because the
+    noise is a deterministic function of (salt, group key), an
+    adversary who learns the salt can recompute each group's Laplace
+    deviate exactly and subtract it, recovering the true counts — the
+    ε guarantee holds only while the salt stays private (treat it like
+    a key-derivation secret, not a config value). A production release
+    wanting public-parameter safety needs genuinely random noise drawn
+    once and never re-derivable; this deterministic form exists so the
+    release is engine-portable and oracle-auditable.
+
     Output: (group, n_true, noise, n_noisy) — n_true rides along
     because this engine's releases are oracle-audited; a production
     release would project it away.

@@ -1050,10 +1050,39 @@ def jl_project(vec: Column, planes: list[list[float]]) -> Column:
     """Johnson–Lindenstrauss random projection: dot the vector with each
     md5-derived unit plane (the SRP plane generator, real-valued use) —
     a dim→len(planes) compression whose pairwise angles survive within
-    the JL distortion bound."""
+    the JL distortion bound.
+
+    Interpreted-expression path (len(planes)×dim HOF ops per row) —
+    fine for single-row query vectors; corpus-side projection should
+    use :func:`jl_project_vectorized`."""
     return F.array(
         *[dot(vec, F.array(*[F.lit(x) for x in p])) for p in planes]
     )
+
+
+def jl_project_vectorized(planes: list[list[float]]):
+    """Arrow-batched JL projection: V @ P.T via one numpy matmul per
+    batch instead of out_dim interpreted literal-array dot expressions
+    per row — the same kernel shape as
+    :func:`banded_srp_buckets_vectorized` (which replaced the identical
+    bottleneck for SRP sign bits).
+
+    Numerics: numpy's pairwise/BLAS summation can differ from the HOF
+    sequential fold by ~1 ulp per dot product. The projection only
+    RANKS candidates for the shortlist (the returned top-k re-ranks by
+    exact cosine on raw vectors), so an ulp-level difference matters
+    only if two corpus vectors tie at the shortlist boundary to within
+    1e-12 of projected cosine — never observed on real embeddings."""
+    p_t = np.asarray(planes, dtype=np.float64).T  # (dim, out_dim)
+
+    @F.pandas_udf("array<double>")
+    def _proj(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series((mat @ p_t).tolist())
+
+    return _proj
 
 
 def jl_topk(
@@ -1084,8 +1113,14 @@ def jl_topk(
     floats per row); only the shortlist touches raw vectors."""
     planes = [_plane(seed_base + j, dim) for j in range(out_dim)]
     v = as_double(F.col(vec_col))
-    proj = emb.withColumn("_pv", jl_project(v, planes))
-    qp = F.broadcast(query.withColumn("_qp", jl_project(F.col("qv"), planes)))
+    # Both sides project through the Arrow-batched matmul kernel: the
+    # expression-path jl_project would inline out_dim×dim float
+    # LITERALS into the plan (a ~2k-node expression tree whose
+    # driver-side analysis alone costs seconds per build), while the
+    # UDF closure carries the planes as one numpy array.
+    _proj = jl_project_vectorized(planes)
+    proj = emb.withColumn("_pv", _proj(v))
+    qp = F.broadcast(query.withColumn("_qp", _proj(F.col("qv"))))
     cand = proj.crossJoin(qp).withColumn(
         "_pc", cosine(F.col("_pv"), F.col("_qp"))
     )

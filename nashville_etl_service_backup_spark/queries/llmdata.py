@@ -581,12 +581,18 @@ def dedup_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     A heavy upper tail here is the early-warning for template spam /
     mirror floods before cluster resolution even runs. Composition over
     the shared pair-finder; the pair table is tiny after banding, so
-    both aggregates are trivial shuffles."""
+    both aggregates are trivial shuffles.
+
+    The pair frame is consumed ONCE via explode(array(doc_a, doc_b)) —
+    a union of two selects over the same frame would make Spark
+    recompute the whole LSH subtree (shingle → minhash → band join →
+    verify) once per union branch."""
     docs = load(spark, sf_dir, "documents")
     pairs = _lsh_pairs(spark, sf_dir)
     deg = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -3815,40 +3821,42 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_matched must equal n_lsh; a false positive would break it).
     This is the methodology piece a 100 TB dedup needs: banding
     probabilities are an estimate, this measures them on YOUR corpus
-    (sampled at scale, exhaustive here)."""
-    from nashville_etl_service_backup_spark.operators import track_persist
+    (sampled at scale, exhaustive here).
+
+    Plan shape: each expensive pair-finder is consumed exactly ONCE —
+    the truth and LSH pair sets full-outer-join on the pair key and
+    all three counts come off that single joined frame in one
+    aggregate. The previous formulation (semi-join + three separate
+    count branches over persisted frames) evaluated each finder from
+    cache at best and re-derived it under concurrent branch
+    materialization at worst — the round-4 bench drift."""
     from nashville_etl_service_backup_spark.operators.dedup import (
         lsh_near_dup_pairs,
         prefix_filter_jaccard_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
-    exact = track_persist(
-        prefix_filter_jaccard_pairs(
-            docs, "doc_id", "text", t_num=3, t_den=5, shingle_n=3
-        ).select("doc_a", "doc_b")
-    )
-    lsh = track_persist(
-        lsh_near_dup_pairs(
-            docs, "doc_id", "text", shingle_n=3, num_hashes=4, bands=2,
-            threshold=0.6,
-        ).select("doc_a", "doc_b")
-    )
-    matched = lsh.join(exact, ["doc_a", "doc_b"], "left_semi")
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
-    n_matched = matched.agg(F.count(F.lit(1)).alias("n_matched"))
-    return (
-        n_exact.crossJoin(n_lsh)
-        .crossJoin(n_matched)
-        .select(
-            "n_exact",
-            "n_lsh",
-            "n_matched",
-            F.round(
-                F.col("n_lsh").cast("double") / F.col("n_exact"), 6
-            ).alias("recall"),
-        )
+    exact = prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", t_num=3, t_den=5, shingle_n=3
+    ).select("doc_a", "doc_b", F.lit(1).alias("_e"))
+    lsh = lsh_near_dup_pairs(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=4, bands=2,
+        threshold=0.6,
+    ).select("doc_a", "doc_b", F.lit(1).alias("_l"))
+    joined = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    return joined.agg(
+        F.count("_e").alias("n_exact"),
+        F.count("_l").alias("n_lsh"),
+        F.count(F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1)).alias(
+            "n_matched"
+        ),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_matched",
+        F.round(
+            F.col("n_lsh").cast("double") / F.col("n_exact"), 6
+        ).alias("recall"),
     )
 
 
@@ -4708,11 +4716,20 @@ def sim_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     — then s = (b − a)/max(a, b), aggregated per cluster with exact
     decimal sums. The is-k-right / are-clusters-real diagnostic a
     pipeline runs before trusting IVF routing or SemDeDup pruning at
-    100 TB. The oracle replays the k-means chain (shared
-    `_kmeans_chain` unroll) and the same window, hash-matching
-    bitwise."""
-    from pyspark.sql.window import Window
+    100 TB.
 
+    Plan shape: NO window — the per-vector (own-centroid, nearest-
+    other) pair comes from ONE top-2 struct aggregate over the
+    |vectors|×k broadcast-cosine rows. Since the k rows for a vector
+    are produced adjacently in the same partition by the broadcast
+    join, the partial (map-side) aggregate collapses each group before
+    the exchange: ~n rows shuffle instead of n×k rows through a
+    row_number sort. min(round(1−c, 6)) over the non-best centroids
+    equals round(1 − max_others(c), 6) because round is monotone
+    non-decreasing, so taking the top-2 (c, cent_id) structs is exact.
+    The oracle replays the k-means chain (shared `_kmeans_chain`
+    unroll) with an equivalent window formulation, hash-matching
+    bitwise."""
     from nashville_etl_service_backup_spark.operators import (
         release_persisted,  # noqa: F401  (kmeans persists its pts)
         track_persist,
@@ -4736,20 +4753,25 @@ def sim_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_unrolled(F.col("v"), F.col("cv"), 64)
         / (F.col("_nv") * F.col("_nc")),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("_c"), F.desc("cent_id")
+    top2 = F.slice(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("_c").alias("c"), F.col("cent_id").alias("cid"))
+            ),
+            False,
+        ),
+        1,
+        2,
     )
-    ranked = pairs.withColumn("rn", F.row_number().over(w)).select(
-        "vec_id",
-        "cent_id",
-        F.round(F.lit(1.0) - F.col("_c"), 6).alias("dist"),
-        "rn",
-    )
-    rn = F.col("rn")
-    pv = ranked.groupBy("vec_id").agg(
-        F.max(F.when(rn == 1, F.col("cent_id"))).alias("cluster"),
-        F.max(F.when(rn == 1, F.col("dist"))).alias("a"),
-        F.min(F.when(rn > 1, F.col("dist"))).alias("b"),
+    pv = (
+        pairs.groupBy("vec_id")
+        .agg(top2.alias("_t"))
+        .select(
+            "vec_id",
+            F.col("_t")[0]["cid"].alias("cluster"),
+            F.round(F.lit(1.0) - F.col("_t")[0]["c"], 6).alias("a"),
+            F.round(F.lit(1.0) - F.col("_t")[1]["c"], 6).alias("b"),
+        )
     )
     g = F.greatest(F.col("a"), F.col("b"))
     sv = pv.withColumn(

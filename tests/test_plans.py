@@ -410,3 +410,37 @@ def test_bootstrap_draws_are_codegen_side(spark):
     assert "Generate posexplode" in plan or "posexplode" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_silhouette_no_window_single_combinable_agg(spark):
+    """The per-vector (own-centroid, nearest-other) pair comes from ONE
+    top-2 struct aggregate with a map-side partial, not a row_number
+    window: no per-vector sort, ~n rows shuffle instead of n×k."""
+    plan = plan_of(spark, "sim_cluster_silhouette")
+    assert "Window" not in plan
+    assert "partial_collect_list" in plan  # map-side combine of top-2
+    assert "CartesianProduct" not in plan
+
+
+def test_degree_dist_single_pair_scan(spark):
+    """The LSH pair subtree appears once (explode of [doc_a, doc_b]),
+    not once per union branch — the pair graph is derived a single
+    time per run."""
+    plan = plan_of(spark, "dedup_degree_dist")
+    # documents parquet is scanned once by the LSH subtree and once for
+    # the degree-0 left join — a union-of-selects formulation would
+    # duplicate the whole LSH subtree (3+ scans)
+    assert plan.count("Location: InMemoryFileIndex") <= 2
+    assert "Union" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_recall_audit_single_consumption_full_outer(spark):
+    """Both pair finders feed ONE full-outer join and one aggregate —
+    no persisted-branch re-derivation, each finder evaluated once."""
+    plan = plan_of(spark, "dedup_recall_audit")
+    assert "CartesianProduct" not in plan
+    # exactly one documents scan per finder (2 total) — the old
+    # three-count-branch formulation re-entered each finder subtree
+    # from multiple parents
+    assert plan.count("Location: InMemoryFileIndex") == 2
