@@ -1189,6 +1189,69 @@ QUERIES = {
 _TOKS_D = DUCK_TOKENS_DISTINCT.format(col="text")
 _TOKS_O = DUCK_TOKENS_ORDERED.format(col="text")
 
+# Quality-feature SQL fragments shared by every trained-classifier oracle
+# (_qc/_tree/_gbm/_woe/_drift): the DuckDB twin of
+# functions.text.quality_features, over a `tk` ordered-token column.
+_QF_UNIQ = (
+    "CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE)"
+    "/len(tk) ELSE 0.0 END"
+)
+_QF_STOP = (
+    "CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,"
+    " x -> x IN ('the','a','and','of','to'))) AS DOUBLE)/len(tk)"
+    " ELSE 0.0 END"
+)
+_QF_LEN = "LEAST(len(tk)/300.0, 1.0)"
+_QF_QUALITY = (
+    f"ROUND(0.5*({_QF_UNIQ}) + 0.3*(1.0 - {_QF_STOP}) + 0.2*{_QF_LEN}, 6)"
+)
+
+
+def _moments_sql(c: str) -> str:
+    """DECIMAL-sum mean/std aggregate pair (m_<c>, s_<c>) — the oracle
+    twin of operators.ml.standardize's decimal-moment pass."""
+    s = f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
+    ss = (
+        f"CAST(SUM(CAST({c} AS DECIMAL(18,6))"
+        f"*CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
+    )
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    return (
+        f"ROUND({s}/{n}, 6) AS m_{c},\n"
+        f"  ROUND(SQRT(GREATEST(({ss} - {s}*{s}/{n})/{n}, 0.0)), 6)"
+        f" AS s_{c}"
+    )
+
+
+def _zscore_sql(c: str) -> str:
+    """Guarded z-score select item over raw × st(moments) CTEs."""
+    return (
+        f"CASE WHEN st.s_{c} > 0.0"
+        f" THEN ROUND((raw.{c} - st.m_{c})/st.s_{c}, 6)"
+        f" ELSE 0.0 END AS {c}"
+    )
+
+
+def _qc_head() -> str:
+    """Everything of _qc_oracle up to (and including) the standardized
+    feature CTE `f` — the shared front half of the calibration /
+    conformal / CV / lift-gains oracles, which retrain the same model
+    over the same features."""
+    base = _qc_oracle()
+    return base[: base.index("nn AS MATERIALIZED (")].rstrip().rstrip(",")
+
+
+def _md5_bucket_sql(mod: int) -> str:
+    """Deterministic md5(doc_id) hash bucket in [0, mod) — the DuckDB
+    twin of the engine's conv(substr(md5, 1, 8), 16, 10) % mod fold
+    assignment used by logreg_cv / conformal / NB train-test splits."""
+    return (
+        "CAST(list_sum(list_transform(range(1, 9), i ->"
+        " (strpos('0123456789abcdef',"
+        " substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)"
+        f" * pow(16, 8 - i))) AS BIGINT) % {mod}"
+    )
+
 # bigram shingles over ordered tokens, then distinct
 _SHINGLES = (
     "list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))"
@@ -3025,19 +3088,7 @@ QUERIES["text_feature_woe"] = text_feature_woe
 
 
 def _woe_oracle(n_bins: int = 5) -> str:
-    uniq = (
-        "CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE)"
-        "/len(tk) ELSE 0.0 END"
-    )
-    stop = (
-        "CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,"
-        " x -> x IN ('the','a','and','of','to'))) AS DOUBLE)/len(tk)"
-        " ELSE 0.0 END"
-    )
-    quality = (
-        f"ROUND(0.5*({uniq}) + 0.3*(1.0 - {stop})"
-        f" + 0.2*LEAST(len(tk)/300.0, 1.0), 6)"
-    )
+    uniq, quality = _QF_UNIQ, _QF_QUALITY
     qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
     bin_sum = " + ".join(
         f"(CASE WHEN f > e[{i}] THEN 1 ELSE 0 END)"
@@ -3155,38 +3206,8 @@ def _drift_oracle() -> str:
         logreg_oracle_score_sql,
     )
 
-    uniq = (
-        "CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE)"
-        "/len(tk) ELSE 0.0 END"
-    )
-    stop = (
-        "CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,"
-        " x -> x IN ('the','a','and','of','to'))) AS DOUBLE)/len(tk)"
-        " ELSE 0.0 END"
-    )
-    lensig = "LEAST(len(tk)/300.0, 1.0)"
-    quality = f"ROUND(0.5*({uniq}) + 0.3*(1.0 - {stop}) + 0.2*{lensig}, 6)"
-
-    def moments(c: str) -> str:
-        s = f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
-        ss = (
-            f"CAST(SUM(CAST({c} AS DECIMAL(18,6))"
-            f"*CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
-        )
-        n = "CAST(COUNT(*) AS DOUBLE)"
-        return (
-            f"ROUND({s}/{n}, 6) AS m_{c},\n"
-            f"  ROUND(SQRT(GREATEST(({ss} - {s}*{s}/{n})/{n}, 0.0)), 6)"
-            f" AS s_{c}"
-        )
-
-    def zscore(c: str) -> str:
-        return (
-            f"CASE WHEN st.s_{c} > 0.0"
-            f" THEN ROUND((raw.{c} - st.m_{c})/st.s_{c}, 6)"
-            f" ELSE 0.0 END AS {c}"
-        )
-
+    uniq, stop, lensig, quality = _QF_UNIQ, _QF_STOP, _QF_LEN, _QF_QUALITY
+    moments, zscore = _moments_sql, _zscore_sql
     fcols = ["x1", "x2", "x3"]
     train_ctes, w_final = logreg_oracle_ctes(
         fcols, "y", iterations=8, lr=4.0, src="ftr"
@@ -4108,38 +4129,8 @@ def _qc_oracle(with_eval: bool = False) -> str:
         logreg_oracle_score_sql,
     )
 
-    uniq = (
-        "CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE)"
-        "/len(tk) ELSE 0.0 END"
-    )
-    stop = (
-        "CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,"
-        " x -> x IN ('the','a','and','of','to'))) AS DOUBLE)/len(tk)"
-        " ELSE 0.0 END"
-    )
-    lensig = "LEAST(len(tk)/300.0, 1.0)"
-    quality = f"ROUND(0.5*({uniq}) + 0.3*(1.0 - {stop}) + 0.2*{lensig}, 6)"
-
-    def moments(c: str) -> str:
-        s = f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
-        ss = (
-            f"CAST(SUM(CAST({c} AS DECIMAL(18,6))"
-            f"*CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
-        )
-        n = "CAST(COUNT(*) AS DOUBLE)"
-        return (
-            f"ROUND({s}/{n}, 6) AS m_{c},\n"
-            f"  ROUND(SQRT(GREATEST(({ss} - {s}*{s}/{n})/{n}, 0.0)), 6)"
-            f" AS s_{c}"
-        )
-
-    def zscore(c: str) -> str:
-        return (
-            f"CASE WHEN st.s_{c} > 0.0"
-            f" THEN ROUND((raw.{c} - st.m_{c})/st.s_{c}, 6)"
-            f" ELSE 0.0 END AS {c}"
-        )
-
+    uniq, stop, lensig, quality = _QF_UNIQ, _QF_STOP, _QF_LEN, _QF_QUALITY
+    moments, zscore = _moments_sql, _zscore_sql
     fcols = ["x1", "x2", "x3"]
     train_ctes, w_final = logreg_oracle_ctes(fcols, "y", iterations=8, lr=4.0)
     p = logreg_oracle_score_sql(fcols, w_final)
@@ -4256,17 +4247,7 @@ def _tree_oracle() -> str:
         tree_oracle_sql,
     )
 
-    uniq = (
-        "CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE)"
-        "/len(tk) ELSE 0.0 END"
-    )
-    stop = (
-        "CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,"
-        " x -> x IN ('the','a','and','of','to'))) AS DOUBLE)/len(tk)"
-        " ELSE 0.0 END"
-    )
-    lensig = "LEAST(len(tk)/300.0, 1.0)"
-    quality = f"ROUND(0.5*({uniq}) + 0.3*(1.0 - {stop}) + 0.2*{lensig}, 6)"
+    uniq, stop, lensig, quality = _QF_UNIQ, _QF_STOP, _QF_LEN, _QF_QUALITY
     tree = tree_oracle_sql(["x1", "x2", "x3"], label="y", raw_cte="raw")
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS_O} AS tk FROM documents),
@@ -4326,15 +4307,8 @@ def _cv_oracle(k: int = 3) -> str:
         logreg_oracle_score_sql,
     )
 
-    base = _qc_oracle()
-    # reuse everything up to (and including) the feature CTE `f`
-    head = base[: base.index("nn AS MATERIALIZED (")].rstrip().rstrip(",")
-    bucket = (
-        "CAST(list_sum(list_transform(range(1, 9), i ->"
-        " (strpos('0123456789abcdef',"
-        " substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)"
-        f" * pow(16, 8 - i))) AS BIGINT) % {k}"
-    )
+    head = _qc_head()
+    bucket = _md5_bucket_sql(k)
     fcols = ["x1", "x2", "x3"]
     parts = [f"ff AS (SELECT f.*, {bucket} AS fold FROM f)"]
     selects = []
@@ -4422,17 +4396,7 @@ def _gbm_oracle() -> str:
         gbm_oracle_sql,
     )
 
-    uniq = (
-        "CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE)"
-        "/len(tk) ELSE 0.0 END"
-    )
-    stop = (
-        "CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,"
-        " x -> x IN ('the','a','and','of','to'))) AS DOUBLE)/len(tk)"
-        " ELSE 0.0 END"
-    )
-    lensig = "LEAST(len(tk)/300.0, 1.0)"
-    quality = f"ROUND(0.5*({uniq}) + 0.3*(1.0 - {stop}) + 0.2*{lensig}, 6)"
+    uniq, stop, lensig, quality = _QF_UNIQ, _QF_STOP, _QF_LEN, _QF_QUALITY
     gbm = gbm_oracle_sql(["x1", "x2", "x3"], target="q", raw_cte="raw")
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS_O} AS tk FROM documents),
@@ -4496,12 +4460,7 @@ def text_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["text_nb_lang"] = text_nb_lang
 
-_NB_BUCKET = (
-    "CAST(list_sum(list_transform(range(1, 9), i ->"
-    " (strpos('0123456789abcdef',"
-    " substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)"
-    " * pow(16, 8 - i))) AS BIGINT) % 5"
-)
+_NB_BUCKET = _md5_bucket_sql(5)
 
 ORACLES["text_nb_lang"] = f"""
 WITH d AS (SELECT doc_id, lang, {_TOKS_O} AS tk,
@@ -4653,14 +4612,8 @@ def _conformal_oracle() -> str:
         logreg_oracle_score_sql,
     )
 
-    base = _qc_oracle()
-    head = base[: base.index("nn AS MATERIALIZED (")].rstrip().rstrip(",")
-    bucket = (
-        "CAST(list_sum(list_transform(range(1, 9), i ->"
-        " (strpos('0123456789abcdef',"
-        " substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)"
-        f" * pow(16, 8 - i))) AS BIGINT) % 5"
-    )
+    head = _qc_head()
+    bucket = _md5_bucket_sql(5)
     fcols = ["x1", "x2", "x3"]
     ctes, wname = logreg_oracle_ctes(
         fcols, "y", iterations=8, lr=4.0, src="ftr", prefix="cf"
@@ -4886,8 +4839,7 @@ QUERIES["text_calibration_curve"] = text_calibration_curve
 
 
 def _calibration_oracle() -> str:
-    base = _qc_oracle()
-    head = base[: base.index("nn AS MATERIALIZED (")].rstrip().rstrip(",")
+    head = _qc_head()
     from nashville_etl_service_backup_spark.operators.ml import (
         logreg_oracle_ctes,
         logreg_oracle_score_sql,
@@ -5148,8 +5100,7 @@ QUERIES["text_lift_gains"] = text_lift_gains
 
 
 def _lift_gains_oracle() -> str:
-    base = _qc_oracle()
-    head = base[: base.index("nn AS MATERIALIZED (")].rstrip().rstrip(",")
+    head = _qc_head()
     from nashville_etl_service_backup_spark.operators.ml import (
         logreg_oracle_ctes,
         logreg_oracle_score_sql,
