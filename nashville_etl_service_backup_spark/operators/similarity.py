@@ -530,10 +530,18 @@ def kmeans_centroids(
     count (no convergence probe) keeps the plan static and collect-free.
     Empty clusters drop out — standard Lloyd's degeneracy, deterministic.
 
-    Scale shape per iteration: assignment is a broadcast join (centroids
-    are tiny) + narrow argmax; the re-centering shuffles (cent_id, idx,
-    decimal) triples — dim × corpus rows, map-side combinable — and
-    never moves whole vectors."""
+    Scale shape per iteration (known ``dim``): assignment is the same
+    broadcast-centroid codegen'd dot as ivf_assign, but the argmax
+    max(struct(cosine, cent_id, …)) CARRIES the rounded vector as a
+    never-compared third field (cent_id is unique, so the comparison
+    stops before it) — one n-row shuffle replaces ivf_assign's shuffle
+    PLUS the pts⋈assigned join that used to move the vectors anyway.
+    Re-centering is then ONE map-side-combinable aggregate of dim
+    per-component DECIMAL sums: each partition emits ≤ n_centroids
+    partial rows, no 64× posexplode row blow-up, no second
+    collect_list shuffle. The dim=None fallback keeps the generic
+    posexplode formulation (assignment join + (cent_id, idx, decimal)
+    triples)."""
     from nashville_etl_service_backup_spark.operators import track_persist
 
     r6 = F.transform(F.col(vec_col), lambda x: F.round(x, 6))
@@ -549,6 +557,51 @@ def kmeans_centroids(
     cents = pts.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col("_r6").alias("cv")
     )
+    if dim is not None:
+        nv = norm_unrolled(F.col(vec_col), dim)
+        for _ in range(iters):
+            c = cents.select(
+                "cent_id", "cv", norm_unrolled(F.col("cv"), dim).alias("_nc")
+            )
+            scored = (
+                pts.withColumn("_nv", nv)
+                .crossJoin(F.broadcast(c))
+                .withColumn(
+                    "_c",
+                    dot_unrolled(F.col(vec_col), F.col("cv"), dim)
+                    / (F.col("_nv") * F.col("_nc")),
+                )
+            )
+            # (c, cid) decides the max before the carried r6 field is
+            # ever compared (cent_id is unique) — assignments are
+            # bit-identical to ivf_assign's max(struct(c, cid)).
+            best = scored.groupBy(id_col).agg(
+                F.max(
+                    F.struct(
+                        F.col("_c").alias("c"),
+                        F.col("cent_id").alias("cid"),
+                        F.col("_r6").alias("r6"),
+                    )
+                ).alias("_m")
+            )
+            assigned = best.select(
+                F.col("_m.cid").alias("cent_id"), F.col("_m.r6").alias("_r6")
+            )
+            sums = assigned.groupBy("cent_id").agg(
+                *[
+                    F.sum(
+                        F.element_at("_r6", i + 1).cast("decimal(30,12)")
+                    ).alias(f"_s{i}")
+                    for i in range(dim)
+                ]
+            )
+            cents = sums.select(
+                "cent_id",
+                F.array(
+                    *[F.col(f"_s{i}").cast("double") for i in range(dim)]
+                ).alias("cv"),
+            )
+        return cents
     for _ in range(iters):
         assigned = ivf_assign(
             pts.select(F.col(id_col), F.col(vec_col).alias("v")),

@@ -422,6 +422,21 @@ def test_silhouette_no_window_single_combinable_agg(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_kmeans_no_posexplode_no_vector_rejoin(spark):
+    """The known-dim quantizer re-centers with ONE wide decimal-sum
+    aggregate: no 64× posexplode row blow-up, no pts⋈assigned
+    SortMergeJoin re-shuffling the vectors, assignment argmax carries
+    the rounded vector through a map-side-combinable max(struct)."""
+    for q in ("sim_cluster_silhouette", "dedup_semantic_pairs"):
+        plan = plan_of(spark, q)
+        assert "posexplode" not in plan, q
+        assert "partial_max" in plan, q  # combinable assignment argmax
+    # silhouette has no other join at all — any SMJ would be the old
+    # pts⋈assigned vector re-shuffle (semantic_dedup keeps one SMJ for
+    # the legitimate within-cluster cent_id pairing)
+    assert "SortMergeJoin" not in plan_of(spark, "sim_cluster_silhouette")
+
+
 def test_degree_dist_single_pair_scan(spark):
     """The LSH pair subtree appears once (explode of [doc_a, doc_b]),
     not once per union branch — the pair graph is derived a single
