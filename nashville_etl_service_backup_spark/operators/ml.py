@@ -120,16 +120,27 @@ def logreg_train(
     lr: float = 4.0,
 ) -> list[float]:
     """Fit [bias, w1..wd] by `iterations` full-batch GD rounds from
-    w = 0. One combinable aggregate per round; only the d+1 rounded
-    weights visit the driver (embedded as literals for the next round —
-    the values the oracle's CTE chain carries as columns).
+    w = 0. One combinable aggregate per round; the rounds chain LAZILY
+    — round t's weights ride a broadcast 1-row frame into round t+1's
+    margin, so all `iterations` rounds execute as ONE Spark job with a
+    single driver visit for the final d+1 rounded weights (the same
+    O(d) model artifact; each round's weight values are bit-identical
+    to the collect-per-round formulation — same expressions, with the
+    Python-float literal re-embedding replaced by the double column
+    carrying the identical value).
 
     Caller should persist `feats` when the feature projection is
-    expensive (each round re-evaluates it otherwise)."""
+    expensive (each round re-scans it either way)."""
     d = len(feature_cols)
-    w = [0.0] * (d + 1)
+    spark = feats.sparkSession
+    w_df = spark.range(1).select(
+        *[F.lit(0.0).alias(f"_w{j}") for j in range(d + 1)]
+    )
     for _ in range(iterations):
-        p = hard_sigmoid(_margin(feature_cols, w))
+        z: Column = F.col("_w0")
+        for j, c in enumerate(feature_cols):
+            z = z + F.col(f"_w{j + 1}") * F.col(c)
+        p = hard_sigmoid(F.round(z, Z_SCALE))
         r = p - F.col(label_col)
         aggs = [F.count(F.lit(1)).alias("n")]
         aggs.append(
@@ -143,22 +154,28 @@ def logreg_train(
                     F.round(r * F.col(c), GRAD_SCALE).cast("decimal(38,12)")
                 ).alias(f"g{j + 1}")
             )
-        upd = feats.agg(*aggs).select(
-            *[
-                F.round(
-                    F.lit(w[j])
-                    - F.lit(float(lr))
-                    * (
-                        F.col(f"g{j}").cast("double")
-                        / F.col("n").cast("double")
-                    ),
-                    W_SCALE,
-                ).alias(f"w{j}")
-                for j in range(d + 1)
-            ]
-        ).first()
-        w = [float(upd[f"w{j}"]) for j in range(d + 1)]
-    return w
+        # carry the (constant) previous weights through the aggregate
+        aggs += [F.min(F.col(f"_w{j}")).alias(f"_pw{j}") for j in range(d + 1)]
+        w_df = (
+            feats.crossJoin(F.broadcast(w_df))
+            .agg(*aggs)
+            .select(
+                *[
+                    F.round(
+                        F.col(f"_pw{j}")
+                        - F.lit(float(lr))
+                        * (
+                            F.col(f"g{j}").cast("double")
+                            / F.col("n").cast("double")
+                        ),
+                        W_SCALE,
+                    ).alias(f"_w{j}")
+                    for j in range(d + 1)
+                ]
+            )
+        )
+    row = w_df.first()
+    return [float(row[f"_w{j}"]) for j in range(d + 1)]
 
 
 def logreg_score(
@@ -177,30 +194,39 @@ def logreg_train_folds(
     iterations: int = 8,
     lr: float = 4.0,
 ) -> list[list[float]]:
-    """All k leave-one-fold-out trainings in `iterations` jobs TOTAL
-    (vs k·iterations for k separate logreg_train loops): each GD round
-    is ONE combinable aggregate whose expressions compute, for every
-    held-out fold i, the gradient of model i over the rows with
-    fold != i (a `when(fold != i, …)` guard inside each decimal SUM —
-    nulls drop out of SUM, so each fold's decimal total adds exactly
-    the same rounded terms as the per-fold loop, in any order). The
-    per-fold weight chains therefore stay bit-identical to
-    logreg_train on the corresponding subset — the CV oracle's
-    per-fold CTE unrolls keep matching unchanged.
+    """All k leave-one-fold-out trainings in ONE Spark job TOTAL:
+    each GD round is ONE combinable aggregate whose expressions
+    compute, for every held-out fold i, the gradient of model i over
+    the rows with fold != i (a `when(fold != i, …)` guard inside each
+    decimal SUM — nulls drop out of SUM, so each fold's decimal total
+    adds exactly the same rounded terms as the per-fold loop, in any
+    order), and the rounds chain LAZILY through a broadcast 1-row
+    weight frame (same lazy-chain scheme as logreg_train, so there is
+    a single driver visit for the final k×(d+2) scalars). The
+    per-fold weight chains stay bit-identical to logreg_train on the
+    corresponding subset — the CV oracle's per-fold CTE unrolls keep
+    matching unchanged.
 
-    Returns (k weight vectors, k train-row counts); k·(d+2) scalars
-    visit the driver per round. Caller should persist `folds`."""
+    Returns (k weight vectors, k train-row counts).
+    Caller should persist `folds`."""
     d = len(feature_cols)
-    ws = [[0.0] * (d + 1) for _ in range(k)]
-    ns = [0] * k
+    spark = folds.sparkSession
     fold = F.col(fold_col)
+    w_df = spark.range(1).select(
+        *[
+            F.lit(0.0).alias(f"_w{i}_{j}")
+            for i in range(k)
+            for j in range(d + 1)
+        ]
+    )
     for _ in range(iterations):
         aggs = []
         for i in range(k):
             guard = fold != i
-            r = hard_sigmoid(_margin(feature_cols, ws[i])) - F.col(
-                label_col
-            )
+            z: Column = F.col(f"_w{i}_0")
+            for j, c in enumerate(feature_cols):
+                z = z + F.col(f"_w{i}_{j + 1}") * F.col(c)
+            r = hard_sigmoid(F.round(z, Z_SCALE)) - F.col(label_col)
             aggs.append(
                 F.sum(F.when(guard, F.lit(1)).cast("long")).alias(
                     f"n_{i}"
@@ -222,27 +248,37 @@ def logreg_train_folds(
                         ).cast("decimal(38,12)")
                     ).alias(f"g{i}_{j + 1}")
                 )
-        upd = folds.agg(*aggs).select(
-            *[
-                F.round(
-                    F.lit(ws[i][j])
-                    - F.lit(float(lr))
-                    * (
-                        F.col(f"g{i}_{j}").cast("double")
-                        / F.col(f"n_{i}").cast("double")
-                    ),
-                    W_SCALE,
-                ).alias(f"w{i}_{j}")
-                for i in range(k)
-                for j in range(d + 1)
-            ],
-            *[F.col(f"n_{i}") for i in range(k)],
-        ).first()
-        ws = [
-            [float(upd[f"w{i}_{j}"]) for j in range(d + 1)]
+        aggs += [
+            F.min(F.col(f"_w{i}_{j}")).alias(f"_pw{i}_{j}")
             for i in range(k)
+            for j in range(d + 1)
         ]
-        ns = [int(upd[f"n_{i}"]) for i in range(k)]
+        w_df = (
+            folds.crossJoin(F.broadcast(w_df))
+            .agg(*aggs)
+            .select(
+                *[
+                    F.round(
+                        F.col(f"_pw{i}_{j}")
+                        - F.lit(float(lr))
+                        * (
+                            F.col(f"g{i}_{j}").cast("double")
+                            / F.col(f"n_{i}").cast("double")
+                        ),
+                        W_SCALE,
+                    ).alias(f"_w{i}_{j}")
+                    for i in range(k)
+                    for j in range(d + 1)
+                ],
+                *[F.col(f"n_{i}") for i in range(k)],
+            )
+        )
+    upd = w_df.first()
+    ws = [
+        [float(upd[f"_w{i}_{j}"]) for j in range(d + 1)]
+        for i in range(k)
+    ]
+    ns = [int(upd[f"n_{i}"]) for i in range(k)]
     return ws, ns
 
 
