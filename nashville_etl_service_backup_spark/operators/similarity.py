@@ -926,21 +926,54 @@ def pq_fit(
     )
     spark = base.sparkSession
     for _ in range(iters):
-        assigned = _pq_assign(blocks, cents, id_col, sub)
-        sums = (
-            blocks.join(assigned, [id_col, "block"])
-            .select("block", "cent_id", F.posexplode(r6).alias("idx", "x"))
-            .groupBy("block", "cent_id", "idx")
-            .agg(F.sum(F.col("x").cast("decimal(30,12)")).alias("s"))
+        # same argmax-carry + one-wide-decimal-aggregate round shape as
+        # kmeans_centroids: the assignment max(struct(c, cid, r6)) never
+        # compares the carried slice (cent_id is unique), so assignments
+        # are bit-identical to _pq_assign, and the re-centering emits
+        # ≤ m·k partial rows per partition with no posexplode blow-up
+        # or blocks⋈assigned join re-shuffling the slices.
+        e = (
+            blocks.withColumn("_nv", norm_unrolled(F.col("v"), sub))
+            .withColumn("_r6", r6)
         )
-        cents = (
-            sums.groupBy("block", "cent_id")
-            .agg(F.array_sort(F.collect_list(F.struct("idx", "s"))).alias("a"))
-            .select(
-                "block",
-                "cent_id",
-                F.transform("a", lambda t: t["s"].cast("double")).alias("cv"),
-            )
+        c = cents.select(
+            F.col("block").alias("_cb"), "cent_id", "cv"
+        ).withColumn("_nc", norm_unrolled(F.col("cv"), sub))
+        scored = e.join(
+            F.broadcast(c), e["block"] == c["_cb"]
+        ).withColumn(
+            "_c",
+            dot_unrolled(F.col("v"), F.col("cv"), sub)
+            / (F.col("_nv") * F.col("_nc")),
+        )
+        best = scored.groupBy(id_col, "block").agg(
+            F.max(
+                F.struct(
+                    F.col("_c").alias("c"),
+                    F.col("cent_id").alias("cid"),
+                    F.col("_r6").alias("r6"),
+                )
+            ).alias("_m")
+        )
+        assigned = best.select(
+            "block",
+            F.col("_m.cid").alias("cent_id"),
+            F.col("_m.r6").alias("_r6"),
+        )
+        sums = assigned.groupBy("block", "cent_id").agg(
+            *[
+                F.sum(
+                    F.element_at("_r6", i + 1).cast("decimal(30,12)")
+                ).alias(f"_s{i}")
+                for i in range(sub)
+            ]
+        )
+        cents = sums.select(
+            "block",
+            "cent_id",
+            F.array(
+                *[F.col(f"_s{i}").cast("double") for i in range(sub)]
+            ).alias("cv"),
         )
     cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
     # persist the encoded corpus: it is consumed twice (the counts
