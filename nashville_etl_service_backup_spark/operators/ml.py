@@ -122,12 +122,15 @@ def logreg_train(
     """Fit [bias, w1..wd] by `iterations` full-batch GD rounds from
     w = 0. One combinable aggregate per round; the rounds chain LAZILY
     — round t's weights ride a broadcast 1-row frame into round t+1's
-    margin, so all `iterations` rounds execute as ONE Spark job with a
-    single driver visit for the final d+1 rounded weights (the same
-    O(d) model artifact; each round's weight values are bit-identical
-    to the collect-per-round formulation — same expressions, with the
+    margin, so the chain is submitted as one action. Each round's
+    BroadcastExchange still materializes as its own small internal job
+    (the O(d) weight row does visit the driver inside the broadcast
+    relation); the win is eliminating the per-round Py4J collect +
+    plan-rebuild synchronization, not the per-round barrier, which is
+    inherent to full-batch GD. Weight values are bit-identical to the
+    collect-per-round formulation — same expressions, with the
     Python-float literal re-embedding replaced by the double column
-    carrying the identical value).
+    carrying the identical value.
 
     Caller should persist `feats` when the feature projection is
     expensive (each round re-scans it either way)."""
@@ -194,15 +197,16 @@ def logreg_train_folds(
     iterations: int = 8,
     lr: float = 4.0,
 ) -> list[list[float]]:
-    """All k leave-one-fold-out trainings in ONE Spark job TOTAL:
+    """All k leave-one-fold-out trainings submitted as one action:
     each GD round is ONE combinable aggregate whose expressions
     compute, for every held-out fold i, the gradient of model i over
     the rows with fold != i (a `when(fold != i, …)` guard inside each
     decimal SUM — nulls drop out of SUM, so each fold's decimal total
     adds exactly the same rounded terms as the per-fold loop, in any
     order), and the rounds chain LAZILY through a broadcast 1-row
-    weight frame (same lazy-chain scheme as logreg_train, so there is
-    a single driver visit for the final k×(d+2) scalars). The
+    weight frame (same lazy-chain scheme as logreg_train — one action,
+    per-round broadcasts still materialize internally; see
+    logreg_train's docstring for what is and isn't saved). The
     per-fold weight chains stay bit-identical to logreg_train on the
     corresponding subset — the CV oracle's per-fold CTE unrolls keep
     matching unchanged.

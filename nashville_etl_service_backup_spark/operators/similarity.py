@@ -1132,20 +1132,6 @@ def rrf_fuse(
     )
 
 
-def jl_project(vec: Column, planes: list[list[float]]) -> Column:
-    """Johnson–Lindenstrauss random projection: dot the vector with each
-    md5-derived unit plane (the SRP plane generator, real-valued use) —
-    a dim→len(planes) compression whose pairwise angles survive within
-    the JL distortion bound.
-
-    Interpreted-expression path (len(planes)×dim HOF ops per row) —
-    fine for single-row query vectors; corpus-side projection should
-    use :func:`jl_project_vectorized`."""
-    return F.array(
-        *[dot(vec, F.array(*[F.lit(x) for x in p])) for p in planes]
-    )
-
-
 def jl_project_vectorized(planes: list[list[float]]):
     """Arrow-batched JL projection: V @ P.T via one numpy matmul per
     batch instead of out_dim interpreted literal-array dot expressions
@@ -1163,10 +1149,22 @@ def jl_project_vectorized(planes: list[list[float]]):
 
     @F.pandas_udf("array<double>")
     def _proj(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype=object)
-        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vs])
-        return pd.Series((mat @ p_t).tolist())
+        # null / wrong-width vectors project to null (they rank last in
+        # the shortlist, matching expression-path null propagation)
+        out: list = [None] * len(vs)
+        vals, idxs = [], []
+        for i, v in enumerate(vs):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape == (p_t.shape[0],):
+                idxs.append(i)
+                vals.append(a)
+        if vals:
+            proj = np.vstack(vals) @ p_t
+            for j, i in enumerate(idxs):
+                out[i] = proj[j].tolist()
+        return pd.Series(out, dtype=object)
 
     return _proj
 
@@ -1199,11 +1197,11 @@ def jl_topk(
     floats per row); only the shortlist touches raw vectors."""
     planes = [_plane(seed_base + j, dim) for j in range(out_dim)]
     v = as_double(F.col(vec_col))
-    # Both sides project through the Arrow-batched matmul kernel: the
-    # expression-path jl_project would inline out_dim×dim float
-    # LITERALS into the plan (a ~2k-node expression tree whose
-    # driver-side analysis alone costs seconds per build), while the
-    # UDF closure carries the planes as one numpy array.
+    # Both sides project through the Arrow-batched matmul kernel: an
+    # expression path would inline out_dim×dim float LITERALS into the
+    # plan (a ~2k-node expression tree whose driver-side analysis alone
+    # costs seconds per build), while the UDF closure carries the
+    # planes as one numpy array.
     _proj = jl_project_vectorized(planes)
     proj = emb.withColumn("_pv", _proj(v))
     qp = F.broadcast(query.withColumn("_qp", _proj(F.col("qv"))))

@@ -4683,10 +4683,6 @@ def sim_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the k-means chain (shared `_kmeans_chain`
     unroll) with an equivalent window formulation, hash-matching
     bitwise."""
-    from nashville_etl_service_backup_spark.operators import (
-        release_persisted,  # noqa: F401  (kmeans persists its pts)
-        track_persist,
-    )
     from nashville_etl_service_backup_spark.operators.similarity import (
         as_double,
         dot_unrolled,
