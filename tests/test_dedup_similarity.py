@@ -607,3 +607,38 @@ def test_ndcg_perfect_and_degraded(spark):
     worse = ndcg_at_k(degraded, ideal, k=5).collect()[0]
     assert worse["n_hits"] == 5
     assert worse["ndcg"] < 1.0
+
+
+def test_kmeans_known_dim_matches_generic_path(spark):
+    """The argmax-carry + wide-decimal-aggregate round (dim known) must
+    produce the exact centroids of the generic posexplode formulation
+    (dim=None) — same assignments, same order-independent decimal sums."""
+    import random
+
+    from nashville_etl_service_backup_spark.operators import (
+        release_persisted,
+    )
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(8)])
+        for i in range(60)
+    ]
+    base = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    fast = {
+        r["cent_id"]: r["cv"]
+        for r in kmeans_centroids(
+            base, n_centroids=4, iters=2, dim=8
+        ).collect()
+    }
+    generic = {
+        r["cent_id"]: r["cv"]
+        for r in kmeans_centroids(
+            base, n_centroids=4, iters=2, dim=None
+        ).collect()
+    }
+    release_persisted()
+    assert fast == generic

@@ -467,3 +467,48 @@ def test_score_drift_psi_detects_shift(spark):
     shifted = psi([100, 200, 300, 400], [400, 300, 200, 100])
     assert abs(same) < 0.01
     assert shifted > 0.2
+
+
+def test_lazy_chain_matches_collect_per_round_reference(spark):
+    """The lazily chained GD rounds must stay bit-identical to the
+    collect-per-round formulation they replaced (weights collected and
+    re-embedded as float literals after every round)."""
+    from nashville_etl_service_backup_spark.operators.ml import (
+        GRAD_SCALE,
+        W_SCALE,
+        _margin,
+        hard_sigmoid,
+    )
+
+    feats = standardize(_toy(spark), ["x1", "x2"])
+    fcols = ["x1", "x2"]
+
+    def reference(iterations=8, lr=4.0):
+        w = [0.0] * 3
+        for _ in range(iterations):
+            r = hard_sigmoid(_margin(fcols, w)) - F.col("y")
+            aggs = [F.count(F.lit(1)).alias("n")]
+            aggs.append(
+                F.sum(F.round(r, GRAD_SCALE).cast("decimal(38,12)")).alias("g0")
+            )
+            for j, c in enumerate(fcols):
+                aggs.append(
+                    F.sum(
+                        F.round(r * F.col(c), GRAD_SCALE).cast("decimal(38,12)")
+                    ).alias(f"g{j + 1}")
+                )
+            upd = feats.agg(*aggs).select(
+                *[
+                    F.round(
+                        F.lit(w[j])
+                        - F.lit(lr)
+                        * (F.col(f"g{j}").cast("double") / F.col("n").cast("double")),
+                        W_SCALE,
+                    ).alias(f"w{j}")
+                    for j in range(3)
+                ]
+            ).first()
+            w = [float(upd[f"w{j}"]) for j in range(3)]
+        return w
+
+    assert logreg_train(feats, fcols, "y", iterations=8, lr=4.0) == reference()
