@@ -450,11 +450,15 @@ def test_degree_dist_single_pair_scan(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_recall_audit_single_consumption_full_outer(spark):
-    """Both pair finders feed ONE full-outer join and one aggregate —
-    no persisted-branch re-derivation, each finder evaluated once."""
+def test_recall_audit_single_consumption_union_hashagg(spark):
+    """Both pair finders feed ONE union + per-pair hash aggregate —
+    no persisted-branch re-derivation (each finder evaluated once),
+    and no sorted full-outer join: the pair frames cross one exchange,
+    unsorted."""
     plan = plan_of(spark, "dedup_recall_audit")
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Union" in plan
     # exactly one documents scan per finder (2 total) — the old
     # three-count-branch formulation re-entered each finder subtree
     # from multiple parents
