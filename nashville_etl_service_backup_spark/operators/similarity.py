@@ -799,15 +799,33 @@ def semantic_dedup_pairs(
         vec_col="v", dim=dim,
     )
     assigned = ivf_assign(pts, cents, id_col=id_col, vec_col="v", dim=dim)
-    tagged = track_persist(pts.join(assigned, id_col))
+    # hoist |v| out of the quadratic pair loop: once per vector, not
+    # once per pair — float-identical to inlined cosine() (the same
+    # expression, factored; ivf_assign's documented device), and with a
+    # known dim the per-pair dot is the unrolled codegen chain instead
+    # of an interpreted HOF fold.
+    _norm = norm if dim is None else (lambda c: norm_unrolled(c, dim))
+    _dotf = dot if dim is None else (lambda x, y: dot_unrolled(x, y, dim))
+    tagged = track_persist(
+        pts.join(assigned, id_col).withColumn("_n", _norm(F.col("v")))
+    )
     a = tagged.select(
-        "cent_id", F.col(id_col).alias("vec_a"), F.col("v").alias("va")
+        "cent_id",
+        F.col(id_col).alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("_n").alias("_na"),
     )
     b = tagged.select(
-        "cent_id", F.col(id_col).alias("vec_b"), F.col("v").alias("vb")
+        "cent_id",
+        F.col(id_col).alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("_n").alias("_nb"),
     )
     pairs = a.join(b, "cent_id").filter(F.col("vec_a") < F.col("vec_b"))
-    scored = pairs.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+    scored = pairs.withColumn(
+        "cosine",
+        _dotf(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+    )
     if top_k is not None:
         scored = scored.orderBy(
             F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")
