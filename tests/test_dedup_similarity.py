@@ -642,3 +642,28 @@ def test_kmeans_known_dim_matches_generic_path(spark):
     }
     release_persisted()
     assert fast == generic
+
+
+def test_jl_projection_null_and_ragged_vectors_project_to_null(spark):
+    """Null or wrong-width embedding vectors must not crash the Arrow
+    worker — they project to null (and rank last in any shortlist),
+    matching expression-path null propagation."""
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        jl_project_vectorized,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [1.0]), (4, [0.5, -0.5])],
+        "id long, v array<double>",
+    )
+    proj = jl_project_vectorized([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    got = {
+        r["id"]: r["p"]
+        for r in df.select("id", proj(F.col("v")).alias("p")).collect()
+    }
+    assert got[1] == [1.0, 2.0, 3.0]
+    assert got[2] is None
+    assert got[3] is None
+    assert got[4] == [0.5, -0.5, 0.0]
