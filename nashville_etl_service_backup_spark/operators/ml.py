@@ -118,6 +118,7 @@ def logreg_train(
     label_col: str,
     iterations: int = 8,
     lr: float = 4.0,
+    lazy: bool = True,
 ) -> list[float]:
     """Fit [bias, w1..wd] by `iterations` full-batch GD rounds from
     w = 0. One combinable aggregate per round; the rounds chain LAZILY
@@ -130,11 +131,58 @@ def logreg_train(
     inherent to full-batch GD. Weight values are bit-identical to the
     collect-per-round formulation — same expressions, with the
     Python-float literal re-embedding replaced by the double column
-    carrying the identical value.
+    carrying the identical value (pinned by
+    test_lazy_chain_matches_collect_per_round_reference, and by
+    test_logreg_lazy_eager_paths_identical across this flag).
+
+    ``lazy=False`` keeps the collect-per-round formulation: weights are
+    collected after every round and re-embedded as float literals, so
+    each round is a SMALL standalone plan instead of one deep nested
+    tree. Per-consumer sf0.1 measurements (round 6) pick the path: the
+    deep lazy tree's Catalyst analysis cost grows superlinearly with
+    nesting and dominated text_conformal_gate (+32%) and
+    text_calibration_curve (+22%) in the r5 bench pair, so those
+    callers pass lazy=False; at a real 100 TB scan the per-round
+    aggregate dwarfs either overhead and the two paths tie.
 
     Caller should persist `feats` when the feature projection is
     expensive (each round re-scans it either way)."""
     d = len(feature_cols)
+    if not lazy:
+        w = [0.0] * (d + 1)
+        for _ in range(iterations):
+            p = hard_sigmoid(_margin(feature_cols, w))
+            r = p - F.col(label_col)
+            aggs = [F.count(F.lit(1)).alias("n")]
+            aggs.append(
+                F.sum(
+                    F.round(r, GRAD_SCALE).cast("decimal(38,12)")
+                ).alias("g0")
+            )
+            for j, c in enumerate(feature_cols):
+                aggs.append(
+                    F.sum(
+                        F.round(r * F.col(c), GRAD_SCALE).cast(
+                            "decimal(38,12)"
+                        )
+                    ).alias(f"g{j + 1}")
+                )
+            upd = feats.agg(*aggs).select(
+                *[
+                    F.round(
+                        F.lit(w[j])
+                        - F.lit(float(lr))
+                        * (
+                            F.col(f"g{j}").cast("double")
+                            / F.col("n").cast("double")
+                        ),
+                        W_SCALE,
+                    ).alias(f"w{j}")
+                    for j in range(d + 1)
+                ]
+            ).first()
+            w = [float(upd[f"w{j}"]) for j in range(d + 1)]
+        return w
     spark = feats.sparkSession
     w_df = spark.range(1).select(
         *[F.lit(0.0).alias(f"_w{j}") for j in range(d + 1)]
@@ -223,7 +271,7 @@ def logreg_train_folds(
             for j in range(d + 1)
         ]
     )
-    for _ in range(iterations):
+    for it in range(iterations):
         aggs = []
         for i in range(k):
             guard = fold != i
@@ -274,7 +322,16 @@ def logreg_train_folds(
                     for i in range(k)
                     for j in range(d + 1)
                 ],
-                *[F.col(f"n_{i}") for i in range(k)],
+                # counts are recomputed every round (fold sizes are
+                # constant); carry them only out of the FINAL round, and
+                # underscore-prefixed like the weight columns, so the
+                # inter-round broadcast row stays k·(d+1) wide and a user
+                # column named n_<i> in `folds` can't collide.
+                *(
+                    [F.col(f"n_{i}").alias(f"_n_{i}") for i in range(k)]
+                    if it == iterations - 1
+                    else []
+                ),
             )
         )
     upd = w_df.first()
@@ -282,7 +339,7 @@ def logreg_train_folds(
         [float(upd[f"_w{i}_{j}"]) for j in range(d + 1)]
         for i in range(k)
     ]
-    ns = [int(upd[f"n_{i}"]) for i in range(k)]
+    ns = [int(upd[f"_n_{i}"]) for i in range(k)]
     return ws, ns
 
 

@@ -530,18 +530,26 @@ def kmeans_centroids(
     count (no convergence probe) keeps the plan static and collect-free.
     Empty clusters drop out — standard Lloyd's degeneracy, deterministic.
 
-    Scale shape per iteration (known ``dim``): assignment is the same
-    broadcast-centroid codegen'd dot as ivf_assign, but the argmax
-    max(struct(cosine, cent_id, …)) CARRIES the rounded vector as a
-    never-compared third field (cent_id is unique, so the comparison
-    stops before it) — one n-row shuffle replaces ivf_assign's shuffle
-    PLUS the pts⋈assigned join that used to move the vectors anyway.
-    Re-centering is then ONE map-side-combinable aggregate of dim
-    per-component DECIMAL sums: each partition emits ≤ n_centroids
-    partial rows, no 64× posexplode row blow-up, no second
-    collect_list shuffle. The dim=None fallback keeps the generic
-    posexplode formulation (assignment join + (cent_id, idx, decimal)
-    triples)."""
+    Scale shape per iteration: assignment is a broadcast join (centroids
+    are tiny) + narrow argmax on struct(cosine, cent_id) — with a known
+    ``dim`` the dots use the unrolled codegen'd chain (dot_unrolled;
+    vectors must be exactly ``dim`` wide, its documented precondition) —
+    and re-centering joins the narrow (id, cent_id) assignment back to
+    the persisted pts and shuffles (cent_id, idx, decimal) triples,
+    map-side combinable, never moving whole vectors through an
+    aggregation buffer.
+
+    Round 5 tried an "argmax-carry" reshape here (max(struct(c, cid,
+    r6)) carrying the rounded vector through the aggregate + one wide
+    dim-column decimal re-centering, commit bb9136c) to save the
+    pts⋈assigned join. It was a measured LOSS at sf0.1 — building a
+    struct embedding the 64-double array for every (vector, centroid)
+    candidate and summing 64 parallel interpreted decimal columns cost
+    far more CPU than the saved Exchange (sim_ann_ivf +25%,
+    sim_cluster_silhouette +42% on the committed r5 bench pair) — so
+    round 6 restored this shape (VERDICT r5 item #1; assignments and
+    centroids are bit-identical in both formulations, pinned by
+    test_kmeans_known_dim_matches_generic_path)."""
     from nashville_etl_service_backup_spark.operators import track_persist
 
     r6 = F.transform(F.col(vec_col), lambda x: F.round(x, 6))
@@ -557,51 +565,6 @@ def kmeans_centroids(
     cents = pts.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col("_r6").alias("cv")
     )
-    if dim is not None:
-        nv = norm_unrolled(F.col(vec_col), dim)
-        for _ in range(iters):
-            c = cents.select(
-                "cent_id", "cv", norm_unrolled(F.col("cv"), dim).alias("_nc")
-            )
-            scored = (
-                pts.withColumn("_nv", nv)
-                .crossJoin(F.broadcast(c))
-                .withColumn(
-                    "_c",
-                    dot_unrolled(F.col(vec_col), F.col("cv"), dim)
-                    / (F.col("_nv") * F.col("_nc")),
-                )
-            )
-            # (c, cid) decides the max before the carried r6 field is
-            # ever compared (cent_id is unique) — assignments are
-            # bit-identical to ivf_assign's max(struct(c, cid)).
-            best = scored.groupBy(id_col).agg(
-                F.max(
-                    F.struct(
-                        F.col("_c").alias("c"),
-                        F.col("cent_id").alias("cid"),
-                        F.col("_r6").alias("r6"),
-                    )
-                ).alias("_m")
-            )
-            assigned = best.select(
-                F.col("_m.cid").alias("cent_id"), F.col("_m.r6").alias("_r6")
-            )
-            sums = assigned.groupBy("cent_id").agg(
-                *[
-                    F.sum(
-                        F.element_at("_r6", i + 1).cast("decimal(30,12)")
-                    ).alias(f"_s{i}")
-                    for i in range(dim)
-                ]
-            )
-            cents = sums.select(
-                "cent_id",
-                F.array(
-                    *[F.col(f"_s{i}").cast("double") for i in range(dim)]
-                ).alias("cv"),
-            )
-        return cents
     for _ in range(iters):
         assigned = ivf_assign(
             pts.select(F.col(id_col), F.col(vec_col).alias("v")),
@@ -943,55 +906,28 @@ def pq_fit(
         "block", F.col(id_col).alias("cent_id"), r6.alias("cv")
     )
     spark = base.sparkSession
+    # round shape mirrors kmeans_centroids: cheap argmax assignment
+    # (_pq_assign) + join back to the persisted blocks + posexplode
+    # decimal re-centering. Round 5's argmax-carry reshape (bf3e845) was
+    # reverted with the k-means one — same measured CPU regression
+    # (sim_ann_pq +14% on the committed r5 pair), same bit-identical
+    # centroids either way.
     for _ in range(iters):
-        # same argmax-carry + one-wide-decimal-aggregate round shape as
-        # kmeans_centroids: the assignment max(struct(c, cid, r6)) never
-        # compares the carried slice (cent_id is unique), so assignments
-        # are bit-identical to _pq_assign, and the re-centering emits
-        # ≤ m·k partial rows per partition with no posexplode blow-up
-        # or blocks⋈assigned join re-shuffling the slices.
-        e = (
-            blocks.withColumn("_nv", norm_unrolled(F.col("v"), sub))
-            .withColumn("_r6", r6)
+        assigned = _pq_assign(blocks, cents, id_col, sub)
+        sums = (
+            blocks.join(assigned, [id_col, "block"])
+            .select("block", "cent_id", F.posexplode(r6).alias("idx", "x"))
+            .groupBy("block", "cent_id", "idx")
+            .agg(F.sum(F.col("x").cast("decimal(30,12)")).alias("s"))
         )
-        c = cents.select(
-            F.col("block").alias("_cb"), "cent_id", "cv"
-        ).withColumn("_nc", norm_unrolled(F.col("cv"), sub))
-        scored = e.join(
-            F.broadcast(c), e["block"] == c["_cb"]
-        ).withColumn(
-            "_c",
-            dot_unrolled(F.col("v"), F.col("cv"), sub)
-            / (F.col("_nv") * F.col("_nc")),
-        )
-        best = scored.groupBy(id_col, "block").agg(
-            F.max(
-                F.struct(
-                    F.col("_c").alias("c"),
-                    F.col("cent_id").alias("cid"),
-                    F.col("_r6").alias("r6"),
-                )
-            ).alias("_m")
-        )
-        assigned = best.select(
-            "block",
-            F.col("_m.cid").alias("cent_id"),
-            F.col("_m.r6").alias("_r6"),
-        )
-        sums = assigned.groupBy("block", "cent_id").agg(
-            *[
-                F.sum(
-                    F.element_at("_r6", i + 1).cast("decimal(30,12)")
-                ).alias(f"_s{i}")
-                for i in range(sub)
-            ]
-        )
-        cents = sums.select(
-            "block",
-            "cent_id",
-            F.array(
-                *[F.col(f"_s{i}").cast("double") for i in range(sub)]
-            ).alias("cv"),
+        cents = (
+            sums.groupBy("block", "cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("idx", "s"))).alias("a"))
+            .select(
+                "block",
+                "cent_id",
+                F.transform("a", lambda t: t["s"].cast("double")).alias("cv"),
+            )
         )
     cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
     # persist the encoded corpus: it is consumed twice (the counts
@@ -1167,15 +1103,18 @@ def jl_project_vectorized(planes: list[list[float]]):
 
     @F.pandas_udf("array<double>")
     def _proj(vs: pd.Series) -> pd.Series:
-        # null / wrong-width vectors project to null (they rank last in
-        # the shortlist, matching expression-path null propagation)
+        # null / wrong-width / non-finite vectors project to null (they
+        # rank last in the shortlist, matching expression-path null
+        # propagation — a NaN element would otherwise yield NaN
+        # projections, and Spark sorts NaN ABOVE all doubles, ranking
+        # the degenerate row FIRST)
         out: list = [None] * len(vs)
         vals, idxs = [], []
         for i, v in enumerate(vs):
             if v is None:
                 continue
             a = np.asarray(v, dtype=np.float64)
-            if a.shape == (p_t.shape[0],):
+            if a.shape == (p_t.shape[0],) and np.isfinite(a).all():
                 idxs.append(i)
                 vals.append(a)
         if vals:

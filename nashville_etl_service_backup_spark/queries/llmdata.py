@@ -3159,7 +3159,11 @@ def text_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fcols = ["x1", "x2", "x3"]
     feats = track_persist(standardize(raw, fcols))
-    w = logreg_train(feats.filter(F.col("is_tr")), fcols, "y")
+    # lazy=False: single-model consumers measured faster with
+    # collect-per-round at sf0.1 (round 6; see logreg_train docstring)
+    w = logreg_train(
+        feats.filter(F.col("is_tr")), fcols, "y", lazy=False
+    )
     s = F.round(logreg_score(fcols, w), 6)
     binned = feats.select(
         F.least(F.floor(s * 10).cast("int"), F.lit(9)).alias("bin"),
@@ -4123,7 +4127,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fcols = ["x1", "x2", "x3"]
     feats = track_persist(standardize(raw, fcols))
-    w = logreg_train(feats, fcols, "y", iterations=8, lr=4.0)
+    w = logreg_train(
+        feats, fcols, "y", iterations=8, lr=4.0, lazy=False
+    )
     p = logreg_score(fcols, w)
     return feats.select(
         "doc_id",
@@ -4562,7 +4568,9 @@ def text_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     train = feats.filter(F.col("_b") >= 2)
-    w = logreg_train(train, fcols, "y", iterations=8, lr=4.0)
+    w = logreg_train(
+        train, fcols, "y", iterations=8, lr=4.0, lazy=False
+    )
     p = F.round(logreg_score(fcols, w), 6)
     # nonconformity of the TRUE class: 1 - p for y=1, p for y=0
     s_true = F.round(

@@ -655,7 +655,15 @@ def test_jl_projection_null_and_ragged_vectors_project_to_null(spark):
     )
 
     df = spark.createDataFrame(
-        [(1, [1.0, 2.0]), (2, None), (3, [1.0]), (4, [0.5, -0.5])],
+        [
+            (1, [1.0, 2.0]),
+            (2, None),
+            (3, [1.0]),
+            (4, [0.5, -0.5]),
+            (5, [1.0, None]),
+            (6, [float("nan"), 1.0]),
+            (7, [float("inf"), 1.0]),
+        ],
         "id long, v array<double>",
     )
     proj = jl_project_vectorized([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
@@ -667,3 +675,9 @@ def test_jl_projection_null_and_ragged_vectors_project_to_null(spark):
     assert got[2] is None
     assert got[3] is None
     assert got[4] == [0.5, -0.5, 0.0]
+    # non-finite elements (null→NaN under numpy, NaN, inf) must also
+    # project to null: Spark sorts NaN above all doubles, so a NaN
+    # projection would rank FIRST in a desc shortlist instead of last
+    assert got[5] is None
+    assert got[6] is None
+    assert got[7] is None

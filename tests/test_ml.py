@@ -512,3 +512,15 @@ def test_lazy_chain_matches_collect_per_round_reference(spark):
         return w
 
     assert logreg_train(feats, fcols, "y", iterations=8, lr=4.0) == reference()
+
+
+def test_logreg_lazy_eager_paths_identical(spark):
+    """logreg_train's lazy chain and collect-per-round (lazy=False)
+    paths must return the same weights bit-for-bit — consumers pick a
+    path purely on measured plan overhead, never on values."""
+    feats = standardize(_toy(spark), ["x1", "x2"])
+    lazy = logreg_train(feats, ["x1", "x2"], "y", iterations=8, lr=4.0)
+    eager = logreg_train(
+        feats, ["x1", "x2"], "y", iterations=8, lr=4.0, lazy=False
+    )
+    assert lazy == eager

@@ -1,0 +1,65 @@
+"""Perf-regression gate: diff two bench JSON files (bench.py /
+bench_subset.py / BENCH_LOCAL_r0N.json shapes all accepted) and flag
+per-query deltas beyond a threshold.
+
+Usage:
+    python tools/bench_diff.py OLD.json NEW.json [--pct 10] [--abs 0.3]
+
+A query is flagged only when BOTH the relative delta exceeds --pct
+percent AND the absolute delta exceeds --abs seconds (sub-second
+queries jitter ±30% run-to-run; see memory/bench-protocol). Exit code
+1 if any regression is flagged — wire it into the pre-commit loop for
+every perf rewrite: benchmark the touched operator's consumers before
+and after, and keep the rewrite only if this gate passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load(path: str) -> dict[str, float]:
+    with open(path) as f:
+        obj = json.load(f)
+    q = obj.get("queries", obj)
+    return {k: float(v) for k, v in q.items()}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--pct", type=float, default=10.0)
+    ap.add_argument("--abs", dest="abs_", type=float, default=0.3)
+    args = ap.parse_args()
+    old, new = load(args.old), load(args.new)
+    shared = sorted(set(old) & set(new))
+    regs, wins = [], []
+    for k in shared:
+        d = new[k] - old[k]
+        pct = 100.0 * d / old[k] if old[k] else 0.0
+        if d > args.abs_ and pct > args.pct:
+            regs.append((k, old[k], new[k], pct))
+        elif -d > args.abs_ and -pct > args.pct:
+            wins.append((k, old[k], new[k], pct))
+    t_old, t_new = sum(old[k] for k in shared), sum(new[k] for k in shared)
+    print(
+        f"shared={len(shared)} total {t_old:.1f}s -> {t_new:.1f}s "
+        f"({100 * (t_new - t_old) / t_old:+.1f}%)"
+    )
+    for tag, rows in (("REGRESSION", regs), ("win", wins)):
+        for k, o, n, pct in sorted(rows, key=lambda r: -abs(r[3])):
+            print(f"  {tag:10s} {k:32s} {o:7.3f} -> {n:7.3f}  ({pct:+.0f}%)")
+    only_old = set(old) - set(new)
+    only_new = set(new) - set(old)
+    if only_old:
+        print(f"  only in old: {sorted(only_old)}")
+    if only_new:
+        print(f"  only in new: {sorted(only_new)}")
+    return 1 if regs else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
