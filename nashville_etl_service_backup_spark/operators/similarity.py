@@ -460,6 +460,66 @@ def banded_srp_buckets_vectorized(
     return _sig
 
 
+def centroid_row(
+    centroids: DataFrame,
+    cent_id: str = "cent_id",
+    cent_vec: str = "cv",
+    dim: int | None = None,
+) -> DataFrame:
+    """Collapse a (cent_id, cv) centroid frame into ONE row holding an
+    array of (cid, cv, nc) structs, centroid norms hoisted to build
+    time. Broadcast-crossJoined onto a vector frame, this turns
+    nearest-centroid assignment into a per-row expression
+    (:func:`nearest_centroid`) — no |vectors|×k row explosion, no
+    argmax aggregate Exchange, no join back to re-attach the vectors.
+    The quantizer is a model artifact (k×dim numbers), so the one-row
+    relation is tiny by construction."""
+    _norm = norm if dim is None else (lambda c: norm_unrolled(c, dim))
+    return centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col(cent_id).alias("cid"),
+                F.col(cent_vec).alias("cv"),
+                _norm(F.col(cent_vec)).alias("nc"),
+            )
+        ).alias("_cents")
+    )
+
+
+def centroid_scores(
+    vec: Column,
+    nv: Column,
+    cents_arr: Column,
+    dim: int | None = None,
+) -> Column:
+    """array<struct(c, cid)> of the vector's cosine against every
+    centroid in a :func:`centroid_row` array — the same hoisted-norm
+    cosine expression the join formulation computed per (vector,
+    centroid) row, evaluated per array element instead."""
+    _dot = dot if dim is None else (lambda a, b: dot_unrolled(a, b, dim))
+    return F.transform(
+        cents_arr,
+        lambda s: F.struct(
+            (_dot(vec, s["cv"]) / (nv * s["nc"])).alias("c"),
+            s["cid"].alias("cid"),
+        ),
+    )
+
+
+def nearest_centroid(
+    vec: Column,
+    nv: Column,
+    cents_arr: Column,
+    dim: int | None = None,
+) -> Column:
+    """struct(c, cid) of the highest-cosine centroid (ties → highest
+    centroid id): array_max over :func:`centroid_scores` uses the
+    identical struct total order as the old max(struct(c, cid))
+    aggregate, so assignments are bit-identical to the join+argmax
+    formulation this replaces."""
+    return F.array_max(centroid_scores(vec, nv, cents_arr, dim))
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -470,39 +530,35 @@ def ivf_assign(
     dim: int | None = None,
 ) -> DataFrame:
     """IVF list assignment: each vector → its highest-cosine centroid
-    (ties → highest centroid id; deterministic). Centroids broadcast, so
-    assignment is one narrow pass over the corpus — at 100 TB the
-    assigned frame is then written bucketed by cent_id, making every
-    probe a partition-pruned scan.
+    (ties → highest centroid id; deterministic). The centroid frame
+    collapses into one broadcast row (:func:`centroid_row`) and the
+    argmax is a per-row array_max (:func:`nearest_centroid`), so
+    assignment is one narrow pass over the corpus with NO shuffle at
+    all — at 100 TB the assigned frame is then written bucketed by
+    cent_id, making every probe a partition-pruned scan. (Round 6: this
+    replaces the broadcast-crossJoin + groupBy(id).max(struct) shape —
+    same hoisted-norm cosine, same (c, cid) total order, bit-identical
+    output, minus the n×k row explosion and the argmax Exchange.)
 
-    Norms are hoisted out of the pair loop: |v| once per vector, |c|
-    once per centroid, dot once per pair — float-identical to inlined
-    cosine() (same expression, factored), ~3× fewer HOF ops. With a
-    known ``dim`` the |vectors|·k dots use the unrolled bit-equal
-    scalar chain (dot_unrolled — no per-pair array allocation); pass
-    dim=None for unknown widths to fall back to the HOF fold."""
-    if dim is None:
-        _dot = dot
-        _norm = norm
-    else:
-        def _dot(a, b):  # noqa: E306
-            return dot_unrolled(a, b, dim)
-
-        def _norm(a):
-            return norm_unrolled(a, dim)
-
+    Norms are hoisted: |v| once per vector, |c| once per centroid at
+    centroid-row build, dot once per pair. With a known ``dim`` the
+    |vectors|·k dots use the unrolled bit-equal scalar chain
+    (dot_unrolled — vectors must be exactly ``dim`` wide, its
+    documented precondition); pass dim=None for unknown widths to fall
+    back to the HOF fold."""
+    _norm = norm if dim is None else (lambda c: norm_unrolled(c, dim))
+    crow = centroid_row(centroids, cent_id, cent_vec, dim)
     e = emb.withColumn("_nv", _norm(F.col(vec_col)))
-    c = centroids.withColumn("_nc", _norm(F.col(cent_vec)))
-    scored = e.crossJoin(F.broadcast(c)).withColumn(
-        "_c",
-        _dot(F.col(vec_col), F.col(cent_vec)) / (F.col("_nv") * F.col("_nc")),
-    )
-    best = scored.groupBy(id_col).agg(
-        F.max(F.struct(F.col("_c").alias("c"), F.col(cent_id).alias("cid"))).alias(
-            "_m"
+    return (
+        e.crossJoin(F.broadcast(crow))
+        .select(
+            id_col,
+            nearest_centroid(
+                F.col(vec_col), F.col("_nv"), F.col("_cents"), dim
+            ).alias("_m"),
         )
+        .select(id_col, F.col("_m.cid").alias("cent_id"))
     )
-    return best.select(id_col, F.col("_m.cid").alias("cent_id"))
 
 
 def kmeans_centroids(
@@ -530,26 +586,28 @@ def kmeans_centroids(
     count (no convergence probe) keeps the plan static and collect-free.
     Empty clusters drop out — standard Lloyd's degeneracy, deterministic.
 
-    Scale shape per iteration: assignment is a broadcast join (centroids
-    are tiny) + narrow argmax on struct(cosine, cent_id) — with a known
-    ``dim`` the dots use the unrolled codegen'd chain (dot_unrolled;
-    vectors must be exactly ``dim`` wide, its documented precondition) —
-    and re-centering joins the narrow (id, cent_id) assignment back to
-    the persisted pts and shuffles (cent_id, idx, decimal) triples,
-    map-side combinable, never moving whole vectors through an
-    aggregation buffer.
+    Scale shape per iteration: the centroids collapse into ONE
+    broadcast row (centroid_row) and each vector tags itself with a
+    per-row array_max (nearest_centroid; with a known ``dim`` the dots
+    use the unrolled chain — vectors must be exactly ``dim`` wide,
+    dot_unrolled's documented precondition), then re-centering shuffles
+    (cent_id, idx, decimal) triples, map-side combinable — the round's
+    ONLY Exchange. Vectors never move through an aggregation buffer or
+    a join.
 
-    Round 5 tried an "argmax-carry" reshape here (max(struct(c, cid,
-    r6)) carrying the rounded vector through the aggregate + one wide
-    dim-column decimal re-centering, commit bb9136c) to save the
-    pts⋈assigned join. It was a measured LOSS at sf0.1 — building a
-    struct embedding the 64-double array for every (vector, centroid)
-    candidate and summing 64 parallel interpreted decimal columns cost
-    far more CPU than the saved Exchange (sim_ann_ivf +25%,
-    sim_cluster_silhouette +42% on the committed r5 bench pair) — so
-    round 6 restored this shape (VERDICT r5 item #1; assignments and
-    centroids are bit-identical in both formulations, pinned by
-    test_kmeans_known_dim_matches_generic_path)."""
+    History: round 5 tried an "argmax-carry" reshape (max(struct(c,
+    cid, r6)) carrying the rounded vector through the aggregate + one
+    wide dim-column decimal re-centering, commit bb9136c). It was a
+    measured LOSS at sf0.1 — struct-embedding the 64-double array per
+    (vector, centroid) candidate and 64 parallel interpreted decimal
+    sum columns cost more CPU than the saved Exchange (sim_ann_ivf
+    +25%, sim_cluster_silhouette +42% on the committed r5 pair).
+    Round 6 reverted it, then went further: the broadcast-centroid-row
+    argmax removes the assignment Exchange AND the pts⋈assigned join
+    without any vector copies. Assignments and centroids stay
+    bit-identical across all three formulations (same cosine
+    expression, same (c, cid) total order, order-independent decimal
+    sums) — pinned by test_kmeans_known_dim_matches_generic_path."""
     from nashville_etl_service_backup_spark.operators import track_persist
 
     r6 = F.transform(F.col(vec_col), lambda x: F.round(x, 6))
@@ -565,17 +623,28 @@ def kmeans_centroids(
     cents = pts.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col("_r6").alias("cv")
     )
+    _norm = norm if dim is None else (lambda c: norm_unrolled(c, dim))
     for _ in range(iters):
-        assigned = ivf_assign(
-            pts.select(F.col(id_col), F.col(vec_col).alias("v")),
-            cents,
-            id_col=id_col,
-            vec_col="v",
-            dim=dim,
+        # per-row array_max against the broadcast centroid row: the
+        # cluster tag lands directly on the (id, _r6) row, so the round
+        # is tag → posexplode → one combinable decimal aggregate — no
+        # assignment Exchange, no pts⋈assigned join (round 6; replaces
+        # ivf_assign + join, bit-identical assignments)
+        crow = centroid_row(cents, dim=dim)
+        tagged = (
+            pts.crossJoin(F.broadcast(crow))
+            .select(
+                nearest_centroid(
+                    F.col(vec_col),
+                    _norm(F.col(vec_col)),
+                    F.col("_cents"),
+                    dim,
+                )["cid"].alias("cent_id"),
+                "_r6",
+            )
         )
         sums = (
-            pts.join(assigned, id_col)
-            .select("cent_id", F.posexplode("_r6").alias("idx", "x"))
+            tagged.select("cent_id", F.posexplode("_r6").alias("idx", "x"))
             .groupBy("cent_id", "idx")
             .agg(F.sum(F.col("x").cast("decimal(30,12)")).alias("s"))
         )
@@ -630,7 +699,22 @@ def ivf_topk(
         cents = base.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
         )
-    assigned = ivf_assign(base, cents, id_col=id_col, dim=dim)
+    # assignment is a per-row array_max against the broadcast centroid
+    # row — the cluster tag lands directly on the vector row, so the
+    # probe filter needs no join back to re-attach the vectors
+    _norm = norm if dim is None else (lambda c: norm_unrolled(c, dim))
+    crow = centroid_row(cents, dim=dim)
+    tagged = (
+        base.withColumn("_nv", _norm(F.col("v")))
+        .crossJoin(F.broadcast(crow))
+        .withColumn(
+            "cent_id",
+            nearest_centroid(
+                F.col("v"), F.col("_nv"), F.col("_cents"), dim
+            )["cid"],
+        )
+        .drop("_cents")
+    )
     probes = (
         query.crossJoin(F.broadcast(cents))
         .withColumn("_c", cosine(F.col("qv"), F.col("cv")))
@@ -639,8 +723,7 @@ def ivf_topk(
         .select("cent_id")
     )
     cand = (
-        base.join(assigned, id_col)
-        .join(F.broadcast(probes), "cent_id", "left_semi")
+        tagged.join(F.broadcast(probes), "cent_id", "left_semi")
         .crossJoin(F.broadcast(query))
         .withColumn("_cos", cosine(F.col("v"), F.col("qv")))
     )
@@ -761,16 +844,26 @@ def semantic_dedup_pairs(
         pts, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col,
         vec_col="v", dim=dim,
     )
-    assigned = ivf_assign(pts, cents, id_col=id_col, vec_col="v", dim=dim)
     # hoist |v| out of the quadratic pair loop: once per vector, not
     # once per pair — float-identical to inlined cosine() (the same
     # expression, factored; ivf_assign's documented device), and with a
     # known dim the per-pair dot is the unrolled codegen chain instead
-    # of an interpreted HOF fold.
+    # of an interpreted HOF fold. The cluster tag rides the SAME norm
+    # column as a per-row array_max over the broadcast centroid row
+    # (nearest_centroid) — no assignment aggregate, no join back.
     _norm = norm if dim is None else (lambda c: norm_unrolled(c, dim))
     _dotf = dot if dim is None else (lambda x, y: dot_unrolled(x, y, dim))
+    crow = centroid_row(cents, dim=dim)
     tagged = track_persist(
-        pts.join(assigned, id_col).withColumn("_n", _norm(F.col("v")))
+        pts.withColumn("_n", _norm(F.col("v")))
+        .crossJoin(F.broadcast(crow))
+        .withColumn(
+            "cent_id",
+            nearest_centroid(
+                F.col("v"), F.col("_n"), F.col("_cents"), dim
+            )["cid"],
+        )
+        .drop("_cents")
     )
     a = tagged.select(
         "cent_id",
@@ -854,7 +947,14 @@ def _pq_assign(
     highest-cosine codeword (ties → larger code — ivf_assign's rule).
     Codebooks broadcast; norms hoisted out of the candidate loop; the
     |vectors|·m·k dot products use the unrolled chain (known sub-dim,
-    bit-equal to the HOF fold, no per-pair array allocation)."""
+    bit-equal to the HOF fold, no per-pair array allocation).
+
+    This keeps the broadcast-join + groupBy argmax shape on purpose:
+    round 6 measured the per-row array_max device (nearest_centroid
+    over a block-keyed codebook map) at +15% here — with k=64
+    candidates per row the interpreted HOF transform loses to the
+    codegen'd join dot + partial-agg argmax, the opposite of the k=16
+    IVF case where the device wins 24%."""
     e = blocks.withColumn("_nv", norm_unrolled(F.col("v"), sub))
     c = cents.select(
         F.col("block").alias("_cb"), "cent_id", "cv",
@@ -867,7 +967,9 @@ def _pq_assign(
         / (F.col("_nv") * F.col("_nc")),
     )
     best = scored.groupBy(id_col, "block").agg(
-        F.max(F.struct(F.col("_c").alias("c"), F.col("cent_id").alias("cid"))).alias("_m")
+        F.max(
+            F.struct(F.col("_c").alias("c"), F.col("cent_id").alias("cid"))
+        ).alias("_m")
     )
     return best.select(id_col, "block", F.col("_m.cid").alias("cent_id"))
 
@@ -906,12 +1008,13 @@ def pq_fit(
         "block", F.col(id_col).alias("cent_id"), r6.alias("cv")
     )
     spark = base.sparkSession
-    # round shape mirrors kmeans_centroids: cheap argmax assignment
-    # (_pq_assign) + join back to the persisted blocks + posexplode
-    # decimal re-centering. Round 5's argmax-carry reshape (bf3e845) was
-    # reverted with the k-means one — same measured CPU regression
-    # (sim_ann_pq +14% on the committed r5 pair), same bit-identical
-    # centroids either way.
+    # round shape: cheap argmax assignment (_pq_assign — see its
+    # docstring for why PQ keeps the join+argmax over the per-row
+    # array_max device) + join back to the persisted blocks +
+    # posexplode decimal re-centering. Round 5's argmax-carry reshape
+    # (bf3e845) was reverted with the k-means one — same measured CPU
+    # regression (sim_ann_pq +14% on the committed r5 pair), same
+    # bit-identical centroids either way.
     for _ in range(iters):
         assigned = _pq_assign(blocks, cents, id_col, sub)
         sums = (

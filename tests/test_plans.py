@@ -412,28 +412,31 @@ def test_bootstrap_draws_are_codegen_side(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_silhouette_no_window_single_combinable_agg(spark):
-    """The per-vector (own-centroid, nearest-other) pair comes from ONE
-    top-2 struct aggregate with a map-side partial, not a row_number
-    window: no per-vector sort, ~n rows shuffle instead of n×k."""
+def test_silhouette_no_window_rowlocal_top2(spark):
+    """The per-vector (own-centroid, nearest-other) pair comes from a
+    per-row sort_array over the broadcast centroid-row score array —
+    no row_number window, and no per-vector top-2 AGGREGATE either
+    (round 6: the r5 struct aggregate still exchanged ~n partial rows;
+    this shape shuffles nothing per vector)."""
     plan = plan_of(spark, "sim_cluster_silhouette")
     assert "Window" not in plan
-    assert "partial_collect_list" in plan  # map-side combine of top-2
+    assert "sort_array" in plan  # row-local top-2
     assert "CartesianProduct" not in plan
 
 
-def test_kmeans_no_posexplode_no_vector_rejoin(spark):
-    """The known-dim quantizer re-centers with ONE wide decimal-sum
-    aggregate: no 64× posexplode row blow-up, no pts⋈assigned
-    SortMergeJoin re-shuffling the vectors, assignment argmax carries
-    the rounded vector through a map-side-combinable max(struct)."""
+def test_kmeans_assignment_rowlocal_no_argmax_agg_no_rejoin(spark):
+    """Round 6: nearest-centroid assignment is a per-row array_max over
+    the broadcast centroid row — no |vectors|×k argmax aggregate
+    (partial_max absent), no pts⋈assigned SortMergeJoin re-shuffling
+    the vectors. Re-centering keeps the posexplode → combinable
+    decimal-sum shape (the r5 wide-aggregate alternative was a
+    measured loss; see kmeans_centroids' docstring)."""
     for q in ("sim_cluster_silhouette", "dedup_semantic_pairs"):
         plan = plan_of(spark, q)
-        assert "posexplode" not in plan, q
-        assert "partial_max" in plan, q  # combinable assignment argmax
-    # silhouette has no other join at all — any SMJ would be the old
-    # pts⋈assigned vector re-shuffle (semantic_dedup keeps one SMJ for
-    # the legitimate within-cluster cent_id pairing)
+        assert "partial_max" not in plan, q  # argmax aggregate gone
+        assert "array_max" in plan, q  # row-local assignment
+    # silhouette has no join at all beyond the broadcast centroid row —
+    # any SMJ would be the old pts⋈assigned vector re-shuffle
     assert "SortMergeJoin" not in plan_of(spark, "sim_cluster_silhouette")
 
 
