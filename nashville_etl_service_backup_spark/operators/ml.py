@@ -244,8 +244,9 @@ def logreg_train_folds(
     k: int,
     iterations: int = 8,
     lr: float = 4.0,
+    lazy: bool = True,
 ) -> list[list[float]]:
-    """All k leave-one-fold-out trainings submitted as one action:
+    """All k leave-one-fold-out trainings in one fold-parallel chain:
     each GD round is ONE combinable aggregate whose expressions
     compute, for every held-out fold i, the gradient of model i over
     the rows with fold != i (a `when(fold != i, …)` guard inside each
@@ -259,11 +260,69 @@ def logreg_train_folds(
     corresponding subset — the CV oracle's per-fold CTE unrolls keep
     matching unchanged.
 
+    ``lazy=False`` collects the k·(d+2) scalars after every round and
+    re-embeds them as literals (small standalone plans — logreg_train's
+    measured-per-consumer device; values bit-identical either way,
+    pinned by test_folds_lazy_eager_paths_identical).
+
     Returns (k weight vectors, k train-row counts).
     Caller should persist `folds`."""
     d = len(feature_cols)
-    spark = folds.sparkSession
     fold = F.col(fold_col)
+    if not lazy:
+        ws = [[0.0] * (d + 1) for _ in range(k)]
+        ns = [0] * k
+        for _ in range(iterations):
+            aggs = []
+            for i in range(k):
+                guard = fold != i
+                r = hard_sigmoid(_margin(feature_cols, ws[i])) - F.col(
+                    label_col
+                )
+                aggs.append(
+                    F.sum(F.when(guard, F.lit(1)).cast("long")).alias(
+                        f"n_{i}"
+                    )
+                )
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            guard, F.round(r, GRAD_SCALE)
+                        ).cast("decimal(38,12)")
+                    ).alias(f"g{i}_0")
+                )
+                for j, c in enumerate(feature_cols):
+                    aggs.append(
+                        F.sum(
+                            F.when(
+                                guard,
+                                F.round(r * F.col(c), GRAD_SCALE),
+                            ).cast("decimal(38,12)")
+                        ).alias(f"g{i}_{j + 1}")
+                    )
+            upd = folds.agg(*aggs).select(
+                *[
+                    F.round(
+                        F.lit(ws[i][j])
+                        - F.lit(float(lr))
+                        * (
+                            F.col(f"g{i}_{j}").cast("double")
+                            / F.col(f"n_{i}").cast("double")
+                        ),
+                        W_SCALE,
+                    ).alias(f"w{i}_{j}")
+                    for i in range(k)
+                    for j in range(d + 1)
+                ],
+                *[F.col(f"n_{i}") for i in range(k)],
+            ).first()
+            ws = [
+                [float(upd[f"w{i}_{j}"]) for j in range(d + 1)]
+                for i in range(k)
+            ]
+            ns = [int(upd[f"n_{i}"]) for i in range(k)]
+        return ws, ns
+    spark = folds.sparkSession
     w_df = spark.range(1).select(
         *[
             F.lit(0.0).alias(f"_w{i}_{j}")
@@ -760,6 +819,7 @@ def logreg_cv(
     k: int = 3,
     iterations: int = 8,
     lr: float = 4.0,
+    lazy: bool = False,
 ) -> DataFrame:
     """K-fold cross-validation of the GD classifier: md5 hash-bucket
     folds (engine-portable, partition-invariant — the split_assign
@@ -770,7 +830,13 @@ def logreg_cv(
     standardized by the caller over the full frame (fit-time
     convention pinned in the oracle). All k trainings share ONE
     scalar-output aggregate per GD round (logreg_train_folds), so the
-    whole CV costs `iterations` jobs, not k·`iterations`."""
+    whole CV costs `iterations` rounds, not k·`iterations`.
+
+    Defaults to lazy=False: the k-fold round aggregate is 3× wider
+    than the single-model one, so the lazily nested plan is deeper and
+    heavier still — measured 8.08→6.36 s at sf0.1 (round 6,
+    text_classifier_cv, min-of-3) by collecting per round instead;
+    values bit-identical (test_folds_lazy_eager_paths_identical)."""
     from functools import reduce
 
     from nashville_etl_service_backup_spark.operators.text_analysis import (
@@ -779,7 +845,8 @@ def logreg_cv(
 
     folds = feats.withColumn("_fold", hash_bucket(F.col(id_col), k))
     ws, ns = logreg_train_folds(
-        folds, feature_cols, label_col, "_fold", k, iterations, lr
+        folds, feature_cols, label_col, "_fold", k, iterations, lr,
+        lazy=lazy,
     )
     outs = []
     for i in range(k):

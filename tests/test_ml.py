@@ -524,3 +524,20 @@ def test_logreg_lazy_eager_paths_identical(spark):
         feats, ["x1", "x2"], "y", iterations=8, lr=4.0, lazy=False
     )
     assert lazy == eager
+
+
+def test_folds_lazy_eager_paths_identical(spark):
+    """logreg_train_folds' lazy chain and collect-per-round (lazy=False)
+    paths must return identical weights and counts bit-for-bit."""
+    from nashville_etl_service_backup_spark.operators.ml import (
+        logreg_train_folds,
+    )
+
+    feats = standardize(_toy(spark), ["x1", "x2"]).withColumn(
+        "_fold", (F.col("id") % 3).cast("int")
+    )
+    a = logreg_train_folds(feats, ["x1", "x2"], "y", "_fold", 3, 4, 4.0)
+    b = logreg_train_folds(
+        feats, ["x1", "x2"], "y", "_fold", 3, 4, 4.0, lazy=False
+    )
+    assert a == b
