@@ -681,3 +681,72 @@ def test_jl_projection_null_and_ragged_vectors_project_to_null(spark):
     assert got[5] is None
     assert got[6] is None
     assert got[7] is None
+
+
+def test_nearest_centroid_tie_breaks_to_higher_cid(spark):
+    """Two centroids at identical cosine to a vector must deterministically
+    assign to the HIGHER cent_id — the (c, cid) struct total order the
+    array_max device shares with the old max(struct) aggregate and the
+    DuckDB oracles."""
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])], "vec_id long, v array<double>"
+    )
+    # cents 3 and 7 are identical vectors: cosine ties for every input
+    cents = spark.createDataFrame(
+        [(3, [1.0, 1.0]), (7, [1.0, 1.0]), (1, [-1.0, -1.0])],
+        "cent_id long, cv array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cent_id"]
+        for r in ivf_assign(emb, cents, dim=2).collect()
+    }
+    assert got == {10: 7, 11: 7}
+
+
+def test_ivf_assign_matches_bruteforce_argmax(spark):
+    """The per-row array_max assignment must agree with an explicit
+    per-vector python argmax over exact cosines on a random frame."""
+    import math
+    import random
+
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    rng = random.Random(13)
+    vec_rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)
+    ]
+    cent_rows = [
+        (c, [rng.uniform(-1, 1) for _ in range(6)]) for c in range(5)
+    ]
+    emb = spark.createDataFrame(vec_rows, "vec_id long, v array<double>")
+    cents = spark.createDataFrame(
+        cent_rows, "cent_id long, cv array<double>"
+    )
+
+    def cos(a, b):
+        num = math.fsum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(math.fsum(x * x for x in a))
+            * math.sqrt(math.fsum(y * y for y in b))
+        )
+
+    want = {
+        i: max(
+            ((cos(v, cv), c) for c, cv in cent_rows),
+            key=lambda t: (t[0], t[1]),
+        )[1]
+        for i, v in vec_rows
+    }
+    got = {
+        r["vec_id"]: r["cent_id"]
+        for r in ivf_assign(emb, cents, dim=6).collect()
+    }
+    assert got == want

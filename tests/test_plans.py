@@ -431,7 +431,11 @@ def test_kmeans_assignment_rowlocal_no_argmax_agg_no_rejoin(spark):
     the vectors. Re-centering keeps the posexplode → combinable
     decimal-sum shape (the r5 wide-aggregate alternative was a
     measured loss; see kmeans_centroids' docstring)."""
-    for q in ("sim_cluster_silhouette", "dedup_semantic_pairs"):
+    for q in (
+        "sim_cluster_silhouette",
+        "dedup_semantic_pairs",
+        "sim_ann_ivf",
+    ):
         plan = plan_of(spark, q)
         assert "partial_max" not in plan, q  # argmax aggregate gone
         assert "array_max" in plan, q  # row-local assignment
