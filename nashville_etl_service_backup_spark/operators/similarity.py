@@ -520,6 +520,224 @@ def nearest_centroid(
     return F.array_max(centroid_scores(vec, nv, cents_arr, dim))
 
 
+def centroid_artifact(
+    cents: DataFrame,
+    cent_id: str = "cent_id",
+    cent_vec: str = "cv",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Collect a trained quantizer into a local numpy artifact
+    (cids ascending, C (k×dim), chain-order norms). The quantizer is
+    k×dim numbers — the same model-artifact materialization ivf_topk
+    already does with createDataFrame(collect()); this is NOT a
+    data-sized collect. Norms use the dim-by-dim accumulation of
+    :func:`_chain_dots`, bit-equal to norm_unrolled."""
+    rows = cents.select(cent_id, cent_vec).collect()
+    rows.sort(key=lambda r: r[0])
+    cids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    acc = np.zeros(C.shape[0])
+    for i in range(C.shape[1]):
+        acc = acc + C[:, i] * C[:, i]
+    return cids, C, np.sqrt(acc)
+
+
+def _chain_dots(V: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All V-row × C-row dot products plus V row norms, accumulated
+    dim-by-dim: per element the identical left-to-right IEEE add order
+    (0.0 + a1·b1 + a2·b2 + …) as dot_unrolled / norm_unrolled and the
+    aggregate(zip_with(...)) fold — float64 multiply/add/sqrt are
+    single correctly-rounded IEEE ops in both numpy and the JVM, so
+    the results are bit-equal to the Column expressions, while the
+    loop vectorizes across the Arrow batch's rows."""
+    n = V.shape[0]
+    accv = np.zeros(n)
+    dots = np.zeros((n, C.shape[0]))
+    for i in range(V.shape[1]):
+        col = V[:, i]
+        accv = accv + col * col
+        dots = dots + col[:, None] * C[None, :, i]
+    return dots, np.sqrt(accv)
+
+
+def _nan_as_greatest(cos: np.ndarray) -> np.ndarray:
+    """Spark's double ordering places NaN ABOVE +Inf; numpy comparisons
+    drop NaN rows instead. Substituting +Inf keeps a NaN cosine (zero
+    vector: 0/0) winning over every finite score with the same
+    ties→higher-cid sweep. (Divergence only if a NaN and a genuine
+    +Inf cosine compete for the same vector — impossible with finite
+    inputs, where |cos| ≤ dim·max²/norms is finite.)"""
+    return np.where(np.isnan(cos), np.inf, cos)
+
+
+def _valid_vec_rows(
+    vs: pd.Series, dim: int
+) -> tuple[list[int], np.ndarray | None]:
+    """Indices + stacked matrix of the batch's well-formed vectors
+    (non-null, exactly dim wide, all-finite) — the same degenerate-row
+    gate as jl_project_vectorized; callers null out the rest."""
+    idxs: list[int] = []
+    vals: list[np.ndarray] = []
+    for i, v in enumerate(vs):
+        if v is None:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if a.shape == (dim,) and np.isfinite(a).all():
+            idxs.append(i)
+            vals.append(a)
+    return idxs, (np.vstack(vals) if vals else None)
+
+
+def nearest_centroid_vectorized(
+    cids: np.ndarray, C: np.ndarray, nc: np.ndarray
+):
+    """Arrow-batched nearest-centroid assignment against a collected
+    :func:`centroid_artifact`: struct(cid, nv) per vector — cid the
+    highest-cosine centroid (ties → higher cid), nv the vector's norm
+    (hoisted for downstream pair scoring). Bit-identical to the
+    :func:`nearest_centroid` Column expression — same chain-order IEEE
+    dots/norms (:func:`_chain_dots`), same (c, cid) total order via an
+    ascending-cid ``>=`` sweep — but vectorized across the batch in
+    numpy instead of an interpreted higher-order-function transform
+    per row (measured 6× on the sf0.1 assignment pass; the same
+    Arrow-kernel move as jl_project_vectorized). Degenerate rows
+    (null / wrong-width / non-finite) yield a null struct, the
+    jl_project_vectorized convention.
+
+    100 TB shape: the centroid closure is the broadcast (k×dim
+    numbers ride the serialized udf), and assignment stays a narrow
+    map — no join, no shuffle, no n×k row explosion."""
+    k, d = C.shape
+
+    @F.pandas_udf("cid bigint, nv double")
+    def _assign(vs: pd.Series) -> pd.DataFrame:
+        out_cid: list = [None] * len(vs)
+        out_nv: list = [None] * len(vs)
+        idxs, V = _valid_vec_rows(vs, d)
+        if V is not None:
+            dots, nv = _chain_dots(V, C)
+            cos = _nan_as_greatest(dots / (nv[:, None] * nc[None, :]))
+            best = np.full(len(idxs), -np.inf)
+            best_id = np.zeros(len(idxs), dtype=np.int64)
+            for j in range(k):  # ascending cid: >= breaks ties upward
+                m = cos[:, j] >= best
+                best = np.where(m, cos[:, j], best)
+                best_id = np.where(m, cids[j], best_id)
+            for row, i in enumerate(idxs):
+                out_cid[i] = int(best_id[row])
+                out_nv[i] = float(nv[row])
+        return pd.DataFrame({"cid": pd.array(out_cid, dtype="Int64"),
+                             "nv": pd.array(out_nv, dtype="Float64")})
+
+    return _assign
+
+
+def centroid_top2_vectorized(
+    cids: np.ndarray, C: np.ndarray, nc: np.ndarray
+):
+    """Arrow-batched (best, runner-up) centroid cosines per vector:
+    struct(cid, c1, c2) — the first two elements of the
+    (c desc, cid desc) order sort_array(centroid_scores, False) yields,
+    computed by an ascending-cid promote/second sweep over the same
+    chain-order cosines (bit-identical scores). Feeds the silhouette's
+    a = 1−c1 / b = 1−c2 without materializing the k-element score
+    array per row. k = 1 leaves c2 null (matching slice()[1] on a
+    one-element array)."""
+    k, d = C.shape
+
+    @F.pandas_udf("cid bigint, c1 double, c2 double")
+    def _top2(vs: pd.Series) -> pd.DataFrame:
+        out_cid: list = [None] * len(vs)
+        out_c1: list = [None] * len(vs)
+        out_c2: list = [None] * len(vs)
+        idxs, V = _valid_vec_rows(vs, d)
+        if V is not None:
+            dots, nv = _chain_dots(V, C)
+            cos = _nan_as_greatest(dots / (nv[:, None] * nc[None, :]))
+            n = len(idxs)
+            best1 = np.full(n, -np.inf)
+            best2 = np.full(n, -np.inf)
+            cid1 = np.zeros(n, dtype=np.int64)
+            for j in range(k):
+                s = cos[:, j]
+                promote = s >= best1
+                best2 = np.where(
+                    promote, best1, np.where(s >= best2, s, best2)
+                )
+                cid1 = np.where(promote, cids[j], cid1)
+                best1 = np.where(promote, s, best1)
+            for row, i in enumerate(idxs):
+                out_cid[i] = int(cid1[row])
+                out_c1[i] = float(best1[row])
+                out_c2[i] = float(best2[row]) if k > 1 else None
+        return pd.DataFrame({"cid": pd.array(out_cid, dtype="Int64"),
+                             "c1": pd.array(out_c1, dtype="Float64"),
+                             "c2": pd.array(out_c2, dtype="Float64")})
+
+    return _top2
+
+
+def pq_codebook_artifact(
+    cents: DataFrame,
+) -> dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """{block: (cids, C, nc)} from a (block, cent_id, cv) codebook
+    frame — the m×k×sub PQ model artifact, collected once (pq_fit's
+    existing LocalRelation pattern; NOT a data-sized collect). Norms
+    use the same chain-order accumulation as centroid_artifact."""
+    rows = cents.select("block", "cent_id", "cv").collect()
+    by_block: dict[int, list] = {}
+    for r in rows:
+        by_block.setdefault(int(r["block"]), []).append(r)
+    books = {}
+    for b, rs in by_block.items():
+        rs.sort(key=lambda r: r["cent_id"])
+        cids = np.array([int(r["cent_id"]) for r in rs], dtype=np.int64)
+        C = np.array([list(r["cv"]) for r in rs], dtype=np.float64)
+        acc = np.zeros(C.shape[0])
+        for i in range(C.shape[1]):
+            acc = acc + C[:, i] * C[:, i]
+        books[b] = (cids, C, np.sqrt(acc))
+    return books
+
+
+def pq_assign_vectorized(
+    books: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]],
+):
+    """Arrow-batched per-(vector, block) codeword assignment against a
+    collected :func:`pq_codebook_artifact` — the PQ twin of
+    :func:`nearest_centroid_vectorized`: identical chain-order IEEE
+    cosines and ties→larger-code ascending ``>=`` sweep as the
+    broadcast-join + groupBy(id, block).max(struct) argmax it
+    replaces, bit-identical codes, with NO |blocks|×k row explosion
+    and NO argmax Exchange. Rows with an unknown block or a degenerate
+    slice (null / wrong-width / non-finite) yield null."""
+
+    @F.pandas_udf("bigint")
+    def _assign(blocks_s: pd.Series, vs: pd.Series) -> pd.Series:
+        out: list = [None] * len(vs)
+        bl = blocks_s.to_numpy()
+        for b, (cids, C, nc) in books.items():
+            sel = np.nonzero(bl == b)[0]
+            if not len(sel):
+                continue
+            sub_vs = vs.iloc[sel].reset_index(drop=True)
+            idxs, V = _valid_vec_rows(sub_vs, C.shape[1])
+            if V is None:
+                continue
+            dots, nv = _chain_dots(V, C)
+            cos = _nan_as_greatest(dots / (nv[:, None] * nc[None, :]))
+            best = np.full(len(idxs), -np.inf)
+            best_id = np.zeros(len(idxs), dtype=np.int64)
+            for j in range(C.shape[0]):
+                m = cos[:, j] >= best
+                best = np.where(m, cos[:, j], best)
+                best_id = np.where(m, cids[j], best_id)
+            for row, i in enumerate(idxs):
+                out[int(sel[i])] = int(best_id[row])
+        return pd.Series(pd.array(out, dtype="Int64"))
+
+    return _assign
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -530,25 +748,33 @@ def ivf_assign(
     dim: int | None = None,
 ) -> DataFrame:
     """IVF list assignment: each vector → its highest-cosine centroid
-    (ties → highest centroid id; deterministic). The centroid frame
-    collapses into one broadcast row (:func:`centroid_row`) and the
-    argmax is a per-row array_max (:func:`nearest_centroid`), so
-    assignment is one narrow pass over the corpus with NO shuffle at
-    all — at 100 TB the assigned frame is then written bucketed by
-    cent_id, making every probe a partition-pruned scan. (Round 6: this
-    replaces the broadcast-crossJoin + groupBy(id).max(struct) shape —
-    same hoisted-norm cosine, same (c, cid) total order, bit-identical
-    output, minus the n×k row explosion and the argmax Exchange.)
+    (ties → highest centroid id; deterministic). Assignment is one
+    narrow pass over the corpus with NO shuffle at all — at 100 TB the
+    assigned frame is then written bucketed by cent_id, making every
+    probe a partition-pruned scan.
 
-    Norms are hoisted: |v| once per vector, |c| once per centroid at
-    centroid-row build, dot once per pair. With a known ``dim`` the
-    |vectors|·k dots use the unrolled bit-equal scalar chain
-    (dot_unrolled — vectors must be exactly ``dim`` wide, its
-    documented precondition); pass dim=None for unknown widths to fall
-    back to the HOF fold."""
-    _norm = norm if dim is None else (lambda c: norm_unrolled(c, dim))
+    With a known ``dim`` (vectors exactly ``dim`` wide, all-finite —
+    degenerate rows get a null cent_id), the centroids collect into a
+    local model artifact (:func:`centroid_artifact`; k×dim numbers,
+    the ivf_topk materialization pattern) and the per-vector argmax is
+    the Arrow-batched numpy sweep of
+    :func:`nearest_centroid_vectorized` — bit-identical to the Column
+    path (chain-order IEEE dots, same (c, cid) total order) and
+    measured 6× faster than the interpreted higher-order-function
+    transform it replaces (round 6; the r6.0 array_max device and the
+    pre-r5 broadcast-crossJoin + groupBy(id).max(struct) aggregate
+    before it computed the same thing JVM-side). Pass dim=None for
+    unknown/ragged widths to keep the expression path: one broadcast
+    centroid row (:func:`centroid_row`) + per-row array_max
+    (:func:`nearest_centroid`), norms hoisted."""
+    if dim is not None:
+        art = centroid_artifact(centroids, cent_id, cent_vec)
+        assign = nearest_centroid_vectorized(*art)
+        return emb.select(
+            id_col, assign(F.col(vec_col))["cid"].alias("cent_id")
+        )
     crow = centroid_row(centroids, cent_id, cent_vec, dim)
-    e = emb.withColumn("_nv", _norm(F.col(vec_col)))
+    e = emb.withColumn("_nv", norm(F.col(vec_col)))
     return (
         e.crossJoin(F.broadcast(crow))
         .select(
@@ -583,31 +809,34 @@ def kmeans_centroids(
     12 is impossible, so both engines agree (probed empirically).
 
     Init: the first ``n_centroids`` vectors by id. A fixed iteration
-    count (no convergence probe) keeps the plan static and collect-free.
+    count (no convergence probe) keeps the round structure static.
     Empty clusters drop out — standard Lloyd's degeneracy, deterministic.
 
-    Scale shape per iteration: the centroids collapse into ONE
-    broadcast row (centroid_row) and each vector tags itself with a
-    per-row array_max (nearest_centroid; with a known ``dim`` the dots
-    use the unrolled chain — vectors must be exactly ``dim`` wide,
-    dot_unrolled's documented precondition), then re-centering shuffles
-    (cent_id, idx, decimal) triples, map-side combinable — the round's
-    ONLY Exchange. Vectors never move through an aggregation buffer or
-    a join.
+    Scale shape per iteration (known ``dim``; vectors exactly ``dim``
+    wide and finite): the current centroids collect into a local model
+    artifact (k×dim numbers — fit() is eager like pyspark.ml; NOT a
+    data-sized collect) and each vector tags itself in the
+    Arrow-batched numpy sweep of :func:`nearest_centroid_vectorized`;
+    re-centering then shuffles (cent_id, idx, decimal) triples,
+    map-side combinable — the round's ONLY Exchange. Vectors never
+    move through an aggregation buffer or a join, and the returned
+    centroid frame is a LocalRelation, so downstream consumers
+    (assignment, probe selection, pair generation) never re-execute
+    the training pipeline. With dim=None the round keeps the lazy
+    expression path: broadcast centroid row + per-row array_max
+    (:func:`nearest_centroid`), collect-free.
 
-    History: round 5 tried an "argmax-carry" reshape (max(struct(c,
-    cid, r6)) carrying the rounded vector through the aggregate + one
-    wide dim-column decimal re-centering, commit bb9136c). It was a
-    measured LOSS at sf0.1 — struct-embedding the 64-double array per
-    (vector, centroid) candidate and 64 parallel interpreted decimal
-    sum columns cost more CPU than the saved Exchange (sim_ann_ivf
-    +25%, sim_cluster_silhouette +42% on the committed r5 pair).
-    Round 6 reverted it, then went further: the broadcast-centroid-row
-    argmax removes the assignment Exchange AND the pts⋈assigned join
-    without any vector copies. Assignments and centroids stay
-    bit-identical across all three formulations (same cosine
-    expression, same (c, cid) total order, order-independent decimal
-    sums) — pinned by test_kmeans_known_dim_matches_generic_path."""
+    History: the pre-r5 shape was broadcast-crossJoin +
+    groupBy(id).max(struct) (n×k row explosion + argmax Exchange);
+    round 5's "argmax-carry" reshape (bb9136c) was a measured loss and
+    was reverted; round 6.0 moved assignment to a per-row array_max
+    over a broadcast centroid row (no explosion, no Exchange); round
+    6.1 moved the same math into a vectorized Arrow kernel — the
+    interpreted HOF transform was the remaining per-row cost (measured
+    6× on the sf0.1 assignment pass). Assignments and centroids stay
+    bit-identical across ALL formulations (chain-order IEEE cosine,
+    same (c, cid) total order, order-independent decimal sums) —
+    pinned by test_kmeans_known_dim_matches_generic_path."""
     from nashville_etl_service_backup_spark.operators import track_persist
 
     r6 = F.transform(F.col(vec_col), lambda x: F.round(x, 6))
@@ -623,26 +852,30 @@ def kmeans_centroids(
     cents = pts.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col("_r6").alias("cv")
     )
-    _norm = norm if dim is None else (lambda c: norm_unrolled(c, dim))
     for _ in range(iters):
-        # per-row array_max against the broadcast centroid row: the
-        # cluster tag lands directly on the (id, _r6) row, so the round
-        # is tag → posexplode → one combinable decimal aggregate — no
-        # assignment Exchange, no pts⋈assigned join (round 6; replaces
-        # ivf_assign + join, bit-identical assignments)
-        crow = centroid_row(cents, dim=dim)
-        tagged = (
-            pts.crossJoin(F.broadcast(crow))
-            .select(
-                nearest_centroid(
-                    F.col(vec_col),
-                    _norm(F.col(vec_col)),
-                    F.col("_cents"),
-                    dim,
-                )["cid"].alias("cent_id"),
-                "_r6",
+        if dim is not None:
+            # vectorized round: collect the current quantizer (k×dim
+            # artifact), tag per-row in numpy — no broadcast build, no
+            # interpreted HOF; the round is tag → posexplode → one
+            # combinable decimal aggregate
+            assign = nearest_centroid_vectorized(*centroid_artifact(cents))
+            tagged = pts.select(
+                assign(F.col(vec_col))["cid"].alias("cent_id"), "_r6"
             )
-        )
+        else:
+            crow = centroid_row(cents, dim=dim)
+            tagged = (
+                pts.crossJoin(F.broadcast(crow))
+                .select(
+                    nearest_centroid(
+                        F.col(vec_col),
+                        norm(F.col(vec_col)),
+                        F.col("_cents"),
+                        dim,
+                    )["cid"].alias("cent_id"),
+                    "_r6",
+                )
+            )
         sums = (
             tagged.select("cent_id", F.posexplode("_r6").alias("idx", "x"))
             .groupBy("cent_id", "idx")
@@ -656,6 +889,11 @@ def kmeans_centroids(
                 F.transform("a", lambda t: t["s"].cast("double")).alias("cv"),
             )
         )
+    if dim is not None and iters > 0:
+        # the trained quantizer is a model artifact: materialize it
+        # once (ivf_topk's pattern, now shared by every consumer)
+        spark = base.sparkSession
+        cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
     return cents
 
 
@@ -683,38 +921,46 @@ def ivf_topk(
     v = as_double(F.col(vec_col))
     base = emb.select(F.col(id_col), *extra_cols, v.alias("v"))
     if kmeans_iters > 0:
+        # kmeans_centroids returns the trained quantizer as a
+        # LocalRelation when dim is known (fit() is eager, like
+        # pyspark.ml) — no downstream branch re-executes the Lloyd's
+        # pipeline; with dim=None materialize it here for the same
+        # reason (measured 3× on the end-to-end query).
         cents = kmeans_centroids(
             base, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col,
             dim=dim,
         )
-        # The trained quantizer is a MODEL ARTIFACT (n_centroids × dim
-        # numbers): materialize it once into a LocalRelation. Without
-        # this, every downstream branch that references `cents`
-        # (assignment, probe selection) re-executes the whole Lloyd's
-        # pipeline — measured 3× on the end-to-end query. Same pattern
-        # as pyspark.ml: fit() is eager, transform() is lazy.
-        spark = emb.sparkSession
-        cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
+        if dim is None:
+            spark = emb.sparkSession
+            cents = spark.createDataFrame(
+                cents.collect(), schema=cents.schema
+            )
     else:
         cents = base.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
         )
-    # assignment is a per-row array_max against the broadcast centroid
-    # row — the cluster tag lands directly on the vector row, so the
-    # probe filter needs no join back to re-attach the vectors
-    _norm = norm if dim is None else (lambda c: norm_unrolled(c, dim))
-    crow = centroid_row(cents, dim=dim)
-    tagged = (
-        base.withColumn("_nv", _norm(F.col("v")))
-        .crossJoin(F.broadcast(crow))
-        .withColumn(
-            "cent_id",
-            nearest_centroid(
-                F.col("v"), F.col("_nv"), F.col("_cents"), dim
-            )["cid"],
+    if dim is not None:
+        # Arrow-vectorized narrow tag (bit-identical; see ivf_assign)
+        assign = nearest_centroid_vectorized(
+            *centroid_artifact(cents)
         )
-        .drop("_cents")
-    )
+        tagged = base.withColumn("cent_id", assign(F.col("v"))["cid"])
+    else:
+        # per-row array_max against the broadcast centroid row — the
+        # cluster tag lands directly on the vector row, so the probe
+        # filter needs no join back to re-attach the vectors
+        crow = centroid_row(cents, dim=dim)
+        tagged = (
+            base.withColumn("_nv", norm(F.col("v")))
+            .crossJoin(F.broadcast(crow))
+            .withColumn(
+                "cent_id",
+                nearest_centroid(
+                    F.col("v"), F.col("_nv"), F.col("_cents"), dim
+                )["cid"],
+            )
+            .drop("_cents")
+        )
     probes = (
         query.crossJoin(F.broadcast(cents))
         .withColumn("_c", cosine(F.col("qv"), F.col("cv")))
@@ -848,23 +1094,36 @@ def semantic_dedup_pairs(
     # once per pair — float-identical to inlined cosine() (the same
     # expression, factored; ivf_assign's documented device), and with a
     # known dim the per-pair dot is the unrolled codegen chain instead
-    # of an interpreted HOF fold. The cluster tag rides the SAME norm
-    # column as a per-row array_max over the broadcast centroid row
-    # (nearest_centroid) — no assignment aggregate, no join back.
-    _norm = norm if dim is None else (lambda c: norm_unrolled(c, dim))
+    # of an interpreted HOF fold. The cluster tag and the hoisted norm
+    # ride the SAME Arrow-vectorized pass (nearest_centroid_vectorized
+    # returns struct(cid, nv), both bit-identical to the expression
+    # path) — no assignment aggregate, no join back, no interpreted
+    # HOF per row.
     _dotf = dot if dim is None else (lambda x, y: dot_unrolled(x, y, dim))
-    crow = centroid_row(cents, dim=dim)
-    tagged = track_persist(
-        pts.withColumn("_n", _norm(F.col("v")))
-        .crossJoin(F.broadcast(crow))
-        .withColumn(
-            "cent_id",
-            nearest_centroid(
-                F.col("v"), F.col("_n"), F.col("_cents"), dim
-            )["cid"],
+    if dim is not None:
+        assign = nearest_centroid_vectorized(*centroid_artifact(cents))
+        tagged = track_persist(
+            pts.withColumn("_m", assign(F.col("v")))
+            .select(
+                F.col(id_col),
+                "v",
+                F.col("_m")["nv"].alias("_n"),
+                F.col("_m")["cid"].alias("cent_id"),
+            )
         )
-        .drop("_cents")
-    )
+    else:
+        crow = centroid_row(cents, dim=dim)
+        tagged = track_persist(
+            pts.withColumn("_n", norm(F.col("v")))
+            .crossJoin(F.broadcast(crow))
+            .withColumn(
+                "cent_id",
+                nearest_centroid(
+                    F.col("v"), F.col("_n"), F.col("_cents"), dim
+                )["cid"],
+            )
+            .drop("_cents")
+        )
     a = tagged.select(
         "cent_id",
         F.col(id_col).alias("vec_a"),
@@ -949,12 +1208,13 @@ def _pq_assign(
     |vectors|·m·k dot products use the unrolled chain (known sub-dim,
     bit-equal to the HOF fold, no per-pair array allocation).
 
-    This keeps the broadcast-join + groupBy argmax shape on purpose:
-    round 6 measured the per-row array_max device (nearest_centroid
-    over a block-keyed codebook map) at +15% here — with k=64
-    candidates per row the interpreted HOF transform loses to the
-    codegen'd join dot + partial-agg argmax, the opposite of the k=16
-    IVF case where the device wins 24%."""
+    Since round 6.1 this join+argmax formulation is the REFERENCE
+    TWIN: pq_fit assigns through the Arrow-vectorized
+    :func:`pq_assign_vectorized` (bit-identical codes, no row
+    explosion, no argmax Exchange — the r6.0 measurement that kept
+    this shape compared it against the INTERPRETED HOF array_max
+    device, which loses at k=64; the numpy sweep doesn't), and a
+    path-equivalence test pins the two."""
     e = blocks.withColumn("_nv", norm_unrolled(F.col("v"), sub))
     c = cents.select(
         F.col("block").alias("_cb"), "cent_id", "cv",
@@ -1008,18 +1268,25 @@ def pq_fit(
         "block", F.col(id_col).alias("cent_id"), r6.alias("cv")
     )
     spark = base.sparkSession
-    # round shape: cheap argmax assignment (_pq_assign — see its
-    # docstring for why PQ keeps the join+argmax over the per-row
-    # array_max device) + join back to the persisted blocks +
-    # posexplode decimal re-centering. Round 5's argmax-carry reshape
-    # (bf3e845) was reverted with the k-means one — same measured CPU
-    # regression (sim_ann_pq +14% on the committed r5 pair), same
-    # bit-identical centroids either way.
+    # round shape (6.1): collect the current per-block codebooks (the
+    # m×k×sub artifact), tag every (vector, block) slice in the
+    # Arrow-vectorized sweep — the codeword lands directly on the
+    # block row, so the round is tag → posexplode → one combinable
+    # decimal aggregate with NO |blocks|×k explosion, NO argmax
+    # Exchange, and NO blocks⋈assigned join back. Bit-identical codes
+    # and centroids to the _pq_assign join+argmax reference twin
+    # (pinned by test_pq_assign_vectorized_matches_join_argmax).
+    # History: round 5's argmax-carry reshape (bf3e845) was reverted
+    # with the k-means one; round 6.0 kept the join because the HOF
+    # array_max device lost at k=64 — the numpy sweep wins instead.
     for _ in range(iters):
-        assigned = _pq_assign(blocks, cents, id_col, sub)
+        assign = pq_assign_vectorized(pq_codebook_artifact(cents))
         sums = (
-            blocks.join(assigned, [id_col, "block"])
-            .select("block", "cent_id", F.posexplode(r6).alias("idx", "x"))
+            blocks.select(
+                "block",
+                assign(F.col("block"), F.col("v")).alias("cent_id"),
+                F.posexplode(r6).alias("idx", "x"),
+            )
             .groupBy("block", "cent_id", "idx")
             .agg(F.sum(F.col("x").cast("decimal(30,12)")).alias("s"))
         )
@@ -1035,8 +1302,15 @@ def pq_fit(
     cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
     # persist the encoded corpus: it is consumed twice (the counts
     # aggregate below and the caller's ADC scoring join) and each lazy
-    # recompute would replay the full broadcast-assign pass
-    codes = track_persist(_pq_assign(blocks, cents, id_col, sub))
+    # recompute would replay the full assignment pass
+    final_assign = pq_assign_vectorized(pq_codebook_artifact(cents))
+    codes = track_persist(
+        blocks.select(
+            id_col,
+            "block",
+            final_assign(F.col("block"), F.col("v")).alias("cent_id"),
+        )
+    )
     counts = spark.createDataFrame(
         codes.groupBy("block", "cent_id")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -4693,27 +4693,30 @@ def sim_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs before trusting IVF routing or SemDeDup pruning at
     100 TB.
 
-    Plan shape: NO window, NO per-vector shuffle — the k centroids
-    collapse into ONE broadcast row carrying an array of (cid, cv,
-    |c|) structs, and each vector computes its k cosines + top-2 with
-    a per-row transform → sort_array(desc) → slice over that
-    16-element array. The whole audit after the quantizer is a single
-    narrow map: round 5's top-2 struct AGGREGATE still exchanged ~n
-    partial rows and paid a hash-aggregation buffer per vector (and
-    measured +42% vs the r4 window it replaced); this shape shuffles
-    nothing. min(round(1−c, 6)) over the non-best centroids equals
+    Plan shape: NO window, NO per-vector shuffle, NO interpreted HOF —
+    the trained quantizer collects into a local k×dim artifact
+    (kmeans_centroids is eager for a known dim, the pyspark.ml fit()
+    pattern) and each vector computes its assignment + top-2 cosines
+    inside ONE Arrow-batched numpy sweep
+    (similarity.centroid_top2_vectorized): the whole audit after the
+    quantizer is a single narrow map. The sweep's promote/second
+    update realizes the first two elements of the (c desc, cid desc)
+    sort the earlier sort_array/window/aggregate formulations used,
+    over bit-identical chain-order IEEE cosines — so a, b, and the
+    cluster tag are unchanged to the last bit (round 6.1; the r6.0
+    per-row transform → sort_array → slice shape computed the same
+    thing through an interpreted higher-order function, the r5 struct
+    aggregate exchanged ~n partial rows, and the r4 window sorted
+    n×k). min(round(1−c, 6)) over the non-best centroids equals
     round(1 − max_others(c), 6) because round is monotone
-    non-decreasing, so taking the top-2 (c, cid) structs is exact, and
-    the struct comparator (c desc, cid desc) is the same total order
-    the aggregate/window formulations used. The oracle replays the
+    non-decreasing, so the top-2 is exact. The oracle replays the
     k-means chain (shared `_kmeans_chain` unroll) with an equivalent
     window formulation, hash-matching bitwise."""
     from nashville_etl_service_backup_spark.operators.similarity import (
         as_double,
-        centroid_row,
-        centroid_scores,
+        centroid_artifact,
+        centroid_top2_vectorized,
         kmeans_centroids,
-        norm_unrolled,
     )
 
     emb = load(spark, sf_dir, "embeddings")
@@ -4721,20 +4724,14 @@ def sim_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     cents = kmeans_centroids(base, n_centroids=16, iters=1, dim=64)
-    crow = centroid_row(cents, dim=64)
-    e = base.withColumn("_nv", norm_unrolled(F.col("v"), 64))
-    scores = centroid_scores(
-        F.col("v"), F.col("_nv"), F.col("_cents"), dim=64
-    )
-    top2 = F.slice(F.sort_array(scores, False), 1, 2)
+    top2 = centroid_top2_vectorized(*centroid_artifact(cents))
     pv = (
-        e.crossJoin(F.broadcast(crow))
-        .select("vec_id", top2.alias("_t"))
+        base.select("vec_id", top2(F.col("v")).alias("_t"))
         .select(
             "vec_id",
-            F.col("_t")[0]["cid"].alias("cluster"),
-            F.round(F.lit(1.0) - F.col("_t")[0]["c"], 6).alias("a"),
-            F.round(F.lit(1.0) - F.col("_t")[1]["c"], 6).alias("b"),
+            F.col("_t")["cid"].alias("cluster"),
+            F.round(F.lit(1.0) - F.col("_t")["c1"], 6).alias("a"),
+            F.round(F.lit(1.0) - F.col("_t")["c2"], 6).alias("b"),
         )
     )
     g = F.greatest(F.col("a"), F.col("b"))

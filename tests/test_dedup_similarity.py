@@ -750,3 +750,86 @@ def test_ivf_assign_matches_bruteforce_argmax(spark):
         for r in ivf_assign(emb, cents, dim=6).collect()
     }
     assert got == want
+
+
+def test_nearest_centroid_vectorized_degenerate_rows_null(spark):
+    """Null / wrong-width / non-finite vectors must not crash the Arrow
+    worker — they assign to a null cent_id (the jl_project_vectorized
+    convention), never to a spurious cluster."""
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, None),
+            (3, [1.0]),
+            (4, [float("nan"), 1.0]),
+            (5, [float("inf"), 1.0]),
+            (6, [0.5, None]),
+        ],
+        "vec_id long, v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cent_id long, cv array<double>"
+    )
+    got = {
+        r["vec_id"]: r["cent_id"]
+        for r in ivf_assign(emb, cents, dim=2).collect()
+    }
+    assert got == {1: 0, 2: None, 3: None, 4: None, 5: None, 6: None}
+
+
+def test_pq_assign_vectorized_matches_join_argmax(spark):
+    """The Arrow-vectorized per-block codeword sweep must produce the
+    exact codes of the broadcast-join + groupBy(id, block).max(struct)
+    reference twin on a random frame — same chain-order cosines, same
+    ties→larger-code total order."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        _pq_assign,
+        pq_assign_vectorized,
+        pq_codebook_artifact,
+    )
+
+    rng = random.Random(29)
+    sub, m, k = 4, 3, 5
+    block_rows = [
+        (i, b, [rng.uniform(-1, 1) for _ in range(sub)])
+        for i in range(30)
+        for b in range(m)
+    ]
+    blocks = spark.createDataFrame(
+        block_rows, "vec_id long, block int, v array<double>"
+    )
+    cent_rows = [
+        (b, c, [rng.uniform(-1, 1) for _ in range(sub)])
+        for b in range(m)
+        for c in range(k)
+    ]
+    # duplicate block-0 code-0's codeword under a larger code: every
+    # vector whose argmax lands there ties and must break to code k
+    cent_rows.append((0, k, list(cent_rows[0][2])))
+    cents = spark.createDataFrame(
+        cent_rows, "block int, cent_id long, cv array<double>"
+    )
+    ref = {
+        (r["vec_id"], r["block"]): r["cent_id"]
+        for r in _pq_assign(blocks, cents, "vec_id", sub).collect()
+    }
+    assign = pq_assign_vectorized(pq_codebook_artifact(cents))
+    got = {
+        (r["vec_id"], r["block"]): r["cent_id"]
+        for r in blocks.select(
+            "vec_id",
+            "block",
+            assign(F.col("block"), F.col("v")).alias("cent_id"),
+        ).collect()
+    }
+    assert got == ref

@@ -414,23 +414,26 @@ def test_bootstrap_draws_are_codegen_side(spark):
 
 def test_silhouette_no_window_rowlocal_top2(spark):
     """The per-vector (own-centroid, nearest-other) pair comes from a
-    per-row sort_array over the broadcast centroid-row score array —
-    no row_number window, and no per-vector top-2 AGGREGATE either
-    (round 6: the r5 struct aggregate still exchanged ~n partial rows;
-    this shape shuffles nothing per vector)."""
+    per-row Arrow-batched numpy sweep over the collected centroid
+    artifact (round 6.1) — no row_number window, no per-vector top-2
+    AGGREGATE (the r5 struct aggregate still exchanged ~n partial
+    rows), and no interpreted HOF sort_array per row (the r6.0 shape):
+    nothing shuffles per vector."""
     plan = plan_of(spark, "sim_cluster_silhouette")
     assert "Window" not in plan
-    assert "sort_array" in plan  # row-local top-2
+    assert "ArrowEvalPython" in plan  # row-local top-2, Arrow kernel
     assert "CartesianProduct" not in plan
 
 
 def test_kmeans_assignment_rowlocal_no_argmax_agg_no_rejoin(spark):
-    """Round 6: nearest-centroid assignment is a per-row array_max over
-    the broadcast centroid row — no |vectors|×k argmax aggregate
+    """Round 6.1: nearest-centroid assignment is an Arrow-batched
+    numpy sweep against the collected centroid artifact
+    (nearest_centroid_vectorized) — no |vectors|×k argmax aggregate
     (partial_max absent), no pts⋈assigned SortMergeJoin re-shuffling
-    the vectors. Re-centering keeps the posexplode → combinable
-    decimal-sum shape (the r5 wide-aggregate alternative was a
-    measured loss; see kmeans_centroids' docstring)."""
+    the vectors, and no n×k row explosion. Re-centering keeps the
+    posexplode → combinable decimal-sum shape (the r5 wide-aggregate
+    alternative was a measured loss; see kmeans_centroids'
+    docstring)."""
     for q in (
         "sim_cluster_silhouette",
         "dedup_semantic_pairs",
@@ -438,9 +441,9 @@ def test_kmeans_assignment_rowlocal_no_argmax_agg_no_rejoin(spark):
     ):
         plan = plan_of(spark, q)
         assert "partial_max" not in plan, q  # argmax aggregate gone
-        assert "array_max" in plan, q  # row-local assignment
-    # silhouette has no join at all beyond the broadcast centroid row —
-    # any SMJ would be the old pts⋈assigned vector re-shuffle
+        assert "ArrowEvalPython" in plan, q  # row-local Arrow assignment
+    # silhouette has no join at all beyond the quantizer fit — any SMJ
+    # would be the old pts⋈assigned vector re-shuffle
     assert "SortMergeJoin" not in plan_of(spark, "sim_cluster_silhouette")
 
 
