@@ -1613,18 +1613,45 @@ def pca_power_top1(
     # rationale; measured ~6× on 20M-row product streams). Headroom:
     # |Σ| per (i,j) < rows·10¹² for unit-scale components — good to
     # ~10⁶ vectors per partition-combined group; split hi/lo beyond.
-    flat = F.flatten(
-        F.transform(
-            F.col("_x6"),
-            lambda a: F.transform(
-                F.col("_x6"),
-                lambda b: F.floor(a * b * F.lit(1000000000000.0)),
-            ),
-        )
-    )
+    #
+    # Round 6.1: the dim²-per-row outer-product explode (an
+    # interpreted nested-transform flatten + |rows|·dim² Generate) is
+    # replaced by Arrow-batched numpy PARTIAL GRAMS — each batch emits
+    # dim² (p, prod) partial sums computed as
+    # floor((a·b)·10¹²) in float64 (the identical IEEE ops as the
+    # expression) accumulated into exact int64, so the downstream
+    # SUM over order-independent integer partials is bit-identical to
+    # the exploded formulation while shuffling dim² rows per BATCH
+    # instead of dim² per VECTOR. (This is the "production variant"
+    # the docstring's 100 TB note described — the integer-floor
+    # device keeps the exact-decimal oracle contract.) Rows that are
+    # null / ragged / non-finite are skipped whole (the expression
+    # path nulled their pair products out of the sums; vectors must
+    # be exactly ``dim`` wide, dot_unrolled's documented
+    # precondition).
+    def _gram_partials(batches):
+        for pdf in batches:
+            acc = np.zeros(dim * dim, dtype=np.int64)
+            got = False
+            for v in pdf["_x6"]:
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if a.shape != (dim,) or not np.isfinite(a).all():
+                    continue
+                got = True
+                acc += np.floor(
+                    (a[:, None] * a[None, :]) * 1e12
+                ).astype(np.int64).ravel()
+            if got:
+                yield pd.DataFrame(
+                    {"p": np.arange(dim * dim, dtype=np.int64),
+                     "prod": acc}
+                )
+
     g = (
         vecs.select(x6.alias("_x6"))
-        .select(F.posexplode(flat).alias("p", "prod"))
+        .mapInPandas(_gram_partials, "p long, prod long")
         .groupBy("p")
         .agg(F.sum("prod").alias("gs"))
     )
