@@ -833,3 +833,52 @@ def test_pq_assign_vectorized_matches_join_argmax(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_pq_assign_vectorized_per_block_code_sets(spark):
+    """Blocks may end a training round with DIFFERENT surviving code
+    sets (empty codewords drop out of the decimal re-centering, per
+    block). The vectorized sweep must score each block only against
+    ITS codebook — never a union — and still match the join+argmax
+    reference twin."""
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        _pq_assign,
+        pq_assign_vectorized,
+        pq_codebook_artifact,
+    )
+
+    blocks = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (1, 1, [0.0, 1.0]),
+            (2, 0, [0.7, 0.7]),
+            (2, 1, [-1.0, 0.2]),
+        ],
+        "vec_id long, block int, v array<double>",
+    )
+    # block 0 kept codes {0, 3}; block 1 kept only {5}
+    cents = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.1]),
+            (0, 3, [0.1, 1.0]),
+            (1, 5, [-0.5, 0.5]),
+        ],
+        "block int, cent_id long, cv array<double>",
+    )
+    ref = {
+        (r["vec_id"], r["block"]): r["cent_id"]
+        for r in _pq_assign(blocks, cents, "vec_id", 2).collect()
+    }
+    assign = pq_assign_vectorized(pq_codebook_artifact(cents))
+    got = {
+        (r["vec_id"], r["block"]): r["cent_id"]
+        for r in blocks.select(
+            "vec_id",
+            "block",
+            assign(F.col("block"), F.col("v")).alias("cent_id"),
+        ).collect()
+    }
+    assert got == ref
+    assert got[(1, 1)] == 5 and got[(2, 1)] == 5  # only block-1 code
