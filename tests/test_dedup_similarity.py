@@ -882,3 +882,59 @@ def test_pq_assign_vectorized_per_block_code_sets(spark):
     }
     assert got == ref
     assert got[(1, 1)] == 5 and got[(2, 1)] == 5  # only block-1 code
+
+
+def test_centroid_top2_vectorized_matches_sorted_scores(spark):
+    """The promote/second sweep must return exactly the first two
+    elements of the (c desc, cid desc) sort of the per-centroid score
+    array — pinned against the centroid_scores + sort_array expression
+    path on a random frame (includes a duplicated centroid so top-1
+    and top-2 tie-break on cid)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        centroid_artifact,
+        centroid_row,
+        centroid_scores,
+        centroid_top2_vectorized,
+        norm_unrolled,
+    )
+
+    rng = random.Random(41)
+    dim = 5
+    vec_rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(50)
+    ]
+    cent_rows = [
+        (c, [rng.uniform(-1, 1) for _ in range(dim)]) for c in range(6)
+    ]
+    cent_rows.append((6, list(cent_rows[2][1])))  # duplicate → cid ties
+    emb = spark.createDataFrame(vec_rows, "vec_id long, v array<double>")
+    cents = spark.createDataFrame(
+        cent_rows, "cent_id long, cv array<double>"
+    )
+    crow = centroid_row(cents, dim=dim)
+    scores = centroid_scores(
+        F.col("v"), norm_unrolled(F.col("v"), dim), F.col("_cents"), dim
+    )
+    top2 = F.slice(F.sort_array(scores, False), 1, 2)
+    want = {
+        r["vec_id"]: (
+            r["_t"][0]["cid"],
+            r["_t"][0]["c"],
+            r["_t"][1]["c"],
+        )
+        for r in emb.crossJoin(F.broadcast(crow))
+        .select("vec_id", top2.alias("_t"))
+        .collect()
+    }
+    sweep = centroid_top2_vectorized(*centroid_artifact(cents))
+    got = {
+        r["vec_id"]: (r["_m"]["cid"], r["_m"]["c1"], r["_m"]["c2"])
+        for r in emb.select(
+            "vec_id", sweep(F.col("v")).alias("_m")
+        ).collect()
+    }
+    assert got == want
