@@ -530,8 +530,14 @@ def centroid_artifact(
     k×dim numbers — the same model-artifact materialization ivf_topk
     already does with createDataFrame(collect()); this is NOT a
     data-sized collect. Norms use the dim-by-dim accumulation of
-    :func:`_chain_dots`, bit-equal to norm_unrolled."""
-    rows = cents.select(cent_id, cent_vec).collect()
+    :func:`_chain_dots`, bit-equal to norm_unrolled. Rows with a null
+    id are skipped (a degenerate vector assigned null by the
+    vectorized sweep can flow into a re-centering aggregate as a real
+    NULL group; it is not a centroid)."""
+    rows = [
+        r for r in cents.select(cent_id, cent_vec).collect()
+        if r[0] is not None and r[1] is not None
+    ]
     rows.sort(key=lambda r: r[0])
     cids = np.array([int(r[0]) for r in rows], dtype=np.int64)
     C = np.array([list(r[1]) for r in rows], dtype=np.float64)
@@ -641,37 +647,68 @@ def centroid_top2_vectorized(
     chain-order cosines (bit-identical scores). Feeds the silhouette's
     a = 1−c1 / b = 1−c2 without materializing the k-element score
     array per row. k = 1 leaves c2 null (matching slice()[1] on a
-    one-element array)."""
+    one-element array).
+
+    NaN handling: the :func:`_nan_as_greatest` +Inf substitute is used
+    for the promote/second COMPARISONS only (replicating Spark's
+    NaN-above-everything double order); the EMITTED c1/c2 are indexed
+    out of the pre-substitution cosine matrix, so a zero-norm vector
+    or centroid surfaces its actual IEEE NaN cosine — never the +Inf
+    sentinel. (The Spark expression twin cannot produce this value at
+    all: 0/0 ABORTS under ANSI and yields NULL with ANSI off — Spark
+    division never emits NaN. NaN is the DuckDB/numpy IEEE semantics
+    and the deliberate contract on such out-of-contract rows; pinned
+    by test_centroid_top2_vectorized_zero_vector_emits_nan.)"""
     k, d = C.shape
 
     @F.pandas_udf("cid bigint, c1 double, c2 double")
     def _top2(vs: pd.Series) -> pd.DataFrame:
         out_cid: list = [None] * len(vs)
-        out_c1: list = [None] * len(vs)
-        out_c2: list = [None] * len(vs)
+        # explicit (values, mask) FloatingArrays: degenerate rows are
+        # null via the mask, while a genuine NaN cosine stays a VALID
+        # NaN double through Arrow (a plain pd.array list build would
+        # collapse np.nan to pd.NA, i.e. null — the wrong value)
+        c1_vals = np.full(len(vs), np.nan)
+        c1_mask = np.ones(len(vs), dtype=bool)
+        c2_vals = np.full(len(vs), np.nan)
+        c2_mask = np.ones(len(vs), dtype=bool)
         idxs, V = _valid_vec_rows(vs, d)
         if V is not None:
             dots, nv = _chain_dots(V, C)
-            cos = _nan_as_greatest(dots / (nv[:, None] * nc[None, :]))
+            raw = dots / (nv[:, None] * nc[None, :])
+            cos = _nan_as_greatest(raw)
             n = len(idxs)
             best1 = np.full(n, -np.inf)
             best2 = np.full(n, -np.inf)
             cid1 = np.zeros(n, dtype=np.int64)
+            idx1 = np.zeros(n, dtype=np.int64)
+            idx2 = np.zeros(n, dtype=np.int64)
             for j in range(k):
                 s = cos[:, j]
                 promote = s >= best1
+                second = (~promote) & (s >= best2)
                 best2 = np.where(
-                    promote, best1, np.where(s >= best2, s, best2)
+                    promote, best1, np.where(second, s, best2)
                 )
+                idx2 = np.where(promote, idx1, np.where(second, j, idx2))
                 cid1 = np.where(promote, cids[j], cid1)
+                idx1 = np.where(promote, j, idx1)
                 best1 = np.where(promote, s, best1)
+            rix = np.arange(n)
+            c1 = raw[rix, idx1]
+            c2 = raw[rix, idx2]
             for row, i in enumerate(idxs):
                 out_cid[i] = int(cid1[row])
-                out_c1[i] = float(best1[row])
-                out_c2[i] = float(best2[row]) if k > 1 else None
-        return pd.DataFrame({"cid": pd.array(out_cid, dtype="Int64"),
-                             "c1": pd.array(out_c1, dtype="Float64"),
-                             "c2": pd.array(out_c2, dtype="Float64")})
+                c1_vals[i] = c1[row]
+                c1_mask[i] = False
+                if k > 1:
+                    c2_vals[i] = c2[row]
+                    c2_mask[i] = False
+        return pd.DataFrame({
+            "cid": pd.array(out_cid, dtype="Int64"),
+            "c1": pd.arrays.FloatingArray(c1_vals, c1_mask),
+            "c2": pd.arrays.FloatingArray(c2_vals, c2_mask),
+        })
 
     return _top2
 
@@ -682,8 +719,14 @@ def pq_codebook_artifact(
     """{block: (cids, C, nc)} from a (block, cent_id, cv) codebook
     frame — the m×k×sub PQ model artifact, collected once (pq_fit's
     existing LocalRelation pattern; NOT a data-sized collect). Norms
-    use the same chain-order accumulation as centroid_artifact."""
-    rows = cents.select("block", "cent_id", "cv").collect()
+    use the same chain-order accumulation as centroid_artifact; rows
+    with a null cent_id (degenerate-slice NULL groups from the
+    vectorized assignment) are skipped — same rule as
+    :func:`centroid_artifact`."""
+    rows = [
+        r for r in cents.select("block", "cent_id", "cv").collect()
+        if r["cent_id"] is not None and r["cv"] is not None
+    ]
     by_block: dict[int, list] = {}
     for r in rows:
         by_block.setdefault(int(r["block"]), []).append(r)
@@ -877,7 +920,12 @@ def kmeans_centroids(
                 )
             )
         sums = (
-            tagged.select("cent_id", F.posexplode("_r6").alias("idx", "x"))
+            # degenerate rows (null/ragged/non-finite vectors) carry a
+            # null cent_id on the vectorized path — they are not
+            # cluster members; without this gate they'd form a real
+            # NULL group and crash centroid_artifact's next collect
+            tagged.filter(F.col("cent_id").isNotNull())
+            .select("cent_id", F.posexplode("_r6").alias("idx", "x"))
             .groupBy("cent_id", "idx")
             .agg(F.sum(F.col("x").cast("decimal(30,12)")).alias("s"))
         )
@@ -1082,7 +1130,16 @@ def semantic_dedup_pairs(
 
     Output: (vec_a, vec_b, cosine) with cosine ≥ threshold, or the
     top_k highest-cosine within-cluster pairs when top_k is given
-    (ranked mode for corpora with no planted duplicates)."""
+    (ranked mode for corpora with no planted duplicates).
+
+    Degenerate rows (null / not-exactly-``dim``-wide / non-finite
+    vectors) on the known-``dim`` path get a null cent_id from the
+    vectorized assignment and therefore DROP OUT of the pair join
+    (null keys never match) — they produce no pairs. The dim=None
+    expression path instead assigns them via Spark's NaN-greatest
+    ordering and scores their (NaN-cosine) pairs. This divergence is
+    deliberate (the jl_project_vectorized null convention) and pinned
+    by test_semantic_dedup_pairs_degenerate_rows_drop."""
     from nashville_etl_service_backup_spark.operators import track_persist
 
     pts = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
@@ -1183,9 +1240,19 @@ def semantic_dedup_pairs(
 def normalize(vec: Column) -> Column:
     """L2-normalize (x / ||x||) — double division per component, engine-
     deterministic. After this, inner product == cosine, which is what
-    makes the blockwise ADC estimate rank like the exact cosine."""
+    makes the blockwise ADC estimate rank like the exact cosine.
+
+    A zero-norm vector normalizes to NULL (the degenerate-row
+    convention shared with jl_project_vectorized / the Arrow
+    assignment sweeps) rather than 0/0 — under ANSI mode the raw
+    division would raise DIVIDE_BY_ZERO instead of yielding NaN, so
+    one all-zero embedding would abort a whole pq_topk build. A
+    NaN/Inf norm (non-finite components) passes the n > 0 gate —
+    Spark orders NaN above every double — and produces non-finite
+    components the downstream _valid_vec_rows gates already null
+    out."""
     n = norm(vec)
-    return F.transform(vec, lambda x: x / n)
+    return F.when(n > 0, F.transform(vec, lambda x: x / n))
 
 
 def _pq_blocks(df: DataFrame, m: int, sub: int, id_col: str) -> DataFrame:
@@ -1287,6 +1354,10 @@ def pq_fit(
                 assign(F.col("block"), F.col("v")).alias("cent_id"),
                 F.posexplode(r6).alias("idx", "x"),
             )
+            # degenerate slices (e.g. the NaN blocks a normalized
+            # all-zero embedding produces) get a null code — drop them
+            # from re-centering instead of training a NULL codeword
+            .filter(F.col("cent_id").isNotNull())
             .groupBy("block", "cent_id", "idx")
             .agg(F.sum(F.col("x").cast("decimal(30,12)")).alias("s"))
         )
@@ -1625,10 +1696,12 @@ def pca_power_top1(
     # instead of dim² per VECTOR. (This is the "production variant"
     # the docstring's 100 TB note described — the integer-floor
     # device keeps the exact-decimal oracle contract.) Rows that are
-    # null / ragged / non-finite are skipped whole (the expression
-    # path nulled their pair products out of the sums; vectors must
-    # be exactly ``dim`` wide, dot_unrolled's documented
-    # precondition).
+    # null / ragged / non-finite are skipped WHOLE — a deliberate
+    # divergence from the replaced expression path on out-of-contract
+    # rows (it nulled individual pair PRODUCTS out of the sums, so a
+    # row with one NaN component still contributed its finite-pair
+    # products). In-contract inputs (exactly ``dim``-wide, finite —
+    # dot_unrolled's documented precondition) are bit-identical.
     def _gram_partials(batches):
         for pdf in batches:
             acc = np.zeros(dim * dim, dtype=np.int64)

@@ -938,3 +938,187 @@ def test_centroid_top2_vectorized_matches_sorted_scores(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_kmeans_multi_iter_degenerate_rows_do_not_crash(spark):
+    """A degenerate vector (null / ragged / non-finite) gets a null
+    cent_id from the vectorized sweep; the re-centering aggregate must
+    DROP that NULL group instead of training a cent_id=NULL centroid —
+    which would crash centroid_artifact's next-round collect with a
+    None-vs-int sort TypeError (ADVICE r6 #1)."""
+    import math
+
+    from nashville_etl_service_backup_spark.operators import (
+        release_persisted,
+    )
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.1, 0.9]),
+            (4, None),
+            (5, [1.0]),
+            (6, [float("nan"), 1.0]),
+        ],
+        "vec_id long, v array<double>",
+    )
+    cents = kmeans_centroids(
+        emb, n_centroids=2, iters=3, vec_col="v", dim=2
+    ).collect()
+    release_persisted()
+    assert len(cents) == 2
+    assert all(r["cent_id"] is not None for r in cents)
+    assert all(
+        all(x is not None and math.isfinite(x) for x in r["cv"])
+        for r in cents
+    )
+
+
+def test_pq_topk_survives_all_zero_embedding(spark):
+    """pq_topk normalizes first, so one all-zero embedding becomes an
+    all-NaN vector whose block slices assign to a null code; pq_fit's
+    re-centering must drop those NULL groups instead of crashing the
+    codebook-artifact collect (ADVICE r6 #1 repro path). The zero
+    vector simply drops out of the index; real neighbors still rank."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators import (
+        release_persisted,
+    )
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], "d")
+        for i in range(80)
+    ]
+    rows.append((80, [0.0] * dim, "z"))  # the poison row
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    got = pq_topk(
+        emb.filter(F.col("vec_id") != 0),
+        q,
+        k=5,
+        m=2,
+        codes=4,
+        iters=2,
+        shortlist=20,
+        dim=dim,
+    ).collect()
+    release_persisted()
+    assert len(got) == 5
+    assert all(r["vec_id"] != 80 for r in got)  # NaN cosine never ranks
+
+
+def test_centroid_top2_vectorized_zero_vector_emits_nan(spark):
+    """A zero-norm vector's cosines are 0/0 = IEEE NaN on every
+    centroid. The sweep's +Inf substitute is for COMPARISONS only —
+    the emitted c1/c2 must be the actual NaN cosine (the DuckDB/numpy
+    IEEE value), never the +Inf sentinel (ADVICE r6 #2). The Spark
+    expression twin can't serve such a row at all: 0/0 aborts under
+    ANSI and yields NULL with ANSI off (Spark division never emits
+    NaN) — both twins' behaviors are pinned here so the divergence
+    stays documented."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        centroid_artifact,
+        centroid_row,
+        centroid_scores,
+        centroid_top2_vectorized,
+        norm_unrolled,
+    )
+
+    dim = 3
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.1, 0.0]), (1, [0.0, 1.0, 0.2])],
+        "cent_id long, cv array<double>",
+    )
+    crow = centroid_row(cents, dim=dim)
+    scores = centroid_scores(
+        F.col("v"), norm_unrolled(F.col("v"), dim), F.col("_cents"), dim
+    )
+    top2 = F.slice(F.sort_array(scores, False), 1, 2)
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        want = {
+            r["vec_id"]: (
+                r["_t"][0]["cid"], r["_t"][0]["c"], r["_t"][1]["c"]
+            )
+            for r in emb.crossJoin(F.broadcast(crow))
+            .select("vec_id", top2.alias("_t"))
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+    sweep = centroid_top2_vectorized(*centroid_artifact(cents))
+    got = {
+        r["vec_id"]: (r["_m"]["cid"], r["_m"]["c1"], r["_m"]["c2"])
+        for r in emb.select(
+            "vec_id", sweep(F.col("v")).alias("_m")
+        ).collect()
+    }
+    # the normal row matches the expression twin bitwise
+    assert got[1] == want[1]
+    # the zero row, expression twin (ANSI off): 0/0 is NULL in Spark
+    # division, so the sorted scores are all-null structs
+    assert want[2][1] is None and want[2][2] is None
+    # the zero row, sweep: the +Inf comparison sentinel must NOT leak;
+    # the emitted cosines are the IEEE NaN, ties -> higher cid
+    assert got[2][0] == 1
+    assert got[2][1] is not None and math.isnan(got[2][1])
+    assert got[2][2] is not None and math.isnan(got[2][2])
+
+
+def test_semantic_dedup_pairs_degenerate_rows_drop(spark):
+    """On the known-dim path a degenerate vector gets a null cent_id
+    and null norm, so it silently drops out of the pair join — it
+    produces NO pairs (documented contract; the dim=None expression
+    path would instead assign it via NaN ordering). Pins ADVICE r6 #3."""
+    from nashville_etl_service_backup_spark.operators import (
+        release_persisted,
+    )
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.99, 0.01]),
+            (2, [0.0, 1.0]),
+            (3, [0.01, 0.99]),
+            (4, None),
+            (5, [1.0]),
+            (6, [float("inf"), 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = semantic_dedup_pairs(
+        emb, n_centroids=2, kmeans_iters=1, threshold=0.9, dim=2
+    ).collect()
+    release_persisted()
+    ids = {r["vec_a"] for r in pairs} | {r["vec_b"] for r in pairs}
+    assert ids and ids <= {0, 1, 2, 3}
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} >= {(0, 1), (2, 3)}
