@@ -25,7 +25,10 @@ from nashville_etl_service_backup_spark.plans.canonicalize import run_pipeline
 from nashville_etl_service_backup_spark.tables import load
 
 
-def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _raw_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic raw-zone build (id, source_spider, raw_json) —
+    factored out of q_etl_pipeline so the stage can be profiled and
+    reused in isolation; the query's plan is unchanged."""
     # spread before the raw build: JSON construction, parse, and all 8
     # canonicalization branches are per-row CPU work that must not run
     # on the scan's single input split.
@@ -115,11 +118,15 @@ def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng_raw.alias("longitude"),
         price_raw.alias("price"),
     )
-    raw = ev.select(
+    return ev.select(
         F.col("event_id").alias("id"),
         spider.alias("source_spider"),
         F.to_json(item).alias("raw_json"),
     )
+
+
+def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _raw_zone(spark, sf_dir)
     out = run_pipeline(raw, now_year=2025)
     return out.select(
         "url", "name", "source", "category", "genre", "event_date",

@@ -611,3 +611,104 @@ def test_forget_from_rollup_retracts_and_is_idempotent(spark, tmp_path):
     # compaction folds the retraction physically; served view unchanged
     compact_rollup(spark, roll)
     assert state() == after
+
+
+def test_streaming_lsh_gate_sf01_crash_replay(spark, tmp_path):
+    """VERDICT r6 #8: the cross-batch LSH novelty gate at sf0.1 — 5000
+    real documents in three micro-batches. Asserts (a) the streamed
+    per-batch novelty verdicts equal an iterative BATCH twin built from
+    the same band_signatures operator (store = union of prior batches'
+    NOVEL signatures only), (b) a crash-replay of the last batch
+    (checkpoint commit dropped) re-derives identical audits, and (c)
+    the signature store stays bounded: band rows only, never text, and
+    only novel docs' rows accumulate."""
+    import os
+    import time
+
+    from nashville_etl_service_backup_spark.operators.dedup import (
+        band_signatures,
+    )
+    from nashville_etl_service_backup_spark.streaming.pipeline import (
+        incremental_lsh_dedup,
+        read_dedup_audit,
+    )
+    from nashville_etl_service_backup_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    rounds = [
+        docs.filter(F.col("doc_id") % 3 == i).persist() for i in range(3)
+    ]
+
+    src = str(tmp_path / "docs")
+    sig = str(tmp_path / "sigs")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_gate():
+        q = incremental_lsh_dedup(spark, src, sig, audit, ckpt)
+        q.awaitTermination(300)
+        q.stop()
+
+    t0 = time.perf_counter()
+    for rdf in rounds:
+        rdf.coalesce(1).write.mode("append").parquet(src)
+        run_gate()
+    wall = time.perf_counter() - t0
+
+    got = {
+        r["batch_id"]: (r["n_docs"], r["n_dup_candidates"])
+        for r in read_dedup_audit(spark, audit).collect()
+    }
+
+    # iterative batch twin: batch i probes the union of NOVEL
+    # signatures from batches < i (the store's accumulation rule)
+    store = None
+    want = {}
+    for i, rdf in enumerate(rounds):
+        s = band_signatures(rdf, "doc_id", "text").persist()
+        if store is None:
+            dup = s.select("doc_id").limit(0)
+        else:
+            dup = (
+                s.join(store, ["band_idx", "band_hash"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+        novel = s.join(dup, "doc_id", "left_anti").persist()
+        want[i] = (rdf.count(), dup.count())
+        store = novel if store is None else store.unionAll(novel)
+        s.unpersist()
+    assert got == want, (got, want)
+    assert sum(n for n, _ in got.values()) == 5000
+
+    # store stays bounded: only (doc_id, band_idx, band_hash) rows for
+    # novel docs — n_novel_docs × bands rows, no text column
+    stored = spark.read.option("basePath", sig).parquet(sig)
+    n_novel = 5000 - sum(d for _, d in got.values())
+    assert set(stored.columns) == {"doc_id", "band_idx", "band_hash", "batch_id"}
+    assert stored.count() == n_novel * 2  # bands=2 rows per novel doc
+
+    # crash-replay the LAST batch: drop its checkpoint commit; the
+    # restarted stream re-executes the same offsets and must re-derive
+    # byte-identical audits and an unchanged store
+    os.remove(os.path.join(ckpt, "commits", "2"))
+    crc = os.path.join(ckpt, "commits", ".2.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_gate()
+    replay = {
+        r["batch_id"]: (r["n_docs"], r["n_dup_candidates"])
+        for r in read_dedup_audit(spark, audit).collect()
+    }
+    assert replay == want
+    assert (
+        spark.read.option("basePath", sig).parquet(sig).count()
+        == n_novel * 2
+    )
+    for rdf in rounds:
+        rdf.unpersist()
+    # wall-clock sanity for the bench-detail artifact (generous bound:
+    # three sf0.1 micro-batches + replay on local[32])
+    assert wall < 180, wall
