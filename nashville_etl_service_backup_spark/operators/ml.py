@@ -151,8 +151,21 @@ def logreg_train(
     if not lazy:
         w = [0.0] * (d + 1)
         for _ in range(iterations):
-            p = hard_sigmoid(_margin(feature_cols, w))
-            r = p - F.col(label_col)
+            # stage the residual ONCE in a projection: embedding the
+            # sigmoid tree in every gradient sum multiplies the
+            # per-round Catalyst analysis cost by d+2 copies of the
+            # tree (round 7 measurement: the round jobs are
+            # analysis-bound at small SF, not data-bound); the staged
+            # column computes the identical IEEE ops, so weights stay
+            # bit-identical (same pinning tests)
+            r = F.col("_r")
+            proj = feats.select(
+                *feature_cols,
+                (
+                    hard_sigmoid(_margin(feature_cols, w))
+                    - F.col(label_col)
+                ).alias("_r"),
+            )
             aggs = [F.count(F.lit(1)).alias("n")]
             aggs.append(
                 F.sum(
@@ -167,7 +180,7 @@ def logreg_train(
                         )
                     ).alias(f"g{j + 1}")
                 )
-            upd = feats.agg(*aggs).select(
+            upd = proj.agg(*aggs).select(
                 *[
                     F.round(
                         F.lit(w[j])
@@ -273,12 +286,26 @@ def logreg_train_folds(
         ws = [[0.0] * (d + 1) for _ in range(k)]
         ns = [0] * k
         for _ in range(iterations):
+            # stage each fold's residual once (logreg_train's round-7
+            # staged-projection device: the k·(d+2) gradient sums stay
+            # shallow instead of each embedding a sigmoid-tree copy —
+            # the round jobs are analysis-bound at small SF; identical
+            # IEEE ops, so the weight chains stay bit-identical)
+            proj = folds.select(
+                fold.alias("_fold_g"),
+                *feature_cols,
+                *[
+                    (
+                        hard_sigmoid(_margin(feature_cols, ws[i]))
+                        - F.col(label_col)
+                    ).alias(f"_r{i}")
+                    for i in range(k)
+                ],
+            )
             aggs = []
             for i in range(k):
-                guard = fold != i
-                r = hard_sigmoid(_margin(feature_cols, ws[i])) - F.col(
-                    label_col
-                )
+                guard = F.col("_fold_g") != i
+                r = F.col(f"_r{i}")
                 aggs.append(
                     F.sum(F.when(guard, F.lit(1)).cast("long")).alias(
                         f"n_{i}"
@@ -300,7 +327,7 @@ def logreg_train_folds(
                             ).cast("decimal(38,12)")
                         ).alias(f"g{i}_{j + 1}")
                     )
-            upd = folds.agg(*aggs).select(
+            upd = proj.agg(*aggs).select(
                 *[
                     F.round(
                         F.lit(ws[i][j])
