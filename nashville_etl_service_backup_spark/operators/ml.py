@@ -112,6 +112,31 @@ def _margin(feature_cols: list[str], weights: list[float]) -> Column:
     return F.round(z, Z_SCALE)
 
 
+def _check_reserved(cols: list[str], reserved: set[str]) -> None:
+    """The GD chains stage internal columns (residuals, carried
+    weights, gradient sums) alongside the caller's feature/label/fold
+    columns in one projection; a user column with one of those names
+    would silently shadow the staged value. Fail loudly instead."""
+    hit = sorted(set(cols) & reserved)
+    if hit:
+        raise ValueError(
+            "input columns collide with GD-internal staging names: "
+            f"{hit} — rename them before training"
+        )
+
+
+def _chunk_sizes(iterations: int, depth: int) -> list[int]:
+    """Split `iterations` GD rounds into driver-collect chunks of at
+    most `depth` lazily-chained rounds each."""
+    depth = max(1, int(depth))
+    out = []
+    left = iterations
+    while left > 0:
+        out.append(min(depth, left))
+        left -= out[-1]
+    return out
+
+
 def logreg_train(
     feats: DataFrame,
     feature_cols: list[str],
@@ -119,53 +144,90 @@ def logreg_train(
     iterations: int = 8,
     lr: float = 4.0,
     lazy: bool = True,
+    chain_depth: int | None = None,
 ) -> list[float]:
     """Fit [bias, w1..wd] by `iterations` full-batch GD rounds from
-    w = 0. One combinable aggregate per round; the rounds chain LAZILY
-    — round t's weights ride a broadcast 1-row frame into round t+1's
-    margin, so the chain is submitted as one action. Each round's
-    BroadcastExchange still materializes as its own small internal job
-    (the O(d) weight row does visit the driver inside the broadcast
-    relation); the win is eliminating the per-round Py4J collect +
-    plan-rebuild synchronization, not the per-round barrier, which is
-    inherent to full-batch GD. Weight values are bit-identical to the
-    collect-per-round formulation — same expressions, with the
-    Python-float literal re-embedding replaced by the double column
-    carrying the identical value (pinned by
-    test_lazy_chain_matches_collect_per_round_reference, and by
-    test_logreg_lazy_eager_paths_identical across this flag).
+    w = 0. One combinable aggregate per round. The rounds run in
+    CHUNKS of ``chain_depth`` rounds per submitted action: within a
+    chunk, round t's weights ride a broadcast 1-row frame into round
+    t+1's margin (lazy chain — no per-round Py4J collect); between
+    chunks, the O(d) weight row is collected and re-embedded as float
+    literals, so the plan tree's nesting depth is bounded by the chunk
+    size instead of growing with `iterations`. ``chain_depth=1`` is
+    the collect-per-round formulation (small standalone plans);
+    ``chain_depth=iterations`` is the single-action fully-lazy chain.
+    ``lazy`` is the legacy spelling: when ``chain_depth`` is None,
+    lazy=True means `iterations`, lazy=False means 1.
 
-    ``lazy=False`` keeps the collect-per-round formulation: weights are
-    collected after every round and re-embedded as float literals, so
-    each round is a SMALL standalone plan instead of one deep nested
-    tree. Per-consumer sf0.1 measurements (round 6) pick the path: the
-    deep lazy tree's Catalyst analysis cost grows superlinearly with
-    nesting and dominated text_conformal_gate (+32%) and
-    text_calibration_curve (+22%) in the r5 bench pair, so those
-    callers pass lazy=False; at a real 100 TB scan the per-round
-    aggregate dwarfs either overhead and the two paths tie.
+    Every round stages the residual ONCE in a projection (round-7
+    measurement: embedding the sigmoid tree in each of the d+2
+    gradient sums multiplies the per-round Catalyst analysis cost,
+    which dominates at small SF; the staged column computes the
+    identical IEEE ops). Weight values are bit-identical across every
+    chain depth — same expressions, with Python-float literal
+    re-embedding replaced by the double column carrying the identical
+    value (pinned by test_lazy_chain_matches_collect_per_round_reference,
+    test_logreg_lazy_eager_paths_identical and
+    test_logreg_chain_depths_identical).
+
+    Depth choice is a measured per-consumer trade (rounds 6–8): the
+    deep chain's Catalyst analysis cost grows superlinearly with
+    nesting (it dominated text_conformal_gate +32% in the r5 pair),
+    while depth 1 pays 8 collect+plan-rebuild synchronizations; at a
+    real 100 TB scan the per-round aggregate dwarfs either overhead
+    and all depths tie.
 
     Caller should persist `feats` when the feature projection is
     expensive (each round re-scans it either way)."""
     d = len(feature_cols)
-    if not lazy:
-        w = [0.0] * (d + 1)
-        for _ in range(iterations):
-            # stage the residual ONCE in a projection: embedding the
-            # sigmoid tree in every gradient sum multiplies the
-            # per-round Catalyst analysis cost by d+2 copies of the
-            # tree (round 7 measurement: the round jobs are
-            # analysis-bound at small SF, not data-bound); the staged
-            # column computes the identical IEEE ops, so weights stay
-            # bit-identical (same pinning tests)
+    reserved = {"_r", "n"}
+    reserved.update(f"_w{j}" for j in range(d + 1))
+    reserved.update(f"_pw{j}" for j in range(d + 1))
+    reserved.update(f"g{j}" for j in range(d + 1))
+    _check_reserved(
+        [c for c in feats.columns if c != label_col and c not in feature_cols],
+        reserved,
+    )
+    depth = (
+        chain_depth
+        if chain_depth is not None
+        else (iterations if lazy else 1)
+    )
+    w = [0.0] * (d + 1)
+    for rounds in _chunk_sizes(iterations, depth):
+        w_df: DataFrame | None = None
+        for t in range(rounds):
+            if t == 0:
+                # chunk head: weights are literals — stage the residual
+                # directly, no broadcast frame needed
+                proj = feats.select(
+                    *feature_cols,
+                    (
+                        hard_sigmoid(_margin(feature_cols, w))
+                        - F.col(label_col)
+                    ).alias("_r"),
+                )
+                pw = [F.lit(w[j]) for j in range(d + 1)]
+                carry: list[Column] = []
+            else:
+                z: Column = F.col("_w0")
+                for j, c in enumerate(feature_cols):
+                    z = z + F.col(f"_w{j + 1}") * F.col(c)
+                proj = feats.crossJoin(F.broadcast(w_df)).select(
+                    *feature_cols,
+                    (
+                        hard_sigmoid(F.round(z, Z_SCALE))
+                        - F.col(label_col)
+                    ).alias("_r"),
+                    *[F.col(f"_w{j}") for j in range(d + 1)],
+                )
+                pw = [F.col(f"_pw{j}") for j in range(d + 1)]
+                # carry the (constant) previous weights through the agg
+                carry = [
+                    F.min(F.col(f"_w{j}")).alias(f"_pw{j}")
+                    for j in range(d + 1)
+                ]
             r = F.col("_r")
-            proj = feats.select(
-                *feature_cols,
-                (
-                    hard_sigmoid(_margin(feature_cols, w))
-                    - F.col(label_col)
-                ).alias("_r"),
-            )
             aggs = [F.count(F.lit(1)).alias("n")]
             aggs.append(
                 F.sum(
@@ -180,53 +242,11 @@ def logreg_train(
                         )
                     ).alias(f"g{j + 1}")
                 )
-            upd = proj.agg(*aggs).select(
+            aggs += carry
+            w_df = proj.agg(*aggs).select(
                 *[
                     F.round(
-                        F.lit(w[j])
-                        - F.lit(float(lr))
-                        * (
-                            F.col(f"g{j}").cast("double")
-                            / F.col("n").cast("double")
-                        ),
-                        W_SCALE,
-                    ).alias(f"w{j}")
-                    for j in range(d + 1)
-                ]
-            ).first()
-            w = [float(upd[f"w{j}"]) for j in range(d + 1)]
-        return w
-    spark = feats.sparkSession
-    w_df = spark.range(1).select(
-        *[F.lit(0.0).alias(f"_w{j}") for j in range(d + 1)]
-    )
-    for _ in range(iterations):
-        z: Column = F.col("_w0")
-        for j, c in enumerate(feature_cols):
-            z = z + F.col(f"_w{j + 1}") * F.col(c)
-        p = hard_sigmoid(F.round(z, Z_SCALE))
-        r = p - F.col(label_col)
-        aggs = [F.count(F.lit(1)).alias("n")]
-        aggs.append(
-            F.sum(
-                F.round(r, GRAD_SCALE).cast("decimal(38,12)")
-            ).alias("g0")
-        )
-        for j, c in enumerate(feature_cols):
-            aggs.append(
-                F.sum(
-                    F.round(r * F.col(c), GRAD_SCALE).cast("decimal(38,12)")
-                ).alias(f"g{j + 1}")
-            )
-        # carry the (constant) previous weights through the aggregate
-        aggs += [F.min(F.col(f"_w{j}")).alias(f"_pw{j}") for j in range(d + 1)]
-        w_df = (
-            feats.crossJoin(F.broadcast(w_df))
-            .agg(*aggs)
-            .select(
-                *[
-                    F.round(
-                        F.col(f"_pw{j}")
+                        pw[j]
                         - F.lit(float(lr))
                         * (
                             F.col(f"g{j}").cast("double")
@@ -237,9 +257,9 @@ def logreg_train(
                     for j in range(d + 1)
                 ]
             )
-        )
-    row = w_df.first()
-    return [float(row[f"_w{j}"]) for j in range(d + 1)]
+        row = w_df.first()
+        w = [float(row[f"_w{j}"]) for j in range(d + 1)]
+    return w
 
 
 def logreg_score(
@@ -258,50 +278,106 @@ def logreg_train_folds(
     iterations: int = 8,
     lr: float = 4.0,
     lazy: bool = True,
-) -> list[list[float]]:
+    chain_depth: int | None = None,
+) -> tuple[list[list[float]], list[int]]:
     """All k leave-one-fold-out trainings in one fold-parallel chain:
     each GD round is ONE combinable aggregate whose expressions
     compute, for every held-out fold i, the gradient of model i over
     the rows with fold != i (a `when(fold != i, …)` guard inside each
     decimal SUM — nulls drop out of SUM, so each fold's decimal total
     adds exactly the same rounded terms as the per-fold loop, in any
-    order), and the rounds chain LAZILY through a broadcast 1-row
-    weight frame (same lazy-chain scheme as logreg_train — one action,
-    per-round broadcasts still materialize internally; see
-    logreg_train's docstring for what is and isn't saved). The
-    per-fold weight chains stay bit-identical to logreg_train on the
-    corresponding subset — the CV oracle's per-fold CTE unrolls keep
-    matching unchanged.
-
-    ``lazy=False`` collects the k·(d+2) scalars after every round and
-    re-embeds them as literals (small standalone plans — logreg_train's
-    measured-per-consumer device; values bit-identical either way,
-    pinned by test_folds_lazy_eager_paths_identical).
+    order). The rounds run in CHUNKS of ``chain_depth`` lazily-chained
+    rounds per submitted action (logreg_train's scheme — see its
+    docstring for the depth trade; ``lazy`` is the legacy spelling:
+    chain_depth None + lazy=True → `iterations`, lazy=False → 1).
+    Every round stages each fold's residual once in a projection (the
+    round-7 device: the k·(d+2) gradient sums stay shallow instead of
+    each embedding a sigmoid-tree copy; identical IEEE ops, so the
+    weight chains stay bit-identical). The per-fold weight chains stay
+    bit-identical to logreg_train on the corresponding subset — the CV
+    oracle's per-fold CTE unrolls keep matching unchanged (pinned by
+    test_folds_lazy_eager_paths_identical and
+    test_folds_chain_depths_identical).
 
     Returns (k weight vectors, k train-row counts).
     Caller should persist `folds`."""
     d = len(feature_cols)
     fold = F.col(fold_col)
-    if not lazy:
-        ws = [[0.0] * (d + 1) for _ in range(k)]
-        ns = [0] * k
-        for _ in range(iterations):
-            # stage each fold's residual once (logreg_train's round-7
-            # staged-projection device: the k·(d+2) gradient sums stay
-            # shallow instead of each embedding a sigmoid-tree copy —
-            # the round jobs are analysis-bound at small SF; identical
-            # IEEE ops, so the weight chains stay bit-identical)
-            proj = folds.select(
-                fold.alias("_fold_g"),
-                *feature_cols,
-                *[
-                    (
-                        hard_sigmoid(_margin(feature_cols, ws[i]))
-                        - F.col(label_col)
-                    ).alias(f"_r{i}")
+    reserved = {"_fold_g"}
+    for i in range(k):
+        reserved.add(f"_r{i}")
+        reserved.add(f"n_{i}")
+        reserved.add(f"_n_{i}")
+        reserved.update(f"_w{i}_{j}" for j in range(d + 1))
+        reserved.update(f"_pw{i}_{j}" for j in range(d + 1))
+        reserved.update(f"g{i}_{j}" for j in range(d + 1))
+    _check_reserved(
+        [
+            c
+            for c in folds.columns
+            if c not in (label_col, fold_col) and c not in feature_cols
+        ],
+        reserved,
+    )
+    depth = (
+        chain_depth
+        if chain_depth is not None
+        else (iterations if lazy else 1)
+    )
+    ws = [[0.0] * (d + 1) for _ in range(k)]
+    ns = [0] * k
+    for rounds in _chunk_sizes(iterations, depth):
+        w_df: DataFrame | None = None
+        for t in range(rounds):
+            if t == 0:
+                # chunk head: weights are literals — no broadcast frame
+                proj = folds.select(
+                    fold.alias("_fold_g"),
+                    *feature_cols,
+                    *[
+                        (
+                            hard_sigmoid(_margin(feature_cols, ws[i]))
+                            - F.col(label_col)
+                        ).alias(f"_r{i}")
+                        for i in range(k)
+                    ],
+                )
+
+                def pw(i: int, j: int) -> Column:
+                    return F.lit(ws[i][j])
+
+                carry: list[Column] = []
+            else:
+                resids = []
+                for i in range(k):
+                    z: Column = F.col(f"_w{i}_0")
+                    for j, c in enumerate(feature_cols):
+                        z = z + F.col(f"_w{i}_{j + 1}") * F.col(c)
+                    resids.append(
+                        (
+                            hard_sigmoid(F.round(z, Z_SCALE))
+                            - F.col(label_col)
+                        ).alias(f"_r{i}")
+                    )
+                proj = folds.crossJoin(F.broadcast(w_df)).select(
+                    fold.alias("_fold_g"),
+                    *feature_cols,
+                    *resids,
+                    *[
+                        F.col(f"_w{i}_{j}")
+                        for i in range(k)
+                        for j in range(d + 1)
+                    ],
+                )
+
+                def pw(i: int, j: int) -> Column:
+                    return F.col(f"_pw{i}_{j}")
+
+                carry = [
+                    F.min(F.col(f"_w{i}_{j}")).alias(f"_pw{i}_{j}")
                     for i in range(k)
-                ],
-            )
+                    for j in range(d + 1)
+                ]
             aggs = []
             for i in range(k):
                 guard = F.col("_fold_g") != i
@@ -327,77 +403,16 @@ def logreg_train_folds(
                             ).cast("decimal(38,12)")
                         ).alias(f"g{i}_{j + 1}")
                     )
-            upd = proj.agg(*aggs).select(
+            aggs += carry
+            # counts are recomputed every round (fold sizes are
+            # constant); carry them only out of the chunk's FINAL
+            # round, underscore-prefixed like the weight columns, so
+            # the inter-round broadcast row stays k·(d+1) wide.
+            final = t == rounds - 1
+            w_df = proj.agg(*aggs).select(
                 *[
                     F.round(
-                        F.lit(ws[i][j])
-                        - F.lit(float(lr))
-                        * (
-                            F.col(f"g{i}_{j}").cast("double")
-                            / F.col(f"n_{i}").cast("double")
-                        ),
-                        W_SCALE,
-                    ).alias(f"w{i}_{j}")
-                    for i in range(k)
-                    for j in range(d + 1)
-                ],
-                *[F.col(f"n_{i}") for i in range(k)],
-            ).first()
-            ws = [
-                [float(upd[f"w{i}_{j}"]) for j in range(d + 1)]
-                for i in range(k)
-            ]
-            ns = [int(upd[f"n_{i}"]) for i in range(k)]
-        return ws, ns
-    spark = folds.sparkSession
-    w_df = spark.range(1).select(
-        *[
-            F.lit(0.0).alias(f"_w{i}_{j}")
-            for i in range(k)
-            for j in range(d + 1)
-        ]
-    )
-    for it in range(iterations):
-        aggs = []
-        for i in range(k):
-            guard = fold != i
-            z: Column = F.col(f"_w{i}_0")
-            for j, c in enumerate(feature_cols):
-                z = z + F.col(f"_w{i}_{j + 1}") * F.col(c)
-            r = hard_sigmoid(F.round(z, Z_SCALE)) - F.col(label_col)
-            aggs.append(
-                F.sum(F.when(guard, F.lit(1)).cast("long")).alias(
-                    f"n_{i}"
-                )
-            )
-            aggs.append(
-                F.sum(
-                    F.when(
-                        guard, F.round(r, GRAD_SCALE)
-                    ).cast("decimal(38,12)")
-                ).alias(f"g{i}_0")
-            )
-            for j, c in enumerate(feature_cols):
-                aggs.append(
-                    F.sum(
-                        F.when(
-                            guard,
-                            F.round(r * F.col(c), GRAD_SCALE),
-                        ).cast("decimal(38,12)")
-                    ).alias(f"g{i}_{j + 1}")
-                )
-        aggs += [
-            F.min(F.col(f"_w{i}_{j}")).alias(f"_pw{i}_{j}")
-            for i in range(k)
-            for j in range(d + 1)
-        ]
-        w_df = (
-            folds.crossJoin(F.broadcast(w_df))
-            .agg(*aggs)
-            .select(
-                *[
-                    F.round(
-                        F.col(f"_pw{i}_{j}")
+                        pw(i, j)
                         - F.lit(float(lr))
                         * (
                             F.col(f"g{i}_{j}").cast("double")
@@ -408,24 +423,18 @@ def logreg_train_folds(
                     for i in range(k)
                     for j in range(d + 1)
                 ],
-                # counts are recomputed every round (fold sizes are
-                # constant); carry them only out of the FINAL round, and
-                # underscore-prefixed like the weight columns, so the
-                # inter-round broadcast row stays k·(d+1) wide and a user
-                # column named n_<i> in `folds` can't collide.
                 *(
                     [F.col(f"n_{i}").alias(f"_n_{i}") for i in range(k)]
-                    if it == iterations - 1
+                    if final
                     else []
                 ),
             )
-        )
-    upd = w_df.first()
-    ws = [
-        [float(upd[f"_w{i}_{j}"]) for j in range(d + 1)]
-        for i in range(k)
-    ]
-    ns = [int(upd[f"_n_{i}"]) for i in range(k)]
+        upd = w_df.first()
+        ws = [
+            [float(upd[f"_w{i}_{j}"]) for j in range(d + 1)]
+            for i in range(k)
+        ]
+        ns = [int(upd[f"_n_{i}"]) for i in range(k)]
     return ws, ns
 
 
@@ -847,6 +856,7 @@ def logreg_cv(
     iterations: int = 8,
     lr: float = 4.0,
     lazy: bool = False,
+    chain_depth: int | None = None,
 ) -> DataFrame:
     """K-fold cross-validation of the GD classifier: md5 hash-bucket
     folds (engine-portable, partition-invariant — the split_assign
@@ -873,7 +883,7 @@ def logreg_cv(
     folds = feats.withColumn("_fold", hash_bucket(F.col(id_col), k))
     ws, ns = logreg_train_folds(
         folds, feature_cols, label_col, "_fold", k, iterations, lr,
-        lazy=lazy,
+        lazy=lazy, chain_depth=chain_depth,
     )
     outs = []
     for i in range(k):

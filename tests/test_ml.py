@@ -541,3 +541,47 @@ def test_folds_lazy_eager_paths_identical(spark):
         feats, ["x1", "x2"], "y", "_fold", 3, 4, 4.0, lazy=False
     )
     assert a == b
+
+
+def test_logreg_chain_depths_identical(spark):
+    """chain_depth (rounds lazily chained per submitted action) is a
+    pure plan-shape knob: every depth — including one that doesn't
+    divide `iterations` — returns bit-identical weights."""
+    feats = standardize(_toy(spark), ["x1", "x2"])
+    ref = logreg_train(feats, ["x1", "x2"], "y", iterations=8, lr=4.0)
+    for depth in (1, 2, 3, 4):
+        got = logreg_train(
+            feats, ["x1", "x2"], "y", iterations=8, lr=4.0,
+            chain_depth=depth,
+        )
+        assert got == ref, depth
+
+
+def test_folds_chain_depths_identical(spark):
+    """Fold-parallel GD: chain_depth never changes weights or counts."""
+    from nashville_etl_service_backup_spark.operators.ml import (
+        logreg_train_folds,
+    )
+
+    feats = standardize(_toy(spark), ["x1", "x2"]).withColumn(
+        "_fold", (F.col("id") % 3).cast("int")
+    )
+    ref = logreg_train_folds(feats, ["x1", "x2"], "y", "_fold", 3, 4, 4.0)
+    for depth in (2, 3):
+        got = logreg_train_folds(
+            feats, ["x1", "x2"], "y", "_fold", 3, 4, 4.0,
+            chain_depth=depth,
+        )
+        assert got == ref, depth
+
+
+def test_gd_reserved_name_collision_raises(spark):
+    """A caller column named like a GD-internal staging column fails
+    loudly instead of silently shadowing the staged value."""
+    import pytest
+
+    feats = standardize(_toy(spark), ["x1", "x2"]).withColumn(
+        "_r", F.lit(1.0)
+    )
+    with pytest.raises(ValueError, match="_r"):
+        logreg_train(feats, ["x1", "x2"], "y", iterations=1)

@@ -709,6 +709,11 @@ def test_streaming_lsh_gate_sf01_crash_replay(spark, tmp_path):
     )
     for rdf in rounds:
         rdf.unpersist()
-    # wall-clock sanity for the bench-detail artifact (generous bound:
-    # three sf0.1 micro-batches + replay on local[32])
-    assert wall < 180, wall
+    # wall-clock sanity: timing is machine-dependent, so the bound only
+    # asserts when opted in (CI-like loaded boxes would flake an
+    # otherwise-deterministic test); the measurement is always recorded
+    # for the bench artifact via stdout (pytest -s / the isolation
+    # harness captures it).
+    print(f"streaming_lsh_gate_sf01 wall={wall:.1f}s")
+    if os.environ.get("SPARK_GRAFT_ASSERT_WALL"):
+        assert wall < 180, wall
