@@ -36,6 +36,7 @@ HEADLINE = [
     "q_lag_lead",
     "q_percentiles",
     "q_doc_search_rank",
+    "q_doc_search_scan",
     "q_tumbling_window",
     "q_session_window",
     "q_events_pivot",

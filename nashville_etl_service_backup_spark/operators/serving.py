@@ -69,6 +69,66 @@ def query_events(
     return paginate(df.drop(token_col), order, page=page, per_page=per_page)
 
 
+def search_topk_posting(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+    text_col: str = "text",
+) -> DataFrame:
+    """Posting-list formulation of the serving text search — identical
+    semantics (and bit-identical scores) to the token-array scan
+    `text_match` + `text_rank` path, different 100 TB plan:
+
+        explode(search_tokens) → filter term ∈ query set (broadcast
+        hash-set `isin`) → groupBy doc count matched terms
+        [map-side combinable] → AND gate (count == |query|)
+        → score = |query| matched / |distinct tokens| → top-k heap
+
+    The token-array scan re-reads every document's full token array
+    per query (two array_intersect passes: match + rank); here the
+    exploded stream is filtered to query-term HITS before the shuffle,
+    so the exchanged volume is the posting list for the query's terms,
+    not the corpus — the same explode-early device as
+    bm25_topk_posting (text_analysis.py:473). Score definition
+    unchanged from text_rank (F15, db_extractor.py:44-51 analog):
+    AND-matched docs have |tokens ∩ query| == |query|, so
+    round(n_matched / n_distinct_tokens, 6) is the identical double.
+
+    n_distinct_tokens rides the explode as a grouping column
+    (functionally dependent on the doc id) so the corpus is scanned
+    ONCE — no second join against a per-doc length frame."""
+    terms = sorted(set(query_terms))
+    toks = search_tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), *extra_cols, toks.alias("_toks")
+    )
+    return (
+        base.select(
+            F.col(id_col),
+            *extra_cols,
+            F.size("_toks").alias("_ntok"),
+            F.explode("_toks").alias("_term"),
+        )
+        .filter(F.col("_term").isin(terms))
+        .groupBy(F.col(id_col), *extra_cols, F.col("_ntok"))
+        .agg(F.count(F.lit(1)).alias("_nmatch"))
+        .filter(F.col("_nmatch") == len(terms))
+        .select(
+            F.col(id_col),
+            *extra_cols,
+            F.round(
+                F.col("_nmatch").cast("double")
+                / F.col("_ntok").cast("double"),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def distinct_values(events: DataFrame, column: str) -> DataFrame:
     """A2 (db_extractor.py:28-32): SELECT DISTINCT col WHERE NOT NULL ORDER BY."""
     return (

@@ -1434,7 +1434,13 @@ def pq_topk(
     join + one combinable pivot-aggregate + a TakeOrderedAndProject
     heap; the re-rank reads `shortlist` raw vectors via a broadcast
     semi-join. Storage story: m bytes of codes replace 4·dim bytes of
-    floats at scan time (32× here before byte-packing)."""
+    floats at scan time (32× here before byte-packing).
+
+    Degenerate inputs: zero-norm CORPUS rows normalize to NULL and
+    drop out of the index (pq_fit's NULL-group contract); a zero-norm
+    QUERY vector has no cosine ranking at all, so the guarded re-rank
+    returns an EMPTY frame rather than raising ANSI DIVIDE_BY_ZERO
+    (test_pq_topk_zero_norm_query_returns_empty)."""
     sub = dim // m
     v = as_double(F.col(vec_col))
     raw = emb.select(F.col(id_col), *extra_cols, v.alias("v"))
@@ -1473,10 +1479,26 @@ def pq_topk(
         .limit(shortlist)
         .select(id_col)
     )
+    # degenerate-query guard: a zero-norm query (or a zero-norm raw
+    # shortlist row) would hit ANSI DIVIDE_BY_ZERO in the exact cosine;
+    # the module's degenerate-row convention is drop-not-crash, so the
+    # guarded cosine is NULL there and NULL rows never reach the top-k
+    # (a zero-norm query therefore returns an EMPTY frame — pinned by
+    # test_pq_topk_zero_norm_query_returns_empty). Non-degenerate
+    # inputs compute the identical expression.
+    nq = norm(F.col("qv"))
+    nv = norm(F.col("v"))
     rerank = (
         raw.join(F.broadcast(short), id_col, "left_semi")
         .crossJoin(F.broadcast(query))
-        .withColumn("_cos", cosine(F.col("v"), F.col("qv")))
+        .withColumn(
+            "_cos",
+            F.when(
+                (nq > 0) & (nv > 0),
+                dot(F.col("v"), F.col("qv")) / (nv * nq),
+            ),
+        )
+        .filter(F.col("_cos").isNotNull())
     )
     return (
         rerank.orderBy(F.desc("_cos"), F.asc(id_col))

@@ -31,7 +31,36 @@ SEARCH_QUERY = "spark join window"  # all three tokens in the corpus vocab
 
 def q_doc_search_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14/F15/O2: full-text AND-match + relevance rank + top-20
-    (db_extractor.py:44-51 analog over `documents`)."""
+    (db_extractor.py:44-51 analog over `documents`), served by the
+    posting-list plan (operators/serving.search_topk_posting): the
+    exploded token stream is filtered to query-term hits BEFORE the
+    shuffle, so at 100 TB the exchange carries the query's posting
+    list instead of every document's token array being re-intersected
+    per query. Scores are bit-identical to the token-array-scan
+    formulation (same round(n_matched/n_tokens, 6) double) — the
+    oracle SQL is unchanged and q_doc_search_scan_twin pins the two
+    plans against each other."""
+    from nashville_etl_service_backup_spark.operators.serving import (
+        search_topk_posting,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return search_topk_posting(
+        docs,
+        SEARCH_QUERY.split(),
+        k=20,
+        id_col="doc_id",
+        extra_cols=("lang", "source"),
+        text_col="text",
+    )
+
+
+def q_doc_search_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-array-scan twin of q_doc_search_rank — the
+    query_events serving path's formulation (filter text_match, rank
+    text_rank). Kept registered so the two physical plans stay pinned
+    to the same oracle; the posting-list plan is the at-scale
+    default."""
     docs = load(spark, sf_dir, "documents")
     toks = search_tokens(F.col("text"))
     q = query_tokens(SEARCH_QUERY)
@@ -214,6 +243,7 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_doc_search_rank": q_doc_search_rank,
+    "q_doc_search_scan": q_doc_search_scan,
     "q_paginate_events": q_paginate_events,
     "q_distinct_event_types": q_distinct_event_types,
     "q_count_purchases": q_count_purchases,
@@ -227,8 +257,7 @@ QUERIES = {
 
 _TOKS = DUCK_TOKENS_DISTINCT.format(col="text")
 
-ORACLES = {
-    "q_doc_search_rank": f"""
+_DOC_SEARCH_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents)
 SELECT doc_id, lang, source,
@@ -238,7 +267,13 @@ FROM t
 WHERE len(list_intersect(toks, ['join','spark','window'])) = 3
 ORDER BY score DESC, doc_id ASC
 LIMIT 20
-""",
+"""
+
+ORACLES = {
+    # one oracle, two physical plans: the posting-list default and the
+    # token-array-scan twin must both hash-match it
+    "q_doc_search_rank": _DOC_SEARCH_ORACLE,
+    "q_doc_search_scan": _DOC_SEARCH_ORACLE,
     "q_paginate_events": """
 SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
        event_type, value

@@ -1024,6 +1024,40 @@ def test_pq_topk_survives_all_zero_embedding(spark):
     assert all(r["vec_id"] != 80 for r in got)  # NaN cosine never ranks
 
 
+def test_pq_topk_zero_norm_query_returns_empty(spark):
+    """The QUERY-side twin of the zero-embedding case (ADVICE r7 #3):
+    a zero-norm query vector has no meaningful cosine ranking, so
+    pq_topk returns an EMPTY frame — the guarded re-rank cosine is
+    NULL and NULL rows never reach the top-k — instead of raising
+    ANSI DIVIDE_BY_ZERO (the pre-guard behavior)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators import (
+        release_persisted,
+    )
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], "d")
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    zq = spark.createDataFrame([([0.0] * dim,)], "qv array<double>")
+    got = pq_topk(
+        emb, zq, k=5, m=2, codes=4, iters=1, shortlist=10, dim=dim
+    ).collect()
+    release_persisted()
+    assert got == []
+
+
 def test_centroid_top2_vectorized_zero_vector_emits_nan(spark):
     """A zero-norm vector's cosines are 0/0 = IEEE NaN on every
     centroid. The sweep's +Inf substitute is for COMPARISONS only —

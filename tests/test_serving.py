@@ -79,3 +79,48 @@ def test_paginate_keep_row_number(spark):
     page = paginate(df, [F.asc("k")], page=2, per_page=3, keep_row_number=True)
     rows = page.collect()
     assert [(r.k, r.row_num) for r in rows] == [(3, 4), (4, 5), (5, 6)]
+
+
+def test_search_topk_posting_matches_scan_plan(spark):
+    """The posting-list serving search and the token-array-scan path
+    are two physical plans for ONE score definition — identical rows,
+    identical round-6 doubles, on a corpus with ties, partial matches,
+    and an empty document."""
+    from nashville_etl_service_backup_spark.functions.text import (
+        query_tokens,
+        search_tokens,
+        text_match,
+        text_rank,
+    )
+    from nashville_etl_service_backup_spark.operators.serving import (
+        search_topk_posting,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window fast", "en"),
+            (2, "spark spark join window window join", "en"),  # dups collapse
+            (3, "join window only", "en"),  # partial: no 'spark'
+            (4, "window spark join extra words here to dilute", "de"),
+            (5, "", "en"),  # empty
+            (6, "spark join window", "fr"),  # tie score with 1? 3/4 vs 3/3
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = search_topk_posting(
+        docs, ["spark", "join", "window"], k=10,
+        id_col="doc_id", extra_cols=("lang",), text_col="text",
+    ).collect()
+    toks = search_tokens(F.col("text"))
+    q = query_tokens("spark join window")
+    want = (
+        docs.withColumn("_toks", toks)
+        .filter(text_match(F.col("_toks"), q))
+        .withColumn("score", F.round(text_rank(F.col("_toks"), q), 6))
+        .select("doc_id", "lang", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert all(r["doc_id"] != 3 and r["doc_id"] != 5 for r in got)
