@@ -5,6 +5,24 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+DRIFT-PROOF PAIR (round 8, VERDICT r7 #1): the DuckDB yardstick runs
+INTERLEAVED with Spark in this same process — per query, the timed
+runs alternate spark, duckdb, spark, duckdb, … so both engines see the
+same machine window and the per-query spark/duckdb RATIO is immune to
+the window-to-window drift that forced per-claim adjudications in
+rounds 5–7. The stdout line carries `duckdb_value` and `ratio`
+(spark/duckdb over oracle-covered queries); BENCH_DETAIL.json carries
+the full per-query pair + ratio. Set SPARK_GRAFT_BENCH_NO_TWIN=1 for a
+Spark-only run (old behavior); tools/bench_duckdb.py remains for a
+standalone DuckDB pass.
+
+Per-engine run counts adapt to the query's own duration so the pair
+stays ~bounded in wall time: first timed run < 15 s → min-of-3,
+< 45 s → min-of-2, else min-of-1 (the slow queries are the multi-ten-
+second DuckDB twins where drift is irrelevant relative to magnitude;
+every Spark query at sf0.1 is < 15 s so Spark keeps min-of-3
+everywhere — the protocol rounds 2–7 used).
+
 Materialization uses the noop sink (df.write.format("noop")) so every
 column is computed JVM-side without driver collection.
 """
@@ -162,6 +180,35 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# adaptive run-count rule, applied to BOTH engines symmetrically: the
+# min-of-N estimator needs N>1 only where fixed-overhead jitter is
+# comparable to the measurement
+def _n_runs(first: float) -> int:
+    if first < 15.0:
+        return 3
+    if first < 45.0:
+        return 2
+    return 1
+
+
+def _duck_connect(sf_dir: str):
+    """DuckDB twin connection over the same parquet files, same thread
+    count as Spark's local[N]."""
+    import duckdb
+
+    from nashville_etl_service_backup_spark.tables import TABLES
+
+    threads = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    con = duckdb.connect()
+    con.execute(f"SET threads={int(threads)}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -200,23 +247,63 @@ def main() -> None:
     release_persisted()
     spark.catalog.clearCache()
 
-    # min-of-3 timed runs per query: single runs vary ±30% under GC /
-    # scheduler noise at these (sub-second .. few-second) durations;
-    # the min is the standard steady-state estimator and the DuckDB
-    # yardstick (tools/bench_duckdb.py) uses the identical protocol.
+    # DuckDB twin setup (no separate warm pass: the parquet pages are
+    # hot from Spark's untimed full pass over the same files, DuckDB's
+    # plan compile is sub-ms, and min-of-N discounts the first run's
+    # residual cold cost for every query where jitter matters)
+    twin = os.environ.get("SPARK_GRAFT_BENCH_NO_TWIN", "") != "1"
+    con = _duck_connect(sf_dir) if twin else None
+    oracles = _q.extended_oracles() if twin else {}
+
+    # timed phase: per query, the runs alternate spark, duckdb, spark,
+    # duckdb, … inside ONE window; min per engine
     timings: dict[str, float] = {}
+    duck: dict[str, float | None] = {}
+    ratio: dict[str, float | None] = {}
+    runs_used: dict[str, dict[str, int]] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
-        for _ in range(3):
+        sql = oracles.get(name) if twin else None
+
+        def spark_once() -> float:
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
             release_persisted()
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+            return dt
+
+        def duck_once() -> float:
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            return time.perf_counter() - t0
+
+        s_times = [spark_once()]
+        d_times = [duck_once()] if sql is not None else []
+        s_total = _n_runs(s_times[0])
+        d_total = _n_runs(d_times[0]) if d_times else 0
+        for i in range(1, 3):
+            if i < s_total:
+                s_times.append(spark_once())
+            if i < d_total:
+                d_times.append(duck_once())
+        timings[name] = round(min(s_times), 3)
+        duck[name] = round(min(d_times), 3) if d_times else None
+        ratio[name] = (
+            round(timings[name] / duck[name], 3)
+            if duck[name]
+            else None
+        )
+        runs_used[name] = {"spark": len(s_times), "duckdb": len(d_times)}
 
     total = round(sum(timings.values()), 3)
+    paired = [n for n in HEADLINE if duck.get(n)]
+    duck_total = round(sum(duck[n] for n in paired), 3) if paired else None
+    pair_ratio = (
+        round(sum(timings[n] for n in paired) / duck_total, 3)
+        if duck_total
+        else None
+    )
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The driver captures only the TAIL of stdout (~2 KB in round 4,
     # which truncated the 131-query JSON line from the front and left
@@ -228,6 +315,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "duckdb": duck,
+        "ratio": ratio,
+        "runs": runs_used,
+        "duckdb_value": duck_total,
+        "pair_ratio": pair_ratio,
+        "protocol": "interleaved-per-query same-window pair, adaptive min-of-N",
         "sf": sf_val,
     }
     with open(
@@ -245,6 +338,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
+                "duckdb_value": duck_total,
+                "pair_ratio": pair_ratio,
                 "queries": slowest,
                 "queries_file": "BENCH_DETAIL.json",
                 "sf": sf_val,

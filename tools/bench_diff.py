@@ -20,11 +20,11 @@ import json
 import sys
 
 
-def load(path: str) -> dict[str, float]:
+def load(path: str, key: str = "queries") -> dict[str, float]:
     with open(path) as f:
         obj = json.load(f)
-    q = obj.get("queries", obj)
-    return {k: float(v) for k, v in q.items()}
+    q = obj.get(key, obj if key == "queries" else {})
+    return {k: float(v) for k, v in q.items() if v is not None}
 
 
 def main() -> int:
@@ -33,8 +33,15 @@ def main() -> int:
     ap.add_argument("new")
     ap.add_argument("--pct", type=float, default=10.0)
     ap.add_argument("--abs", dest="abs_", type=float, default=0.3)
+    ap.add_argument(
+        "--key",
+        default="queries",
+        help="which per-query map to diff: queries (spark sec, default),"
+        " duckdb (twin sec), or ratio (spark/duckdb — the"
+        " drift-controlled number; use --abs 0.0 with it)",
+    )
     args = ap.parse_args()
-    old, new = load(args.old), load(args.new)
+    old, new = load(args.old, args.key), load(args.new, args.key)
     shared = sorted(set(old) & set(new))
     regs, wins = [], []
     for k in shared:
