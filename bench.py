@@ -274,6 +274,15 @@ def main() -> None:
             return dt
 
         def duck_once() -> float:
+            # settle before the twin's timed window: the preceding
+            # Spark run leaves the JVM with collectable shuffle/codegen
+            # garbage whose concurrent collection steals memory
+            # bandwidth from DuckDB's allocation-heavy list kernels
+            # (A/B measured ~10-20% twin inflation without this; the
+            # residual co-residence gap is bounded each round by the
+            # standalone control in BENCH_ISOLATIONS_r08/README.md)
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.05)
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             return time.perf_counter() - t0
