@@ -40,8 +40,26 @@ def main() -> int:
         " duckdb (twin sec), or ratio (spark/duckdb — the"
         " drift-controlled number; use --abs 0.0 with it)",
     )
+    ap.add_argument(
+        "--min-secs",
+        type=float,
+        default=0.0,
+        help="with --key ratio: ignore queries where either engine"
+        " spends less than this in either file (sub-100ms twin"
+        " denominators make ratios hypersensitive — same-code runs"
+        " calibrated at 1.18x median jitter, BENCH_PAIR_NOTES_r08.md;"
+        " 0.2 is the adjudication rule)",
+    )
     args = ap.parse_args()
     old, new = load(args.old, args.key), load(args.new, args.key)
+    if args.key == "ratio" and args.min_secs > 0:
+        keep = set(old) | set(new)
+        for path in (args.old, args.new):
+            for col in ("queries", "duckdb"):
+                secs = load(path, col)
+                keep &= {k for k in keep if secs.get(k, 0.0) >= args.min_secs}
+        old = {k: v for k, v in old.items() if k in keep}
+        new = {k: v for k, v in new.items() if k in keep}
     shared = sorted(set(old) & set(new))
     regs, wins = [], []
     for k in shared:
