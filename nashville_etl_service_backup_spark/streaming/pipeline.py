@@ -280,9 +280,21 @@ def incremental_rollup(
     window: str = "1 hour",
     ts_col: str = "ts",
     key_col: str = "event_type",
+    commit_log: bool = False,
 ) -> StreamingQuery:
     """Incrementally-maintained hourly rollup (hypertable-style
     continuous aggregate), idempotent under micro-batch replay.
+
+    ``commit_log=True`` runs the write through the manifest commit log
+    (streaming/commitlog.py — the file-based analog of the Postgres
+    transactionality the reference's loader gets for free): the batch
+    directory becomes reader-visible only via an atomic manifest
+    append, so torn/uncommitted writes are never merged, readers get
+    snapshot isolation, and compact_rollup_committed may run
+    concurrently with them. Replay stays idempotent — the re-delivered
+    batch rewrites the same directory and its duplicate `add` is a
+    no-op. Default False preserves the list-the-directory layout the
+    existing tests and oracle queries pin.
 
     Each micro-batch writes ONLY its own partial aggregate (window, key,
     n, total) to ``rollup_path/batch_id=<id>/`` with directory-level
@@ -329,6 +341,12 @@ def incremental_rollup(
         part.write.mode("overwrite").parquet(
             f"{rollup_path.rstrip('/')}/batch_id={batch_id}"
         )
+        if commit_log:
+            from nashville_etl_service_backup_spark.streaming import (
+                commitlog,
+            )
+
+            commitlog.commit(rollup_path, add=[f"batch_id={batch_id}"])
 
     return (
         spark.readStream.schema(schema)
@@ -440,17 +458,32 @@ def read_rollup(
     spark: SparkSession,
     rollup_path: str,
     key_col: str = "event_type",
+    commit_log: bool = False,
 ) -> DataFrame:
     """Serve the continuous aggregate: merge all per-batch partials.
     Missing path is NOT swallowed — a vanished rollup is an error, not a
     cold start (the ADVICE-flagged failure mode). Cells whose count
     reaches 0 are fully-retracted tombstone residue (only
     :func:`forget_from_rollup` writes negative partials) and are
-    dropped from the served view."""
+    dropped from the served view.
+
+    ``commit_log=True`` merges only the directories named live by the
+    manifest log — torn or not-yet-committed partials are invisible,
+    and the listing is a snapshot (a concurrent commit lands wholly
+    before or wholly after it)."""
+    if commit_log:
+        from nashville_etl_service_backup_spark.streaming import commitlog
+
+        paths = commitlog.snapshot_paths(rollup_path)
+        if not paths:
+            raise FileNotFoundError(
+                f"no committed partials under {rollup_path}"
+            )
+        src = spark.read.option("basePath", rollup_path).parquet(*paths)
+    else:
+        src = spark.read.option("basePath", rollup_path).parquet(rollup_path)
     return (
-        spark.read.option("basePath", rollup_path)
-        .parquet(rollup_path)
-        .groupBy("window_start", key_col)
+        src.groupBy("window_start", key_col)
         .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
         .filter(F.col("n") > 0)
     )
@@ -466,6 +499,7 @@ def forget_from_rollup(
     key_col: str = "event_type",
     id_col: str = "event_id",
     forget_id: int = -2,
+    commit_log: bool = False,
 ) -> None:
     """Right-to-be-forgotten RETRACTION for the continuous aggregate —
     the streaming-side leg of the forget cascade (the batch audit is
@@ -506,6 +540,10 @@ def forget_from_rollup(
     part.write.mode("overwrite").parquet(
         f"{rollup_path.rstrip('/')}/batch_id={forget_id}"
     )
+    if commit_log:
+        from nashville_etl_service_backup_spark.streaming import commitlog
+
+        commitlog.commit(rollup_path, add=[f"batch_id={forget_id}"])
 
 
 def compact_rollup(
@@ -547,6 +585,50 @@ def compact_rollup(
     shutil.move(tmp, f"{root}/{final}")  # atomic same-fs rename
     for entry in old:
         shutil.rmtree(f"{root}/{entry}")
+
+
+def compact_rollup_committed(
+    spark: SparkSession,
+    rollup_path: str,
+    key_col: str = "event_type",
+    compact_id: int = -1,
+) -> None:
+    """Commit-log compaction — the transactional upgrade of
+    :func:`compact_rollup` (whose docstring's "use a transactional
+    table format" restriction this lifts): fold the LIVE partials into
+    one ``batch_id=<compact_id>`` directory, then publish the swap as
+    ONE manifest {add: [compacted], remove: [inputs]}. From any
+    concurrent reader's snapshot the rollup flips atomically from
+    all-inputs to compacted-only — there is no over-counted or empty
+    intermediate state, so this may run while the stream and readers
+    are live. Old directories are deleted by commitlog.vacuum, which
+    only ever touches non-live ones.
+
+    The compacted directory is staged under a name that is itself the
+    final name only when free; on re-compaction the previous compacted
+    partial is among the inputs, so the new output stages under the
+    next free ``batch_id=<compact_id - k>`` id (ids ≤ compact_id are
+    reserved for system partials; the stream's non-negative batch ids
+    never collide)."""
+    import os
+
+    from nashville_etl_service_backup_spark.streaming import commitlog
+
+    root = rollup_path.rstrip("/")
+    inputs = commitlog.snapshot(rollup_path)
+    if not inputs:
+        raise FileNotFoundError(f"no committed partials under {root}")
+    merged = read_rollup(spark, rollup_path, key_col=key_col,
+                         commit_log=True)
+    cid = compact_id
+    while f"batch_id={cid}" in inputs or os.path.isdir(
+        f"{root}/batch_id={cid}"
+    ):
+        cid -= 1
+    final = f"batch_id={cid}"
+    merged.write.mode("overwrite").parquet(f"{root}/{final}")
+    commitlog.commit(rollup_path, add=[final], remove=inputs)
+    commitlog.vacuum(rollup_path)
 
 
 def incremental_lsh_dedup(

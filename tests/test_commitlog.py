@@ -1,0 +1,170 @@
+"""Manifest commit log (streaming/commitlog.py) — the transactional
+visibility layer for the file-based continuous aggregates: atomic
+manifest append (CAS on the slot name), snapshot-isolated reads that
+never merge torn/uncommitted directories, one-manifest compaction
+swaps, and vacuum that only ever deletes non-live directories."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+from nashville_etl_service_backup_spark.streaming import commitlog
+
+
+def test_snapshot_folds_adds_and_removes(tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    assert commitlog.snapshot(root) == []
+    i0 = commitlog.commit(root, add=["batch_id=0"])
+    i1 = commitlog.commit(root, add=["batch_id=1"])
+    assert (i0, i1) == (0, 1)
+    assert commitlog.snapshot(root) == ["batch_id=0", "batch_id=1"]
+    i2 = commitlog.commit(
+        root, add=["batch_id=-1"], remove=["batch_id=0", "batch_id=1"]
+    )
+    assert i2 == 2
+    assert commitlog.snapshot(root) == ["batch_id=-1"]
+
+
+def test_duplicate_add_is_a_noop(tmp_path):
+    """foreachBatch replay re-commits the same add — no new manifest,
+    no double entry in the snapshot."""
+    root = str(tmp_path / "t")
+    commitlog.commit(root, add=["batch_id=7"])
+    assert commitlog.commit(root, add=["batch_id=7"]) is None
+    assert commitlog.snapshot(root) == ["batch_id=7"]
+    assert len(commitlog.log_entries(root)) == 1
+
+
+def test_commit_retries_on_claimed_slot(tmp_path):
+    """CAS on the slot name: a pre-claimed next index (a concurrent
+    writer winning the race) makes commit retry the following one."""
+    root = str(tmp_path / "t")
+    commitlog.commit(root, add=["batch_id=0"])
+    cd = os.path.join(root, "_commits")
+    # simulate a rival writer owning slot 1
+    with open(os.path.join(cd, "00000001.json"), "w") as f:
+        json.dump({"add": ["batch_id=9"], "remove": []}, f)
+    idx = commitlog.commit(root, add=["batch_id=2"])
+    assert idx == 2
+    assert commitlog.snapshot(root) == [
+        "batch_id=0", "batch_id=2", "batch_id=9"
+    ]
+
+
+def test_vacuum_deletes_only_nonlive(tmp_path):
+    root = str(tmp_path / "t")
+    for d in ("batch_id=0", "batch_id=1", "batch_id=torn"):
+        os.makedirs(os.path.join(root, d))
+    commitlog.commit(root, add=["batch_id=0", "batch_id=1"])
+    removed = commitlog.vacuum(root)
+    assert removed == ["batch_id=torn"]
+    assert sorted(os.listdir(root)) == [
+        "_commits", "batch_id=0", "batch_id=1"
+    ]
+
+
+def _write_events(spark, src, rows, ids):
+    spark.createDataFrame(
+        [
+            (i, datetime.fromisoformat(ts), et, v)
+            for i, (ts, et, v) in zip(ids, rows)
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+
+def _state(spark, roll):
+    from nashville_etl_service_backup_spark.streaming.pipeline import (
+        read_rollup,
+    )
+
+    return {
+        (str(r["window_start"]), r["event_type"]): (r["n"], float(r["total"]))
+        for r in read_rollup(spark, roll, commit_log=True).collect()
+    }
+
+
+def test_committed_rollup_end_to_end(spark, tmp_path):
+    """incremental_rollup(commit_log=True): two micro-batch rounds plus
+    a crash replay match the batch twin; a torn (uncommitted) partial
+    is invisible to readers; compact_rollup_committed swaps atomically
+    in one manifest and vacuums the inputs; forget_from_rollup's
+    retraction partial goes through the log too."""
+    from nashville_etl_service_backup_spark.streaming.pipeline import (
+        compact_rollup_committed,
+        forget_from_rollup,
+        incremental_rollup,
+    )
+
+    src = str(tmp_path / "ev")
+    roll = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = [
+        ("2024-01-01T10:05:00", "click", 1.5),
+        ("2024-01-01T10:40:00", "click", 2.0),
+        ("2024-01-01T11:10:00", "view", 4.0),
+    ]
+    b2 = [
+        ("2024-01-01T10:59:00", "click", 0.5),
+        ("2024-01-01T09:30:00", "view", 3.25),
+    ]
+    _write_events(spark, src, b1, [1, 2, 3])
+    incremental_rollup(
+        spark, src, roll, ckpt, commit_log=True
+    ).awaitTermination(120)
+    _write_events(spark, src, b2, [4, 5])
+    incremental_rollup(
+        spark, src, roll, ckpt, commit_log=True
+    ).awaitTermination(120)
+
+    expected = {
+        ("2024-01-01 10:00:00", "click"): (3, 4.0),
+        ("2024-01-01 11:00:00", "view"): (1, 4.0),
+        ("2024-01-01 09:00:00", "view"): (1, 3.25),
+    }
+    assert _state(spark, roll) == expected
+
+    # torn write: a directory with NO manifest is invisible
+    spark.createDataFrame(
+        [("2024-01-01 10:00:00", "click", 999, 999.0)],
+        "window_start string, event_type string, n long, total double",
+    ).write.mode("overwrite").parquet(f"{roll}/batch_id=999")
+    assert _state(spark, roll) == expected
+
+    # crash replay: drop the last checkpoint commit; the re-executed
+    # batch rewrites its directory and its duplicate add is a no-op
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    incremental_rollup(
+        spark, src, roll, ckpt, commit_log=True
+    ).awaitTermination(120)
+    assert _state(spark, roll) == expected
+
+    # compaction: one-manifest swap, values identical, inputs vacuumed
+    # (including the torn orphan), re-compaction also works
+    n_manifests = len(commitlog.log_entries(roll))
+    compact_rollup_committed(spark, roll)
+    assert _state(spark, roll) == expected
+    assert len(commitlog.log_entries(roll)) == n_manifests + 1
+    live = commitlog.snapshot(roll)
+    assert live == ["batch_id=-1"]
+    assert sorted(e for e in os.listdir(roll) if e != "_commits") == live
+
+    # forget: retraction partial through the log; click event 2 erased
+    tomb = spark.createDataFrame([(2,)], "event_id long")
+    forget_from_rollup(
+        spark, src, roll, tomb, forget_id=-100, commit_log=True
+    )
+    got = _state(spark, roll)
+    assert got[("2024-01-01 10:00:00", "click")] == (2, 2.0)
+    compact_rollup_committed(spark, roll)
+    assert _state(spark, roll) == got
+    assert commitlog.snapshot(roll) == ["batch_id=-2"]
