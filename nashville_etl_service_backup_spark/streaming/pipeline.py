@@ -651,6 +651,43 @@ def compact_rollup_committed(
     commitlog.vacuum(rollup_path)
 
 
+def _gate_store(batch: DataFrame, path: str, batch_id: int,
+                commit_log: bool) -> DataFrame | None:
+    """Prior-state read shared by the cross-batch novelty gates: every
+    stored partial EXCEPT the current batch's own (the replay
+    self-exclusion — an at-least-once re-delivery must not flag its
+    docs as duplicates of its own half-written state). None = cold
+    start. With ``commit_log`` the read is manifest-committed-only, so
+    a torn partial from a crashed writer can also never poison the
+    probe."""
+    if commit_log:
+        from nashville_etl_service_backup_spark.streaming import commitlog
+
+        paths = [
+            p
+            for p in commitlog.snapshot_paths(path)
+            if not p.endswith(f"batch_id={batch_id}")
+        ]
+        if not paths:
+            return None
+        return batch.sparkSession.read.option("basePath", path).parquet(
+            *paths
+        )
+    try:
+        store = batch.sparkSession.read.option("basePath", path).parquet(
+            path
+        )
+    except AnalysisException as exc:
+        # only PATH-ABSENT is cold start; re-raise anything else
+        # (the blanket-except failure class round-2 ADVICE flagged)
+        if "PATH_NOT_FOUND" not in str(exc) and (
+            "does not exist" not in str(exc)
+        ):
+            raise
+        return None
+    return store.filter(F.col("batch_id") != batch_id)
+
+
 def incremental_lsh_dedup(
     spark: SparkSession,
     docs_path: str,
@@ -660,6 +697,7 @@ def incremental_lsh_dedup(
     shingle_n: int = 2,
     num_hashes: int = 4,
     bands: int = 2,
+    commit_log: bool = False,
 ) -> StreamingQuery:
     """T4 for NEAR-duplicates: a cross-batch MinHash-LSH gate over a
     persistent signature store. Each micro-batch of (doc_id, text) is
@@ -700,20 +738,8 @@ def incremental_lsh_dedup(
             batch, "doc_id", "text", shingle_n, num_hashes, bands
         ).persist()
         try:
-            try:
-                store = batch.sparkSession.read.option(
-                    "basePath", sig_path
-                ).parquet(sig_path)
-            except AnalysisException as exc:
-                # only PATH-ABSENT is cold start; re-raise anything else
-                # (the blanket-except failure class round-2 ADVICE flagged)
-                if "PATH_NOT_FOUND" not in str(exc) and (
-                    "does not exist" not in str(exc)
-                ):
-                    raise
-                store = None
-            if store is not None:
-                prior = store.filter(F.col("batch_id") != batch_id)
+            prior = _gate_store(batch, sig_path, batch_id, commit_log)
+            if prior is not None:
                 dup_ids = (
                     sig.join(prior, ["band_idx", "band_hash"], "left_semi")
                     .select("doc_id")
@@ -738,6 +764,13 @@ def incremental_lsh_dedup(
             audit.write.mode("overwrite").parquet(
                 f"{audit_path.rstrip('/')}/batch_id={batch_id}"
             )
+            if commit_log:
+                from nashville_etl_service_backup_spark.streaming import (
+                    commitlog,
+                )
+
+                commitlog.commit(sig_path, add=[f"batch_id={batch_id}"])
+                commitlog.commit(audit_path, add=[f"batch_id={batch_id}"])
         finally:
             sig.unpersist()
 
@@ -752,13 +785,19 @@ def incremental_lsh_dedup(
     )
 
 
-def read_dedup_audit(spark: SparkSession, audit_path: str) -> DataFrame:
-    """Per-batch novelty audit, one row per processed micro-batch."""
-    return (
-        spark.read.option("basePath", audit_path)
-        .parquet(audit_path)
-        .select("batch_id", "n_docs", "n_dup_candidates")
-        .orderBy("batch_id")
+def read_dedup_audit(
+    spark: SparkSession, audit_path: str, commit_log: bool = False
+) -> DataFrame:
+    """Per-batch novelty audit, one row per processed micro-batch.
+    ``commit_log=True`` reads only manifest-committed batches."""
+    if commit_log:
+        from nashville_etl_service_backup_spark.streaming import commitlog
+
+        src = commitlog.read_committed(spark, audit_path)
+    else:
+        src = spark.read.option("basePath", audit_path).parquet(audit_path)
+    return src.select("batch_id", "n_docs", "n_dup_candidates").orderBy(
+        "batch_id"
     )
 
 
@@ -771,6 +810,7 @@ def incremental_bloom_gate(
     key_col: str = "doc_id",
     k: int = 4,
     m: int = 4096,
+    commit_log: bool = False,
 ) -> StreamingQuery:
     """T4's bounded-memory variant: a cross-batch EXACT-KEY novelty
     gate backed by a persistent Bloom filter (operators/sketch.py math)
@@ -802,20 +842,10 @@ def incremental_bloom_gate(
                     F.array(*[_bucket(key, i, m) for i in range(k)])
                 ).alias("pos"),
             )
-            try:
-                store = batch.sparkSession.read.option(
-                    "basePath", bloom_path
-                ).parquet(bloom_path)
-            except AnalysisException as exc:
-                if "PATH_NOT_FOUND" not in str(exc) and (
-                    "does not exist" not in str(exc)
-                ):
-                    raise
-                store = None
+            store = _gate_store(batch, bloom_path, batch_id, commit_log)
             if store is not None:
                 prior = (
-                    store.filter(F.col("batch_id") != batch_id)
-                    .select("pos")
+                    store.select("pos")
                     .distinct()
                     .withColumn("_h", F.lit(1))
                 )
@@ -846,6 +876,13 @@ def incremental_bloom_gate(
             audit.write.mode("overwrite").parquet(
                 f"{audit_path.rstrip('/')}/batch_id={batch_id}"
             )
+            if commit_log:
+                from nashville_etl_service_backup_spark.streaming import (
+                    commitlog,
+                )
+
+                commitlog.commit(bloom_path, add=[f"batch_id={batch_id}"])
+                commitlog.commit(audit_path, add=[f"batch_id={batch_id}"])
         finally:
             keys.unpersist()
 
@@ -860,11 +897,17 @@ def incremental_bloom_gate(
     )
 
 
-def read_bloom_audit(spark: SparkSession, audit_path: str) -> DataFrame:
-    """Per-batch Bloom-gate audit, one row per processed micro-batch."""
-    return (
-        spark.read.option("basePath", audit_path)
-        .parquet(audit_path)
-        .select("batch_id", "n_docs", "n_flagged")
-        .orderBy("batch_id")
+def read_bloom_audit(
+    spark: SparkSession, audit_path: str, commit_log: bool = False
+) -> DataFrame:
+    """Per-batch Bloom-gate audit, one row per processed micro-batch.
+    ``commit_log=True`` reads only manifest-committed batches."""
+    if commit_log:
+        from nashville_etl_service_backup_spark.streaming import commitlog
+
+        src = commitlog.read_committed(spark, audit_path)
+    else:
+        src = spark.read.option("basePath", audit_path).parquet(audit_path)
+    return src.select("batch_id", "n_docs", "n_flagged").orderBy(
+        "batch_id"
     )

@@ -232,3 +232,131 @@ def test_committed_cms_and_hll_ignore_torn_partials(spark, tmp_path):
     assert read_cms(spark, cms).count() != len(want_cms) or True
     assert commitlog.vacuum(cms) == ["batch_id=999"]
     assert commitlog.vacuum(hll) == ["batch_id=999"]
+
+
+def test_committed_lsh_gate_crash_replay_and_torn_store(spark, tmp_path):
+    """incremental_lsh_dedup(commit_log=True): verdicts and store match
+    the plain-layout gate across a crash replay, a torn signature
+    partial never poisons the novelty probe, and both stores' manifests
+    track exactly the processed batches."""
+    from nashville_etl_service_backup_spark.streaming.pipeline import (
+        incremental_lsh_dedup,
+        read_dedup_audit,
+    )
+
+    src = str(tmp_path / "docs")
+    sig = str(tmp_path / "sigs")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run_gate():
+        q = incremental_lsh_dedup(
+            spark, src, sig, audit, ckpt, commit_log=True
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    write([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different subject matter entirely here"),
+    ])
+    run_gate()
+
+    # torn partial: a crashed writer's uncommitted signatures for a doc
+    # whose bands WOULD collide with doc 3 — must not flag anything
+    spark.read.option("basePath", sig).parquet(
+        *commitlog.snapshot_paths(sig)
+    ).limit(2).write.mode("overwrite").parquet(f"{sig}/batch_id=777")
+
+    write([
+        (3, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        (4, "yet another wholly novel document body text"),
+    ])
+    run_gate()
+
+    rows = {
+        r["batch_id"]: (r["n_docs"], r["n_dup_candidates"])
+        for r in read_dedup_audit(spark, audit, commit_log=True).collect()
+    }
+    assert rows == {0: (2, 0), 1: (2, 1)}
+    stored = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", sig)
+        .parquet(*commitlog.snapshot_paths(sig))
+        .collect()
+    }
+    assert stored == {1, 2, 4}
+    assert commitlog.snapshot(sig) == ["batch_id=0", "batch_id=1"]
+    assert commitlog.snapshot(audit) == ["batch_id=0", "batch_id=1"]
+
+    # crash replay of batch 1: identical verdicts, no new manifests
+    # beyond the no-op duplicate adds
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    n_sig, n_aud = (
+        len(commitlog.log_entries(sig)),
+        len(commitlog.log_entries(audit)),
+    )
+    run_gate()
+    rows = {
+        r["batch_id"]: (r["n_docs"], r["n_dup_candidates"])
+        for r in read_dedup_audit(spark, audit, commit_log=True).collect()
+    }
+    assert rows == {0: (2, 0), 1: (2, 1)}
+    assert len(commitlog.log_entries(sig)) == n_sig
+    assert len(commitlog.log_entries(audit)) == n_aud
+    assert commitlog.vacuum(sig) == ["batch_id=777"]
+
+
+def test_committed_bloom_gate_ignores_torn_positions(spark, tmp_path):
+    """incremental_bloom_gate(commit_log=True): an uncommitted torn
+    position partial (which would make every key look already-seen)
+    never reaches the probe."""
+    from nashville_etl_service_backup_spark.streaming.pipeline import (
+        incremental_bloom_gate,
+        read_bloom_audit,
+    )
+
+    src = str(tmp_path / "docs")
+    bloom = str(tmp_path / "bloom")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = incremental_bloom_gate(
+        spark, src, bloom, audit, ckpt, commit_log=True
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    # torn partial saturating every position — uncommitted, invisible
+    spark.range(4096).selectExpr("cast(id as int) as pos").write.mode(
+        "overwrite"
+    ).parquet(f"{bloom}/batch_id=888")
+
+    spark.createDataFrame(
+        [(1, "a"), (9, "z")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = incremental_bloom_gate(
+        spark, src, bloom, audit, ckpt, commit_log=True
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    rows = {
+        r["batch_id"]: (r["n_docs"], r["n_flagged"])
+        for r in read_bloom_audit(spark, audit, commit_log=True).collect()
+    }
+    # key 1 repeats (flagged); key 9 is novel — the torn saturating
+    # partial would have flagged it too
+    assert rows == {0: (2, 0), 1: (2, 1)}
+    assert commitlog.vacuum(bloom) == ["batch_id=888"]
