@@ -297,20 +297,24 @@ def main() -> None:
             if i < d_total:
                 d_times.append(duck_once())
         timings[name] = round(min(s_times), 3)
-        duck[name] = round(min(d_times), 3) if d_times else None
+        # keep enough digits that a sub-millisecond twin never rounds
+        # to 0.0 — `is not None` (not truthiness) decides presence, so
+        # a measured-but-tiny twin still participates in totals/ratio
+        # (round-8 ADVICE)
+        duck[name] = round(min(d_times), 6) if d_times else None
         ratio[name] = (
             round(timings[name] / duck[name], 3)
-            if duck[name]
+            if duck[name] is not None and duck[name] > 0
             else None
         )
         runs_used[name] = {"spark": len(s_times), "duckdb": len(d_times)}
 
     total = round(sum(timings.values()), 3)
-    paired = [n for n in HEADLINE if duck.get(n)]
-    duck_total = round(sum(duck[n] for n in paired), 3) if paired else None
+    paired = [n for n in HEADLINE if duck.get(n) is not None]
+    duck_total = round(sum(duck[n] for n in paired), 6) if paired else None
     pair_ratio = (
         round(sum(timings[n] for n in paired) / duck_total, 3)
-        if duck_total
+        if duck_total is not None and duck_total > 0
         else None
     )
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -39,9 +39,15 @@ names them) without the format's schema/stats machinery:
   snapshot isolation at directory granularity.
 - REPLAY idempotence: foreachBatch re-delivery re-writes the same
   directory content and re-commits the same `add`; the fold is
-  set-valued, so a duplicate add is harmless (and `commit` skips the
-  manifest entirely when the adds are already live and nothing is
-  removed).
+  set-valued, so a duplicate add is harmless. `commit` skips the
+  manifest entirely when every add was EVER added before and nothing
+  is removed — "ever", not "currently live", so a replay of batch N
+  that lands after compaction already folded N away cannot resurrect
+  it next to its copy inside the compacted directory (the Delta
+  per-writer-txn idea at directory granularity; round-8 ADVICE).
+  Re-introducing a previously-removed name is still possible, but
+  only via a manifest that also removes something (the compaction
+  swap shape) — never via a bare replayed add.
 - COMPACTION: write the folded directory, then ONE manifest
   {add: [compacted], remove: [inputs]} — the reader-visible swap is a
   single atomic link, so compaction may now run concurrently with
@@ -90,27 +96,52 @@ def log_entries(root: str) -> list[tuple[int, dict]]:
     return out
 
 
-def snapshot(root: str) -> list[str]:
+def snapshot(root: str, as_of: int | None = None) -> list[str]:
     """The live relative directory names: fold of add/remove over the
-    ordered log. Sorted for deterministic plans."""
+    ordered log. Sorted for deterministic plans.
+
+    ``as_of`` folds only manifests with index ≤ as_of — time travel to
+    the table state right after that commit (Delta's VERSION AS OF).
+    Correct as long as the named directories haven't been vacuumed;
+    pair with a retention policy at the call site. Makes audits (e.g.
+    the forget-cascade checks) reproducible against a pinned version
+    instead of whatever the log has grown to since."""
     live: set[str] = set()
-    for _, manifest in log_entries(root):
+    for idx, manifest in log_entries(root):
+        if as_of is not None and idx > as_of:
+            break
         live.difference_update(manifest.get("remove", ()))
         live.update(manifest.get("add", ()))
     return sorted(live)
 
 
-def snapshot_paths(root: str) -> list[str]:
+def snapshot_paths(root: str, as_of: int | None = None) -> list[str]:
     """Absolute paths of the live directories (reader input)."""
     r = root.rstrip("/")
-    return [f"{r}/{d}" for d in snapshot(root)]
+    return [f"{r}/{d}" for d in snapshot(root, as_of=as_of)]
+
+
+def ever_added(root: str) -> set[str]:
+    """Every directory name any manifest has EVER added, live or not.
+    The replay no-op check and compaction's fresh-name pick both key
+    off this set rather than the live fold, so a name that compaction
+    folded away can never be silently resurrected (by a replayed add)
+    nor physically overwritten (by a re-used compaction id) while an
+    in-flight reader may still hold its path."""
+    seen: set[str] = set()
+    for _, m in log_entries(root):
+        seen.update(m.get("add", ()))
+    return seen
 
 
 def commit(root: str, add: list[str] | None = None,
            remove: list[str] | None = None) -> int | None:
     """Atomically append a manifest; returns its index, or None when
-    the commit would be a no-op (every `add` already live, nothing to
-    remove) — the foreachBatch replay path.
+    the commit would be a no-op (every `add` was ever added before,
+    nothing to remove) — the foreachBatch replay path. The check is
+    against the EVER-added set, not the live fold: a re-delivered
+    batch whose directory compaction already folded away must stay
+    invisible, not be double-counted next to its compacted copy.
 
     Claims the next slot with write-temp + fsync + os.link (EEXIST on
     a lost race → re-read, retry next slot)."""
@@ -124,12 +155,12 @@ def commit(root: str, add: list[str] | None = None,
     while True:
         entries = log_entries(root)
         if not remove:
-            live = set()
+            seen: set[str] = set()
             for _, m in entries:
-                live.difference_update(m.get("remove", ()))
-                live.update(m.get("add", ()))
-            if set(add) <= live:
-                return None  # replayed batch: already visible
+                seen.update(m.get("add", ()))
+            if set(add) <= seen:
+                return None  # replayed batch: already visible (or
+                # already folded away by compaction — stays invisible)
         idx = entries[-1][0] + 1 if entries else 0
         tmp = os.path.join(cd, f".tmp-{idx}-{os.getpid()}.json")
         with open(tmp, "wb") as f:
@@ -146,29 +177,51 @@ def commit(root: str, add: list[str] | None = None,
             os.unlink(tmp)
 
 
-def read_committed(spark, root: str):
+def read_committed(spark, root: str, as_of: int | None = None):
     """Reader-side helper shared by the rollup/CMS/HLL sinks: a
     DataFrame over exactly the live directories (snapshot isolation),
-    erroring — not cold-starting — when nothing is committed."""
-    paths = snapshot_paths(root)
+    erroring — not cold-starting — when nothing is committed.
+    ``as_of`` time-travels to the state after manifest ``as_of``."""
+    paths = snapshot_paths(root, as_of=as_of)
     if not paths:
         raise FileNotFoundError(f"no committed partials under {root}")
     return spark.read.option("basePath", root).parquet(*paths)
 
 
-def vacuum(root: str) -> list[str]:
-    """Delete data directories that are NOT in the current snapshot
-    (compaction leftovers, torn/uncommitted writes). Never touches a
-    live directory or the log itself. Returns what it removed."""
+def vacuum(root: str, only: list[str] | None = None) -> list[str]:
+    """Delete data directories that are NOT in the current snapshot.
+    Never touches a live directory or the log itself. Returns what it
+    removed.
+
+    ``only`` restricts deletion to the named directories (still
+    intersected with not-live). Compaction passes the exact input set
+    it removed, because a FULL vacuum concurrent with a live stream is
+    unsafe: a batch directory already written but not yet committed is
+    indistinguishable from a crash orphan, and deleting it would break
+    the writer's imminent commit permanently (the checkpoint advances,
+    the batch is never re-delivered — round-8 ADVICE). Run the
+    unrestricted form only while no writer is mid write-then-commit
+    (e.g. with the stream stopped).
+
+    Reader caveat (documented, not solved — Delta has the same race
+    and answers it with a retention window): a DataFrame built from a
+    snapshot taken BEFORE the directories were removed will fail with
+    FileNotFoundException if it reads after vacuum deletes its inputs.
+    Fail-loud, never wrong data; long-running readers should re-read
+    from a fresh snapshot on failure, or vacuum should be deferred by
+    a retention delay at the call site."""
     import shutil
 
     r = root.rstrip("/")
     if not os.path.isdir(r):
         return []
     live = set(snapshot(root))
+    candidates = set(only) if only is not None else None
     removed = []
     for entry in os.listdir(r):
         if entry == _COMMITS or entry in live:
+            continue
+        if candidates is not None and entry not in candidates:
             continue
         p = os.path.join(r, entry)
         if os.path.isdir(p):

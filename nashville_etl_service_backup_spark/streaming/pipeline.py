@@ -624,12 +624,23 @@ def compact_rollup_committed(
     are live. Old directories are deleted by commitlog.vacuum, which
     only ever touches non-live ones.
 
-    The compacted directory is staged under a name that is itself the
-    final name only when free; on re-compaction the previous compacted
-    partial is among the inputs, so the new output stages under the
-    next free ``batch_id=<compact_id - k>`` id (ids ≤ compact_id are
-    reserved for system partials; the stream's non-negative batch ids
-    never collide)."""
+    The commit-log snapshot is taken ONCE and that single list is both
+    the merge input and the manifest's ``remove`` set (round-8 ADVICE:
+    two separate snapshots let a batch committed between them be
+    folded into the compacted directory yet stay live — double
+    counting). A batch committed after the snapshot is neither folded
+    nor removed; the next compaction picks it up.
+
+    The compacted directory stages under the first ``batch_id=
+    <compact_id - k>`` id never named by ANY past manifest (ids ≤
+    compact_id are reserved for system partials; the stream's
+    non-negative batch ids never collide) — never-reuse, so an
+    in-flight reader of a prior compacted snapshot can't see its
+    directory overwritten. Old directories are vacuumed TARGETED to
+    exactly the input set this compaction removed: a full vacuum here
+    would race a live writer mid write-then-commit, deleting a
+    written-but-uncommitted batch directory that is indistinguishable
+    from a crash orphan (round-8 ADVICE)."""
     import os
 
     from nashville_etl_service_backup_spark.streaming import commitlog
@@ -638,17 +649,24 @@ def compact_rollup_committed(
     inputs = commitlog.snapshot(rollup_path)
     if not inputs:
         raise FileNotFoundError(f"no committed partials under {root}")
-    merged = read_rollup(spark, rollup_path, key_col=key_col,
-                         commit_log=True)
+    merged = (
+        spark.read.option("basePath", root)
+        .parquet(*(f"{root}/{d}" for d in inputs))
+        .groupBy("window_start", key_col)
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .filter(F.col("n") > 0)
+    )
+    used = commitlog.ever_added(rollup_path)
     cid = compact_id
-    while f"batch_id={cid}" in inputs or os.path.isdir(
-        f"{root}/batch_id={cid}"
+    while (
+        f"batch_id={cid}" in used
+        or os.path.isdir(f"{root}/batch_id={cid}")
     ):
         cid -= 1
     final = f"batch_id={cid}"
     merged.write.mode("overwrite").parquet(f"{root}/{final}")
     commitlog.commit(rollup_path, add=[final], remove=inputs)
-    commitlog.vacuum(rollup_path)
+    commitlog.vacuum(rollup_path, only=inputs)
 
 
 def _gate_store(batch: DataFrame, path: str, batch_id: int,

@@ -10,6 +10,8 @@ import json
 import os
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from nashville_etl_service_backup_spark.streaming import commitlog
 
 
@@ -64,6 +66,68 @@ def test_vacuum_deletes_only_nonlive(tmp_path):
     assert sorted(os.listdir(root)) == [
         "_commits", "batch_id=0", "batch_id=1"
     ]
+
+
+def test_vacuum_only_restricts_the_sweep(tmp_path):
+    """Targeted vacuum (compaction's mode): deletes the named non-live
+    directories and nothing else — an uncommitted directory outside the
+    set (a possibly in-flight writer) survives, and a LIVE directory
+    inside the set is still protected."""
+    root = str(tmp_path / "t")
+    for d in ("batch_id=0", "batch_id=1", "batch_id=2", "batch_id=inflight"):
+        os.makedirs(os.path.join(root, d))
+    commitlog.commit(root, add=["batch_id=0", "batch_id=2"])
+    commitlog.commit(root, add=["batch_id=-1"], remove=["batch_id=0"])
+    removed = commitlog.vacuum(
+        root, only=["batch_id=0", "batch_id=1", "batch_id=2"]
+    )
+    # 0 removed (non-live, named), 1 removed (orphan, named),
+    # 2 protected (live), inflight protected (not named)
+    assert removed == ["batch_id=0", "batch_id=1"]
+    assert sorted(os.listdir(root)) == [
+        "_commits", "batch_id=2", "batch_id=inflight"
+    ]
+
+
+def test_replayed_add_after_compaction_stays_invisible(tmp_path):
+    """Round-8 ADVICE: the no-op check is against EVER-added names.
+    Compaction folds batch 1 away; an at-least-once re-delivery then
+    re-commits add=[batch_id=1] — it must NOT resurrect the directory
+    next to its copy inside the compacted one."""
+    root = str(tmp_path / "t")
+    commitlog.commit(root, add=["batch_id=0"])
+    commitlog.commit(root, add=["batch_id=1"])
+    commitlog.commit(
+        root, add=["batch_id=-1"], remove=["batch_id=0", "batch_id=1"]
+    )
+    assert commitlog.commit(root, add=["batch_id=1"]) is None
+    assert commitlog.snapshot(root) == ["batch_id=-1"]
+    assert commitlog.ever_added(root) == {
+        "batch_id=-1", "batch_id=0", "batch_id=1"
+    }
+    # a compaction-shaped manifest (non-empty remove) can still
+    # re-introduce a name — the swap path is never blocked
+    idx = commitlog.commit(
+        root, add=["batch_id=-2"], remove=["batch_id=-1"]
+    )
+    assert idx == 3
+
+
+def test_snapshot_time_travel(tmp_path):
+    """as_of folds only manifests ≤ N — Delta's VERSION AS OF at
+    directory granularity."""
+    root = str(tmp_path / "t")
+    commitlog.commit(root, add=["batch_id=0"])
+    commitlog.commit(root, add=["batch_id=1"])
+    commitlog.commit(
+        root, add=["batch_id=-1"], remove=["batch_id=0", "batch_id=1"]
+    )
+    assert commitlog.snapshot(root, as_of=0) == ["batch_id=0"]
+    assert commitlog.snapshot(root, as_of=1) == [
+        "batch_id=0", "batch_id=1"
+    ]
+    assert commitlog.snapshot(root, as_of=2) == ["batch_id=-1"]
+    assert commitlog.snapshot(root) == ["batch_id=-1"]
 
 
 def _write_events(spark, src, rows, ids):
@@ -128,6 +192,20 @@ def test_committed_rollup_end_to_end(spark, tmp_path):
     }
     assert _state(spark, roll) == expected
 
+    # time travel: manifest 0 is batch 1 alone — the pinned-version
+    # read reproduces the pre-batch-2 state exactly
+    as_of0 = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], float(r["total"]))
+        for r in commitlog.read_committed(spark, roll, as_of=0)
+        .groupBy("window_start", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .collect()
+    }
+    assert as_of0 == {
+        ("2024-01-01 10:00:00", "click"): (2, 3.5),
+        ("2024-01-01 11:00:00", "view"): (1, 4.0),
+    }
+
     # torn write: a directory with NO manifest is invisible
     spark.createDataFrame(
         [("2024-01-01 10:00:00", "click", 999, 999.0)],
@@ -149,13 +227,19 @@ def test_committed_rollup_end_to_end(spark, tmp_path):
     assert _state(spark, roll) == expected
 
     # compaction: one-manifest swap, values identical, inputs vacuumed
-    # (including the torn orphan), re-compaction also works
+    # TARGETED (the torn orphan is deliberately left — it could be an
+    # in-flight writer's uncommitted batch; round-8 ADVICE); a full
+    # vacuum with the stream stopped sweeps it
     n_manifests = len(commitlog.log_entries(roll))
     compact_rollup_committed(spark, roll)
     assert _state(spark, roll) == expected
     assert len(commitlog.log_entries(roll)) == n_manifests + 1
     live = commitlog.snapshot(roll)
     assert live == ["batch_id=-1"]
+    assert sorted(e for e in os.listdir(roll) if e != "_commits") == [
+        "batch_id=-1", "batch_id=999"
+    ]
+    assert commitlog.vacuum(roll) == ["batch_id=999"]
     assert sorted(e for e in os.listdir(roll) if e != "_commits") == live
 
     # forget: retraction partial through the log; click event 2 erased
