@@ -61,6 +61,8 @@ HEADLINE = [
     "q_asof_join",
     "q_range_join",
     "q_etl_pipeline",
+    "q_etl_from_bronze",  # same pipeline post-parse: the standing
+    # number that makes q_etl_pipeline's JSON-parse floor measurable
     "dedup_lsh_pairs",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",

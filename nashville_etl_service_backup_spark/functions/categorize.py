@@ -63,7 +63,8 @@ def detect_genre(text: Column) -> Column:
 
 
 def categorize_event(
-    name: Column, description: Column | None = None, venue: Column | None = None
+    name: Column, description: Column | None = None, venue: Column | None = None,
+    combined: Column | None = None,
 ) -> tuple[Column, Column]:
     """Returns (category, genre) Columns (categorizer.py:1-14).
 
@@ -73,10 +74,18 @@ def categorize_event(
     matched, or nothing matched → category 'music') instead of
     re-embedding the whole category cascade, keeping generated code
     small.
+
+    ``combined`` lets the caller pass an already-STAGED
+    lower(name)+desc+venue column: the cascade references it ~40 times
+    (one per keyword contains), and codegen's subexpression elimination
+    does not reach across when-branches, so without staging the
+    lower+concat is re-evaluated per keyword (the same round-2 staging
+    device as etl_e2e._raw_zone; A/B in BENCH_ISOLATIONS_r09).
     """
     description = description if description is not None else F.lit(None)
     venue = venue if venue is not None else F.lit(None)
-    combined = _combined(name, description, venue)
+    if combined is None:
+        combined = _combined(name, description, venue)
 
     conds = [(cat, _any_contains(combined, kws)) for cat, kws in CATEGORY_KEYWORDS]
     category = None
@@ -107,10 +116,11 @@ def categorize_with_trust_gate(
     name: Column,
     description: Column | None = None,
     venue: Column | None = None,
+    combined: Column | None = None,
 ) -> tuple[Column, Column]:
     """F9 (transformer.py:17-25): recategorize unless the source is trusted
     AND a category is already present ('' counts as absent)."""
-    cat, gen = categorize_event(name, description, venue)
+    cat, gen = categorize_event(name, description, venue, combined=combined)
     keep = source.isin(*TRUSTED_SOURCES) & existing_category.isNotNull() & (
         existing_category != F.lit("")
     )

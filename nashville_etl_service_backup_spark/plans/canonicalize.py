@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nashville_etl_service_backup_spark.functions.categorize import (
+    _combined as _categorize_combined,
     categorize_with_trust_gate,
 )
 from nashville_etl_service_backup_spark.functions.cleaning import (
@@ -55,6 +56,17 @@ def _nonempty(c: Column) -> Column:
     return c.isNotNull() & (c != "")
 
 
+def parse_raw(raw: DataFrame) -> DataFrame:
+    """The bronze parse: one `from_json` over the raw zone. Split out of
+    :func:`canonicalize` so the ETL bench can measure the pipeline from
+    the parsed-bronze frame separately (the Jackson parse is the
+    dominant single stage of q_etl_pipeline — VERDICT r8 Next #2)."""
+    return raw.select(
+        "source_spider",
+        F.from_json("raw_json", RAW_ITEM_SCHEMA).alias("r"),
+    )
+
+
 def canonicalize(raw: DataFrame) -> DataFrame:
     """Dispatch + project: transform_data.py:526-556 as one narrow pass.
 
@@ -64,11 +76,14 @@ def canonicalize(raw: DataFrame) -> DataFrame:
     Rows whose source_spider matches no dispatch rule are dropped
     (the reference warns + skips, transform_data.py:542-544).
     """
+    return canonicalize_bronze(parse_raw(raw))
+
+
+def canonicalize_bronze(parsed: DataFrame) -> DataFrame:
+    """Dispatch + project from the PARSED bronze frame (source_spider
+    string, r struct<RAW_ITEM_SCHEMA>) — everything in
+    :func:`canonicalize` after the from_json."""
     s = F.col("source_spider")
-    parsed = raw.select(
-        "source_spider",
-        F.from_json("raw_json", RAW_ITEM_SCHEMA).alias("r"),
-    )
     r = F.col("r")
 
     # Dispatch key — same predicates (incl. prefix/substring rules) as
@@ -179,6 +194,16 @@ def standardize(canonical: DataFrame, now_year: int | None = None) -> DataFrame:
         standardize_date(F.col("event_date"), F.col("source_spider"), now_year),
     ).withColumn("venue_name", standardize_venue_name(F.col("venue_name")))
     df = df.withColumn("price", standardize_price(F.col("price_raw")))
+    # stage the combined lowered text ONCE: the categorize cascade
+    # references it once per keyword contains, and CollapseProject
+    # keeps the staging projection separate because the alias is
+    # expensive and multiply-referenced (the _raw_zone staging device)
+    df = df.withColumn(
+        "_combined",
+        _categorize_combined(
+            F.col("name"), F.col("description"), F.col("venue_name")
+        ),
+    )
     cat, gen = categorize_with_trust_gate(
         F.col("source_spider"),
         F.col("category"),
@@ -186,6 +211,7 @@ def standardize(canonical: DataFrame, now_year: int | None = None) -> DataFrame:
         F.col("name"),
         F.col("description"),
         F.col("venue_name"),
+        combined=F.col("_combined"),
     )
     return (
         df.withColumn("category", cat)
@@ -207,3 +233,17 @@ def run_pipeline(raw: DataFrame, now_year: int | None = None) -> DataFrame:
     deterministic per row, so the result is identical either side of
     the dedup."""
     return standardize(canonicalize(raw).dropDuplicates(["url"]), now_year)
+
+
+def run_pipeline_from_bronze(
+    parsed: DataFrame, now_year: int | None = None
+) -> DataFrame:
+    """:func:`run_pipeline` minus the from_json parse — consumes the
+    parsed bronze frame directly. Same dispatch/dedup/standardize plan;
+    exists so the ETL bench can hold a standing number for the
+    post-parse pipeline (the parse-cost floor claim is then measurable
+    as q_etl_pipeline − q_etl_from_bronze instead of a one-off
+    isolation — VERDICT r8 Next #2)."""
+    return standardize(
+        canonicalize_bronze(parsed).dropDuplicates(["url"]), now_year
+    )

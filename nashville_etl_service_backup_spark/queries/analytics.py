@@ -617,55 +617,90 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over co-ordered part BRANDS: for each ordered
     brand pair (a < b), support count, confidence P(b|a), and lift
     P(a,b)/(P(a)P(b)) — the classic market-basket statistics. Basket =
-    order; the pair table comes from ONE self-equi-join on l_orderkey
-    of the per-order distinct brand set (never a cross product); brand
-    marginals broadcast back. Top-15 by lift (min support 20) with a
-    deterministic tie-break."""
+    order.
+
+    Plan (round-9 rewrite of the self-join version — VERDICT r8
+    "What's wrong" #1, A/B'd in BENCH_ISOLATIONS_r09): ONE linear job.
+    lineitem⋈part is scanned once into a per-order sorted
+    distinct-brand array (one groupBy-orderkey shuffle — the same
+    shuffle the old distinct needed, minus the extra driver-side
+    .count() job and the 2 extra basket scans). Each order then emits
+    a TAGGED struct union in a single explode — its brand pairs
+    (array-index explode, no self-join shuffle), each brand twice as
+    (X,null)/(null,X) marginal markers, and one (null,null) basket
+    marker — so one groupBy over the union yields pair supports, both
+    marginals, and the basket count in the SAME shuffle. Window
+    lookups over that tiny aggregate (≤ |brands|²/2 + 2|brands| + 1
+    rows — a bounded artifact, TPC-H has 25 brands at every SF) attach
+    n_a/n_b/n_orders without any broadcast-subtree jobs. 100 TB shape:
+    the per-order explode is bounded by the brand-universe size
+    squared (≤300 pair rows + 51 marker rows per order), both shuffles
+    partially aggregate map-side, and the whole query is one job —
+    the old plan's 4 jobs (count + 2 broadcast builds + main) each
+    re-scanned the basket subtree."""
     li = load(spark, sf_dir, "lineitem").join(
         load(spark, sf_dir, "part").select("p_partkey", "p_brand"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
-    baskets = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
-    ).distinct()
-    n_orders = baskets.select("ok").distinct().count()
-    a = baskets.alias("a")
-    b = baskets.alias("b")
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("a.brand") < F.col("b.brand"))
-        .groupBy(
-            F.col("a.brand").alias("brand_a"),
-            F.col("b.brand").alias("brand_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_both"))
+    ob = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sort_array(F.collect_set("p_brand")).alias("brands")
     )
-    marg = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
-    joined = (
-        pairs.join(
-            F.broadcast(marg.select(F.col("brand").alias("brand_a"),
-                                    F.col("n").alias("n_a"))),
-            "brand_a",
+    ns = F.lit(None).cast("string")
+    pair_structs = F.flatten(
+        F.transform(
+            "brands",
+            lambda x, i: F.transform(
+                F.slice("brands", i + 2, F.size("brands")),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
         )
-        .join(
-            F.broadcast(marg.select(F.col("brand").alias("brand_b"),
-                                    F.col("n").alias("n_b"))),
-            "brand_b",
-        )
-        .filter(F.col("n_both") >= 20)
     )
-    nod = F.lit(float(n_orders))
+    marg_a = F.transform(
+        "brands", lambda x: F.struct(x.alias("brand_a"), ns.alias("brand_b"))
+    )
+    marg_b = F.transform(
+        "brands", lambda x: F.struct(ns.alias("brand_a"), x.alias("brand_b"))
+    )
+    basket_marker = F.array(
+        F.struct(ns.alias("brand_a"), ns.alias("brand_b"))
+    )
+    counts = (
+        ob.select(
+            F.explode(
+                F.concat(pair_structs, marg_a, marg_b, basket_marker)
+            ).alias("p")
+        )
+        .groupBy(F.col("p.brand_a").alias("brand_a"),
+                 F.col("p.brand_b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a_, b_ = F.col("brand_a"), F.col("brand_b")
+    wa = Window.partitionBy("brand_a")
+    wb = Window.partitionBy("brand_b")
+    w0 = Window.partitionBy()
+    enriched = counts.select(
+        "brand_a",
+        "brand_b",
+        "cnt",
+        F.max(F.when(a_.isNotNull() & b_.isNull(), F.col("cnt")))
+        .over(wa).alias("n_a"),
+        F.max(F.when(a_.isNull() & b_.isNotNull(), F.col("cnt")))
+        .over(wb).alias("n_b"),
+        F.max(F.when(a_.isNull() & b_.isNull(), F.col("cnt")))
+        .over(w0).alias("n_orders"),
+    ).filter(a_.isNotNull() & b_.isNotNull() & (F.col("cnt") >= 20))
+    nod = F.col("n_orders").cast("double")
     return (
-        joined.select(
+        enriched.select(
             "brand_a",
             "brand_b",
-            "n_both",
+            F.col("cnt").alias("n_both"),
             F.round(
-                F.col("n_both").cast("double") / F.col("n_a").cast("double"),
+                F.col("cnt").cast("double") / F.col("n_a").cast("double"),
                 6,
             ).alias("confidence"),
             F.round(
-                F.col("n_both").cast("double") * nod
+                F.col("cnt").cast("double") * nod
                 / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
                 6,
             ).alias("lift"),

@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nashville_etl_service_backup_spark.operators import spread
-from nashville_etl_service_backup_spark.plans.canonicalize import run_pipeline
+from nashville_etl_service_backup_spark.plans.canonicalize import (
+    run_pipeline,
+    run_pipeline_from_bronze,
+)
 from nashville_etl_service_backup_spark.tables import load
 
 
@@ -125,6 +128,21 @@ def _raw_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bronze_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARSED twin of :func:`_raw_zone`: the same deterministic
+    rows already shaped as the post-from_json bronze frame
+    (source_spider, r struct<RAW_ITEM_SCHEMA>), built by parsing the
+    raw zone once — so q_etl_from_bronze measures exactly
+    q_etl_pipeline minus nothing, while the standing bench DELTA
+    between the two entries is the double-parse cost the r7 isolation
+    measured once (the raw build itself is identical between them)."""
+    from nashville_etl_service_backup_spark.plans.canonicalize import (
+        parse_raw,
+    )
+
+    return parse_raw(_raw_zone(spark, sf_dir).drop("id"))
+
+
 def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _raw_zone(spark, sf_dir)
     out = run_pipeline(raw, now_year=2025)
@@ -134,10 +152,46 @@ def q_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_etl_pipeline": q_etl_pipeline}
+def q_etl_from_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_etl_pipeline starting from a MATERIALIZED parsed-bronze frame:
+    the deterministic raw zone is parsed and written to parquet once
+    (typed columns, no JSON), and the timed pipeline reads that —
+    dispatch → dedup → standardize with zero Jackson work in the plan.
+    The standing bench pair (this vs q_etl_pipeline) makes the "~x s is
+    JSON parse by design" floor decomposition a per-round measurement
+    (VERDICT r8 Next #2). Same oracle as q_etl_pipeline."""
+    import os
+    import tempfile
 
-ORACLES = {
-    "q_etl_pipeline": """
+    bronze_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_bronze_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    marker = os.path.join(bronze_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        _bronze_zone(spark, sf_dir).select(
+            "source_spider", "r.*"
+        ).write.mode("overwrite").parquet(bronze_dir)
+    bronze = spark.read.parquet(bronze_dir)
+    parsed = bronze.select(
+        "source_spider",
+        F.struct(*[c for c in bronze.columns if c != "source_spider"]).alias(
+            "r"
+        ),
+    )
+    out = run_pipeline_from_bronze(parsed, now_year=2025)
+    return out.select(
+        "url", "name", "source", "category", "genre", "event_date",
+        "venue_name", "price", "latitude", "longitude",
+    )
+
+
+QUERIES = {
+    "q_etl_pipeline": q_etl_pipeline,
+    "q_etl_from_bronze": q_etl_from_bronze,
+}
+
+_ETL_ORACLE = """
 WITH p AS (SELECT DISTINCT event_id // 2 AS pair FROM events),
 d AS (
   SELECT pair,
@@ -187,5 +241,11 @@ SELECT
        ELSE CAST('-86.' || (pair % 9 + 1) AS DOUBLE) END AS longitude
 FROM d
 WHERE NOT (idx IN (0,1) AND pair % 7 = 0)
-""",
+"""
+
+ORACLES = {
+    "q_etl_pipeline": _ETL_ORACLE,
+    # same algebraic result — the bronze variant only skips the JSON
+    # round-trip, which is semantically invisible
+    "q_etl_from_bronze": _ETL_ORACLE,
 }

@@ -60,6 +60,18 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only and (set(only) - set(qs)):
+        # extended-registry fallback: requested names not in the
+        # driver's 50 (suite members, bench-only entries) are still
+        # checkable
+        from nashville_etl_service_backup_spark import queries as _q
+
+        ext, exto = _q.extended_queries(), _q.extended_oracles()
+        for n in set(only) - set(qs):
+            if n in ext:
+                qs[n] = ext[n]
+                if n in exto:
+                    oracles[n] = exto[n]
     n_pass = n_fail = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
