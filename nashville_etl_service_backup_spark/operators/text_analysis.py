@@ -814,6 +814,12 @@ def tfidf_cosine_topk(
             ).alias("_w"),
         )
     )
+    # fill the cache with ONE job before the query-side broadcast
+    # subtrees execute — the qvec/qn broadcasts otherwise race the
+    # cold cache and can each compute the tokenize+tf+df chain
+    # (round-9 A/B: within noise at sf0.1, strictly fewer index
+    # builds at scale; BENCH_ISOLATIONS_r09/sparse_cosine_ab.json)
+    w.count()
     norms = w.groupBy(id_col).agg(
         F.sum(
             F.round(F.col("_w") * F.col("_w"), 6).cast("decimal(28,6)")
@@ -822,8 +828,14 @@ def tfidf_cosine_topk(
     qvec = w.filter(F.col(id_col) == query_id).select(
         "term", F.col("_w").alias("_wq")
     )
-    qn = norms.filter(F.col(id_col) == query_id).select(
-        F.col("_n2").alias("_qn2")
+    # the query norm derives from the (tiny) query vector itself —
+    # identical decimal sum over the same round-6 terms as the
+    # norms-row it replaces, without dragging the full-postings
+    # groupBy into the broadcast path
+    qn = qvec.agg(
+        F.sum(
+            F.round(F.col("_wq") * F.col("_wq"), 6).cast("decimal(28,6)")
+        ).alias("_qn2")
     )
     dots = (
         w.filter(F.col(id_col) != query_id)
