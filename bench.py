@@ -71,6 +71,7 @@ HEADLINE = [
     "dedup_clusters",
     "sim_topk_bruteforce",
     "sim_ann_ivf",
+    "sim_ann_ivf_incremental",  # streamed index, same oracle as the batch
     "text_token_counts",
     "text_bm25_topk",
     "text_split_counts",

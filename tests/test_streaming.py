@@ -717,3 +717,193 @@ def test_streaming_lsh_gate_sf01_crash_replay(spark, tmp_path):
     print(f"streaming_lsh_gate_sf01 wall={wall:.1f}s")
     if os.environ.get("SPARK_GRAFT_ASSERT_WALL"):
         assert wall < 180, wall
+
+
+def test_incremental_ivf_matches_batch_and_survives_replay(spark, tmp_path):
+    """streaming/ivf.py (VERDICT r8 Next #7): the streamed
+    frozen-quantizer index equals a batch rebuild row-for-row, the
+    served top-k equals operators.similarity.ivf_topk run with the
+    same frozen centroids, a crash-replayed batch cannot double-post,
+    and a torn (uncommitted) partial is invisible to the
+    commit-log reader."""
+    import os
+
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        as_double,
+        ivf_assign,
+        kmeans_centroids,
+    )
+    from nashville_etl_service_backup_spark.streaming import commitlog
+    from nashville_etl_service_backup_spark.streaming.ivf import (
+        incremental_ivf,
+        ivf_probe_topk,
+        read_ivf_index,
+    )
+    from nashville_etl_service_backup_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 42)
+    query = emb.filter(F.col("vec_id") == 42).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    base = corpus.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    cents = kmeans_centroids(base, n_centroids=8, iters=1, dim=64)
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    corpus.repartition(3).write.parquet(src)
+
+    def run():
+        q = incremental_ivf(spark, src, idx, ckpt, cents, commit_log=True)
+        q.awaitTermination(300)
+        q.stop()
+
+    run()
+
+    # streamed index == batch rebuild with the same frozen quantizer
+    streamed = {
+        (r["vec_id"], r["cent_id"])
+        for r in read_ivf_index(spark, idx, commit_log=True)
+        .select("vec_id", "cent_id")
+        .collect()
+    }
+    batch = {
+        (r["vec_id"], r["cent_id"])
+        for r in ivf_assign(base, cents, id_col="vec_id", dim=64).collect()
+    }
+    assert streamed == batch and len(streamed) == corpus.count()
+
+    # served top-k == the batch ivf_topk with kmeans_iters=0 is NOT
+    # comparable (different quantizer init) — compare against the
+    # probe/re-rank over the batch-assigned store instead
+    index = read_ivf_index(spark, idx, commit_log=True)
+    got = ivf_probe_topk(index, cents, query, k=5, n_probe=2).collect()
+    want_store = ivf_assign(base, cents, id_col="vec_id", dim=64).join(
+        base, "vec_id"
+    )
+    want = ivf_probe_topk(want_store, cents, query, k=5, n_probe=2).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 5
+
+    # torn partial: huge bogus posting never committed -> invisible
+    spark.createDataFrame(
+        [(999999, 0, [0.0] * 64, 0)],
+        "vec_id long, label int, v array<double>, cent_id long",
+    ).write.mode("overwrite").parquet(f"{idx}/batch_id=777")
+    still = {
+        r["vec_id"]
+        for r in read_ivf_index(spark, idx, commit_log=True).collect()
+    }
+    assert 999999 not in still
+
+    # crash replay: drop the last checkpoint commit; the re-executed
+    # batch overwrites its own directory and its add is a no-op
+    commits = sorted(
+        c
+        for c in os.listdir(os.path.join(ckpt, "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    n_manifests = len(commitlog.log_entries(idx))
+    run()
+    assert len(commitlog.log_entries(idx)) == n_manifests
+    replayed = {
+        (r["vec_id"], r["cent_id"])
+        for r in read_ivf_index(spark, idx, commit_log=True)
+        .select("vec_id", "cent_id")
+        .collect()
+    }
+    assert replayed == batch
+    assert commitlog.vacuum(idx) == ["batch_id=777"]
+
+
+def test_incremental_ivf_recall_vs_refit(spark, tmp_path):
+    """The maintenance trade the module exists for: after a NEW batch
+    arrives, serving from the frozen-quantizer incremental index keeps
+    brute-force recall competitive with a full quantizer re-fit on the
+    grown corpus. Pinned at sf0.01 (the VERDICT r8 Next #7 gate;
+    every stage is deterministic, so the margins are exact): frozen
+    recall@10 = 5 vs refit 6 at n_probe=2 — pin frozen >= refit - 1
+    and frozen >= 5. (Raising n_probe to 4 does not move either —
+    the residual misses live in unprobed lists for both quantizers.)"""
+    from nashville_etl_service_backup_spark.operators.similarity import (
+        as_double,
+        cosine,
+        ivf_assign,
+        kmeans_centroids,
+    )
+    from nashville_etl_service_backup_spark.streaming.ivf import (
+        incremental_ivf,
+        ivf_probe_topk,
+        read_ivf_index,
+    )
+    from nashville_etl_service_backup_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 42)
+    query = emb.filter(F.col("vec_id") == 42).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    # "old" corpus = first 80% by id; the tail 20% is the new batch
+    cut = int(corpus.agg(F.max("vec_id")).first()[0] * 0.8)
+    old = corpus.filter(F.col("vec_id") <= cut)
+    base_old = old.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    base_all = corpus.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+
+    # frozen quantizer fitted on the OLD corpus only
+    cents_frozen = kmeans_centroids(base_old, n_centroids=16, iters=1, dim=64)
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    old.coalesce(1).write.mode("append").parquet(src)
+    corpus.filter(F.col("vec_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = incremental_ivf(
+        spark, src, idx, ckpt, cents_frozen, commit_log=True
+    )
+    q.awaitTermination(300)
+    q.stop()
+    index = read_ivf_index(spark, idx, commit_log=True)
+    frozen_ids = {
+        r["vec_id"]
+        for r in ivf_probe_topk(index, cents_frozen, query, k=10, n_probe=2)
+        .collect()
+    }
+
+    # full re-fit on the grown corpus (the expensive alternative)
+    cents_refit = kmeans_centroids(base_all, n_centroids=16, iters=1, dim=64)
+    refit_store = ivf_assign(base_all, cents_refit, id_col="vec_id", dim=64).join(
+        base_all, "vec_id"
+    )
+    refit_ids = {
+        r["vec_id"]
+        for r in ivf_probe_topk(
+            refit_store, cents_refit, query, k=10, n_probe=2
+        ).collect()
+    }
+
+    truth = {
+        r["vec_id"]
+        for r in base_all.crossJoin(F.broadcast(query))
+        .withColumn("_c", cosine(F.col("v"), F.col("qv")))
+        .orderBy(F.desc("_c"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    frozen_recall = len(frozen_ids & truth)
+    refit_recall = len(refit_ids & truth)
+    assert frozen_recall >= 5
+    assert frozen_recall >= refit_recall - 1
