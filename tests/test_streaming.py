@@ -161,11 +161,19 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
 
 
 @pytest.mark.slow
-def test_incremental_rollup_equals_batch_recompute(spark, tmp_path):
+@pytest.mark.parametrize("commit_log", [False, True])
+def test_incremental_rollup_equals_batch_recompute(
+    spark, tmp_path, commit_log
+):
+    """Both sink layouts (plain directory listing and the manifest
+    commit log — the r10 default-flip soak, VERDICT r8 Next #6) run
+    the same batch-parity + crash-replay + double-compaction
+    scenario."""
     from datetime import datetime
 
     from nashville_etl_service_backup_spark.streaming.pipeline import (
         compact_rollup,
+        compact_rollup_committed,
         incremental_rollup,
         read_rollup,
     )
@@ -186,8 +194,16 @@ def test_incremental_rollup_equals_batch_recompute(spark, tmp_path):
     def rollup_state():
         return {
             (str(r["window_start"]), r["event_type"]): (r["n"], float(r["total"]))
-            for r in read_rollup(spark, roll).collect()
+            for r in read_rollup(
+                spark, roll, commit_log=commit_log
+            ).collect()
         }
+
+    def compact():
+        if commit_log:
+            compact_rollup_committed(spark, roll)
+        else:
+            compact_rollup(spark, roll)
 
     b1 = [
         ("2024-01-01T10:05:00", "click", 1.5),
@@ -199,9 +215,13 @@ def test_incremental_rollup_equals_batch_recompute(spark, tmp_path):
         ("2024-01-01T09:30:00", "view", 3.25),   # late: older window
     ]
     write(b1, [1, 2, 3])
-    incremental_rollup(spark, src, roll, ckpt).awaitTermination(120)
+    incremental_rollup(
+        spark, src, roll, ckpt, commit_log=commit_log
+    ).awaitTermination(120)
     write(b2, [4, 5])
-    incremental_rollup(spark, src, roll, ckpt).awaitTermination(120)
+    incremental_rollup(
+        spark, src, roll, ckpt, commit_log=commit_log
+    ).awaitTermination(120)
 
     expected = {
         ("2024-01-01 10:00:00", "click"): (3, 4.0),
@@ -215,27 +235,42 @@ def test_incremental_rollup_equals_batch_recompute(spark, tmp_path):
     # the restarted stream re-execute batch 1 with the same offsets. The
     # replayed batch overwrites its own batch_id=1 partial, so the
     # merged rollup must NOT double-count (the pre-fix
-    # read-merge-overwrite design added batch 1's rows a second time).
+    # read-merge-overwrite design added batch 1's rows a second time;
+    # in commit-log mode the duplicate add is additionally a manifest
+    # no-op).
     import os
 
     os.remove(os.path.join(ckpt, "commits", "1"))
     crc = os.path.join(ckpt, "commits", ".1.crc")
     if os.path.exists(crc):
         os.remove(crc)
-    incremental_rollup(spark, src, roll, ckpt).awaitTermination(120)
+    incremental_rollup(
+        spark, src, roll, ckpt, commit_log=commit_log
+    ).awaitTermination(120)
     assert rollup_state() == expected
 
     # compaction folds partials into one and preserves the result
-    compact_rollup(spark, roll)
+    compact()
     assert rollup_state() == expected
 
-    # re-compaction: the compacted partial (batch_id=-1) is itself an
-    # input; the staged-rename path must free the final name, fold it,
-    # and leave exactly one partial and no tmp dir behind
-    compact_rollup(spark, roll)
+    # re-compaction: the compacted partial is itself an input; the
+    # plain path stage-renames to free the final name, the committed
+    # path picks a never-used id — both leave exactly one LIVE partial
+    compact()
     assert rollup_state() == expected
-    entries = sorted(e for e in os.listdir(roll) if e.startswith("batch_id="))
-    assert entries == ["batch_id=-1"]
+    if commit_log:
+        from nashville_etl_service_backup_spark.streaming import commitlog
+
+        assert commitlog.snapshot(roll) == ["batch_id=-2"]
+        entries = sorted(
+            e for e in os.listdir(roll) if e.startswith("batch_id=")
+        )
+        assert entries == ["batch_id=-2"]
+    else:
+        entries = sorted(
+            e for e in os.listdir(roll) if e.startswith("batch_id=")
+        )
+        assert entries == ["batch_id=-1"]
     assert not os.path.exists(roll + "__compact")
 
 
@@ -328,10 +363,11 @@ def test_stream_stream_attribution_join(spark, tmp_path):
 
 
 @pytest.mark.slow
-def test_incremental_cms_matches_batch_sketch(spark, tmp_path):
+@pytest.mark.parametrize("commit_log", [False, True])
+def test_incremental_cms_matches_batch_sketch(spark, tmp_path, commit_log):
     """Streaming CMS partials merged across batches == the sketch built
     over all events at once (counter monoid), and estimates never
-    undercount."""
+    undercount — in both sink layouts (r10 default-flip soak)."""
     from datetime import datetime
 
     from nashville_etl_service_backup_spark.operators.sketch import (
@@ -358,13 +394,17 @@ def test_incremental_cms_matches_batch_sketch(spark, tmp_path):
 
     write([("2024-01-01T10:00:00", 1), ("2024-01-01T10:01:00", 1),
            ("2024-01-01T10:02:00", 2)], [1, 2, 3])
-    incremental_cms(spark, src, cmsp, ckpt).awaitTermination(120)
+    incremental_cms(
+        spark, src, cmsp, ckpt, commit_log=commit_log
+    ).awaitTermination(120)
     write([("2024-01-01T11:00:00", 1), ("2024-01-01T11:01:00", 3)], [4, 5])
-    incremental_cms(spark, src, cmsp, ckpt).awaitTermination(120)
+    incremental_cms(
+        spark, src, cmsp, ckpt, commit_log=commit_log
+    ).awaitTermination(120)
 
     streamed = {
         (r["row_idx"], r["bucket"]): r["cnt"]
-        for r in read_cms(spark, cmsp).collect()
+        for r in read_cms(spark, cmsp, commit_log=commit_log).collect()
     }
     whole = {
         (r["row_idx"], r["bucket"]): r["cnt"]
@@ -375,15 +415,19 @@ def test_incremental_cms_matches_batch_sketch(spark, tmp_path):
     keys = spark.createDataFrame([(1,), (2,), (3,)], "user_id long")
     est = {
         r["user_id"]: r["est_count"]
-        for r in cms_estimate(read_cms(spark, cmsp), keys, "user_id").collect()
+        for r in cms_estimate(
+            read_cms(spark, cmsp, commit_log=commit_log), keys, "user_id"
+        ).collect()
     }
     assert est[1] >= 3 and est[2] >= 1 and est[3] >= 1
 
 
-def test_incremental_hll_matches_batch_sketch(spark, tmp_path):
+@pytest.mark.parametrize("commit_log", [False, True])
+def test_incremental_hll_matches_batch_sketch(spark, tmp_path, commit_log):
     """Streaming HLL register partials max-merged across batches == the
     sketch built over all events at once (register monoid under max),
-    so the streamed estimate is exactly the batch estimate."""
+    so the streamed estimate is exactly the batch estimate — in both
+    sink layouts (r10 default-flip soak)."""
     from datetime import datetime
 
     from nashville_etl_service_backup_spark.operators.sketch import (
@@ -413,14 +457,18 @@ def test_incremental_hll_matches_batch_sketch(spark, tmp_path):
          ("2024-01-01T10:02:00", "view", 2)],
         [1, 2, 3],
     )
-    incremental_hll(spark, src, hllp, ckpt).awaitTermination(120)
+    incremental_hll(
+        spark, src, hllp, ckpt, commit_log=commit_log
+    ).awaitTermination(120)
     write(
         [("2024-01-01T11:00:00", "click", 2), ("2024-01-01T11:01:00", "view", 7)],
         [4, 5],
     )
-    incremental_hll(spark, src, hllp, ckpt).awaitTermination(120)
+    incremental_hll(
+        spark, src, hllp, ckpt, commit_log=commit_log
+    ).awaitTermination(120)
 
-    streamed = read_hll(spark, hllp)
+    streamed = read_hll(spark, hllp, commit_log=commit_log)
     whole = hll_registers(
         spark.read.parquet(src), "user_id", ["event_type"]
     )
@@ -439,11 +487,13 @@ def test_incremental_hll_matches_batch_sketch(spark, tmp_path):
     assert est == batch_est
 
 
-def test_incremental_lsh_dedup_gate(spark, tmp_path):
+@pytest.mark.parametrize("commit_log", [False, True])
+def test_incremental_lsh_dedup_gate(spark, tmp_path, commit_log):
     """Cross-batch near-dup gate: batch-2 docs colliding with stored
     band signatures are flagged and kept out of the store; replaying a
     batch (crash between sink write and checkpoint commit) re-derives
-    identical verdicts."""
+    identical verdicts — in both sink layouts (r10 default-flip
+    soak)."""
     import os
 
     from nashville_etl_service_backup_spark.streaming.pipeline import (
@@ -462,7 +512,9 @@ def test_incremental_lsh_dedup_gate(spark, tmp_path):
         ).write.mode("append").parquet(src)
 
     def run_gate():
-        q = incremental_lsh_dedup(spark, src, sig, audit, ckpt)
+        q = incremental_lsh_dedup(
+            spark, src, sig, audit, ckpt, commit_log=commit_log
+        )
         q.awaitTermination(120)
         # AvailableNow termination and checkpoint-lock deregistration
         # are not atomic: stop() blocks until the query is fully gone,
@@ -484,7 +536,9 @@ def test_incremental_lsh_dedup_gate(spark, tmp_path):
 
     rows = {
         r["batch_id"]: (r["n_docs"], r["n_dup_candidates"])
-        for r in read_dedup_audit(spark, audit).collect()
+        for r in read_dedup_audit(
+            spark, audit, commit_log=commit_log
+        ).collect()
     }
     assert rows == {0: (2, 0), 1: (2, 1)}
     stored = {
@@ -502,7 +556,9 @@ def test_incremental_lsh_dedup_gate(spark, tmp_path):
     run_gate()
     rows = {
         r["batch_id"]: (r["n_docs"], r["n_dup_candidates"])
-        for r in read_dedup_audit(spark, audit).collect()
+        for r in read_dedup_audit(
+            spark, audit, commit_log=commit_log
+        ).collect()
     }
     assert rows == {0: (2, 0), 1: (2, 1)}
     stored = {
@@ -512,10 +568,12 @@ def test_incremental_lsh_dedup_gate(spark, tmp_path):
     assert stored == {1, 2, 4}
 
 
-def test_incremental_bloom_gate(spark, tmp_path):
+@pytest.mark.parametrize("commit_log", [False, True])
+def test_incremental_bloom_gate(spark, tmp_path, commit_log):
     """Cross-batch Bloom novelty gate: a batch-2 key already in the
     store is flagged and adds no positions; novel keys append; the
-    store never exceeds m distinct positions."""
+    store never exceeds m distinct positions — in both sink layouts
+    (r10 default-flip soak)."""
     from nashville_etl_service_backup_spark.streaming.pipeline import (
         incremental_bloom_gate,
         read_bloom_audit,
@@ -532,7 +590,9 @@ def test_incremental_bloom_gate(spark, tmp_path):
         ).write.mode("append").parquet(src)
 
     def run_gate():
-        q = incremental_bloom_gate(spark, src, bloom, audit, ckpt)
+        q = incremental_bloom_gate(
+            spark, src, bloom, audit, ckpt, commit_log=commit_log
+        )
         q.awaitTermination(120)
         q.stop()
 
@@ -543,7 +603,9 @@ def test_incremental_bloom_gate(spark, tmp_path):
 
     rows = {
         r["batch_id"]: (r["n_docs"], r["n_flagged"])
-        for r in read_bloom_audit(spark, audit).collect()
+        for r in read_bloom_audit(
+            spark, audit, commit_log=commit_log
+        ).collect()
     }
     assert rows == {0: (2, 0), 1: (2, 1)}
     store = spark.read.option("basePath", bloom).parquet(bloom)
