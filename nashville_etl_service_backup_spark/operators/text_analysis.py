@@ -1123,12 +1123,21 @@ def duplicated_span_stats(
     signal with only equi-shuffles.
 
     Scale shape: grams are md5-hashed before anything moves, so the
-    per-doc gram count and the global doc-frequency aggregate shuffle
-    (32-char hash, id, count) rows — never text; both aggregations are
-    map-side combinable and the join is a pure equi-join on the hash.
+    per-doc gram count and the doc-frequency pass shuffle (32-char
+    hash, id, count) rows — never text; the gram build runs ONCE in a
+    single linear pipeline. The doc frequency is a count window over
+    the gram partitions of the SAME shuffle the old groupBy+join plan
+    needed anyway — the round-9 rewrite (A/B'd in
+    BENCH_ISOLATIONS_r09/dup_spans_ab.json, 3.3→2.0 s at sf0.1,
+    identical rows): the previous dfreq branch was planned as a
+    broadcast whose subtree re-ran the whole tokenize+ngram+md5 chain,
+    and at corpus scale dfreq (one row per distinct gram) is not
+    broadcastable at all.
 
     Output: (id, n_grams, n_dup_grams, dup_frac) for EVERY input doc
     (docs shorter than n tokens get 0/0/NULL)."""
+    from pyspark.sql.window import Window
+
     # md5 applied after the explode as a plain codegen projection (an
     # in-lambda transform() md5 measures the same here — the hot cost
     # is the tokenize/ngram build, which spread() parallelizes)
@@ -1139,9 +1148,11 @@ def duplicated_span_stats(
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    dfreq = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("ndocs"))
     per_doc = (
-        dg.join(dfreq, "gram")
+        dg.withColumn(
+            "ndocs",
+            F.count(F.lit(1)).over(Window.partitionBy("gram")),
+        )
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("_ng"),
