@@ -30,9 +30,7 @@ def main() -> None:
     )
     for name in names:
         df = qs[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), jmode
-        )
+        plan = df._jdf.queryExecution().explainString(jmode)
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
             fh.write(plan)
