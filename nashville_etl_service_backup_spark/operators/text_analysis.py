@@ -329,11 +329,17 @@ def bm25_topk(
     UDF); the corpus statistics (N, avgdl, per-term document frequency)
     reduce to ONE single-row aggregate that is broadcast back — so the
     whole query is scan → agg(6 numbers) → broadcast-join → top-k, with
-    no shuffle proportional to corpus size. All inputs to the score are
-    integers (tf, df, dl, N), so the double math is bit-reproducible
-    across engines.
+    no shuffle proportional to corpus size. The narrow per-doc frame
+    (id, dl, one int per query term) is persisted: both the stats
+    aggregate and the scoring side consume it, and without the persist
+    each re-runs the tokenizer over the corpus — the cached frame is a
+    few ints per document, orders of magnitude smaller than the text it
+    replaces. All inputs to the score are integers (tf, df, dl, N), so
+    the double math is bit-reproducible across engines.
     """
     from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators import track_persist
 
     toks = tokenize(F.col(text_col))
 
@@ -342,10 +348,12 @@ def bm25_topk(
         # machinery as the element-index argument
         return F.size(F.filter(toks, lambda x: x == term))
 
-    per_doc = docs.select(
-        F.col(id_col),
-        F.size(toks).alias("dl"),
-        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
+    per_doc = track_persist(
+        docs.select(
+            F.col(id_col),
+            F.size(toks).alias("dl"),
+            *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
+        )
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -687,12 +695,18 @@ def bigram_lm_nll(
     exact sums; the corpus_lm_scores device) — only the final
     subtract/divide runs in doubles, then round 6.
 
-    100 TB shape: the model is two map-side-combinable counts shuffled
-    on the bigram/head key; scoring is two equi-joins on those keys
-    (bigram vocabularies can exceed broadcast size at corpus scale, so
-    the join IS the scale plan; a head-count/V broadcast is the small-
-    corpus special case Spark's AQE already picks when it fits) plus a
-    combinable per-doc reduce. Nothing is quadratic; no driver data."""
+    100 TB shape: the model is ONE map-side-combinable bigram count
+    shuffled on the (w1,w2) key — the head count c(w1) folds out of it
+    by a second aggregation over the (small) model itself, never a
+    second pass over the bigram stream; scoring is two equi-joins on
+    those keys (bigram vocabularies can exceed broadcast size at corpus
+    scale, so the join IS the scale plan; a head-count/V broadcast is
+    the small-corpus special case Spark's AQE already picks when it
+    fits) plus a combinable per-doc reduce. Nothing is quadratic; no
+    driver data. (A persist of the tokenized frame was A/B-probed in
+    round 9 and measured NEGATIVE at sf0.1 — the cached plan loses
+    AQE coalescing and serializes the branch concurrency; see
+    BENCH_ISOLATIONS_r09/bigram_bm25_q21_ab.json.)"""
     from nashville_etl_service_backup_spark.functions.text import tokenize
 
     toks = tokenize(F.col(text_col))
@@ -720,7 +734,12 @@ def bigram_lm_nll(
     )
     train_bg = bg.filter(F.col("_is_train"))
     c12 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
-    c1 = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    # c(w1) is the marginal of the bigram model: summing c12 per head
+    # counts exactly the same train-bigram rows as a groupBy(w1) over
+    # the stream would — identical value and key set, computed from the
+    # 1-row-per-distinct-bigram aggregate instead of re-shuffling every
+    # train bigram a second time
+    c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     vocab = (
         base.filter(F.col("_is_train"))
         .select(F.explode("_t").alias("tok"))

@@ -288,9 +288,19 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the EXISTS/NOT-EXISTS double self-join rewritten
     as conditional distinct aggregation per order (the scalable
-    formulation: one pass over the order's lines instead of two
+    formulation: ONE pass over the order's lines instead of two
     self-joins): multi-supplier finished orders where exactly one
-    supplier shipped late — count such orders per that supplier."""
+    supplier shipped late — count such orders per that supplier.
+
+    The qualifying condition n_late_supp == 1 means each target order
+    has exactly ONE distinct late supplier, so max(when(late, suppkey))
+    over the same per-order aggregate IS that supplier — the waiting
+    count per supplier is then a plain count over the per-order frame,
+    with no second scan of lineitem, no semi-join back, and no second
+    distinct aggregation (round-9: 2 lineitem passes → 1; the old
+    late-lines ⋈ target ⋈ countDistinct tail produced the identical
+    rows because every surviving (supplier, order) pair is unique by
+    construction)."""
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load(spark, sf_dir, "lineitem")
     lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -298,16 +308,15 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = lo.groupBy(F.col("l_orderkey").alias("_ok")).agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("_late_supp"),
     )
     target = per_order.filter(
         (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     supp = load(spark, sf_dir, "supplier")
     return (
-        lo.filter(late)
-        .join(target, F.col("l_orderkey") == F.col("_ok"), "left_semi")
-        .groupBy("l_suppkey")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        target.groupBy(F.col("_late_supp").alias("l_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_name"))

@@ -429,3 +429,51 @@ def test_dp_noisy_counts_deterministic_laplace(spark):
     # a different salt re-draws
     c = {r["grp"]: r["noise"] for r in dp_noisy_counts(df, "grp", salt="dp2").collect()}
     assert any(c[g] != a[g][0] for g in c)
+
+
+def test_q21_single_pass_matches_two_pass_formulation(spark):
+    """Round-9 rewrite pin: folding the (unique) late supplier into the
+    per-order aggregate must produce the identical waiting counts as
+    the old late-lines ⋈ target semi-join + countDistinct tail. The
+    old formulation is replayed inline on sf0.001."""
+    from nashville_etl_service_backup_spark.queries.tpch2 import (
+        q21_waiting_supplier,
+    )
+
+    new = [
+        (r["s_name"], r["numwait"])
+        for r in q21_waiting_supplier(spark, SF).collect()
+    ]
+
+    orders = load(spark, SF, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, SF, "lineitem")
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    target = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    supp = load(spark, SF, "supplier")
+    old = [
+        (r["s_name"], r["numwait"])
+        for r in (
+            lo.filter(late)
+            .join(target, F.col("l_orderkey") == F.col("_ok"), "left_semi")
+            .groupBy("l_suppkey")
+            .agg(F.countDistinct("l_orderkey").alias("numwait"))
+            .join(
+                F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+            )
+            .select("s_name", "numwait")
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(20)
+        ).collect()
+    ]
+    assert new == old and len(new) > 0

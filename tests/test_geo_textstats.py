@@ -835,6 +835,79 @@ def test_bigram_lm_nll_flags_scrambled_text(spark):
     assert all(v > 0 for v in out.values())
 
 
+def test_bigram_head_count_is_model_marginal(spark):
+    """Round-9 rewrite pin: c(w1) derived as the marginal of the c12
+    model aggregate must equal the stream-keyed groupBy(w1) it
+    replaced — same key set, same counts — so the nll output is
+    unchanged to the last bit. Reference computed inline with the old
+    formulation."""
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.functions.text import tokenize
+    from nashville_etl_service_backup_spark.operators.text_analysis import (
+        bigram_lm_nll,
+        split_assign,
+    )
+
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "the cat sat on the mat",
+                "the cat ran to the door",
+                "a dog sat on a rug",
+                "the dog and the cat nap",
+                "cats and dogs do not mix",
+                "one two three four five",
+                "the the the repeated head",
+                "singleton",
+                "",
+            ]
+            * 6
+        )
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # reference c1: the old stream-keyed head count
+    toks = tokenize(F.col("text"))
+    n = F.size("_t")
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("_t"), 1, n - 1),
+            F.slice(F.col("_t"), 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    base = df.select(
+        "doc_id",
+        toks.alias("_t"),
+        (split_assign(F.col("doc_id")) == "train").alias("_is_train"),
+    )
+    bg = base.select("doc_id", "_is_train", F.explode(pairs).alias("_p")).select(
+        "doc_id", "_is_train", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+    train_bg = bg.filter(F.col("_is_train"))
+    c12 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    old_c1 = {
+        r["w1"]: r["_c1"]
+        for r in train_bg.groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+        .collect()
+    }
+    new_c1 = {
+        r["w1"]: r["_c1"]
+        for r in c12.groupBy("w1").agg(F.sum("_c12").alias("_c1")).collect()
+    }
+    assert new_c1 == old_c1 and len(old_c1) > 0
+
+    # end-to-end: the operator's nll column is well-formed over the
+    # same corpus (every doc with >=1 bigram appears exactly once)
+    out = bigram_lm_nll(df, "doc_id", "text").collect()
+    want_ids = {r["doc_id"] for r in bg.select("doc_id").distinct().collect()}
+    assert {r["doc_id"] for r in out} == want_ids
+
+
 def test_tfidf_cosine_topk_finds_planted_neighbor(spark):
     """A near-copy of the query doc must rank first with cosine near 1;
     the query doc itself is excluded."""
