@@ -1489,14 +1489,25 @@ def feature_woe(
     in the woe difference — so the cross-engine round-9 integer-ln
     device applies everywhere and the DuckDB twin is bit-identical.
 
-    100 TB shape: one exact-percentile aggregate for the edges
-    (broadcast back), one combinable groupBy over n_bins cells, and a
-    broadcast 1-row totals join. The bin assignment is a narrow
-    comparison chain — no shuffle of the corpus beyond the percentile
+    100 TB shape: ONE exact-percentile+totals aggregate (broadcast
+    back — the label totals Σy / Σ(1−y) over all rows equal the
+    over-bins sums the old separate `tot` subtree re-derived with a
+    full second corpus groupBy, so they fold into the edges pass), then
+    one combinable groupBy over n_bins cells. The feature frame is
+    persisted: both corpus passes read the narrow (feature, label)
+    cache instead of re-running the caller's feature projection
+    (round-9; the bm25 per-doc device). The bin assignment is a narrow
+    comparison chain — no shuffle of the corpus beyond the stats
     pass."""
+    from nashville_etl_service_backup_spark.operators import track_persist
+
+    feats = track_persist(feats)
     qs = [i / n_bins for i in range(1, n_bins)]
-    edges = feats.agg(
-        F.percentile(feature_col, F.lit(qs)).alias("_e")
+    y_long = F.col(label_col).cast("long")
+    stats = feats.agg(
+        F.percentile(feature_col, F.lit(qs)).alias("_e"),
+        F.sum(y_long).alias("_pt"),
+        F.sum(F.lit(1) - y_long).alias("_nt"),
     )
     bin_expr: Column = F.lit(0)
     for i in range(n_bins - 1):
@@ -1504,20 +1515,23 @@ def feature_woe(
             F.col(feature_col) > F.element_at("_e", i + 1)
         ).cast("int")
     g = (
-        feats.crossJoin(F.broadcast(edges))
+        feats.crossJoin(F.broadcast(stats))
         .select(
             bin_expr.alias("bin"),
-            F.col(label_col).cast("long").alias("_y"),
+            y_long.alias("_y"),
+            "_pt",
+            "_nt",
         )
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("_y").alias("n_pos"),
             F.sum(F.lit(1) - F.col("_y")).alias("n_neg"),
+            # constants per row — carried through the cell aggregate so
+            # no second broadcast join is needed
+            F.min("_pt").alias("_pt"),
+            F.min("_nt").alias("_nt"),
         )
-    )
-    tot = g.agg(
-        F.sum("n_pos").alias("_pt"), F.sum("n_neg").alias("_nt")
     )
     ln9 = lambda c: F.round(F.log(c.cast("double")), 9)  # noqa: E731
     woe = (
@@ -1534,8 +1548,7 @@ def feature_woe(
     )
     woe6 = F.round(woe, 6)
     return (
-        g.crossJoin(F.broadcast(tot))
-        .select(
+        g.select(
             "bin",
             "n",
             "n_pos",

@@ -439,6 +439,78 @@ def test_feature_woe_separates_predictive_from_noise(spark):
     assert woe_good[0]["woe"] < 0 < woe_good[-1]["woe"]
 
 
+def test_feature_woe_folded_totals_match_two_pass_formulation(spark):
+    """Round-9 rewrite pin: the label totals folded into the
+    percentile/stats aggregate (Σy, Σ(1−y) over all rows) must equal
+    the old over-bins re-aggregation, and the full output must match
+    the old two-broadcast formulation replayed inline."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Column
+
+    from nashville_etl_service_backup_spark.operators.ml import feature_woe
+
+    n_bins = 5
+    df = spark.range(777).select(
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 997 / 997.0
+        ).alias("f"),
+        ((F.col("id") % 7) < 3).cast("int").alias("y"),
+    )
+    new = [tuple(r) for r in feature_woe(df, "f", "y", n_bins=n_bins).collect()]
+
+    # old formulation: edges-only aggregate, totals re-derived from the
+    # bin cells, second broadcast join
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = df.agg(F.percentile("f", F.lit(qs)).alias("_e"))
+    bin_expr: Column = F.lit(0)
+    for i in range(n_bins - 1):
+        bin_expr = bin_expr + (F.col("f") > F.element_at("_e", i + 1)).cast(
+            "int"
+        )
+    g = (
+        df.crossJoin(F.broadcast(edges))
+        .select(bin_expr.alias("bin"), F.col("y").cast("long").alias("_y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("_y")).alias("n_neg"),
+        )
+    )
+    tot = g.agg(F.sum("n_pos").alias("_pt"), F.sum("n_neg").alias("_nt"))
+    ln9 = lambda c: F.round(F.log(c.cast("double")), 9)  # noqa: E731
+    woe = (
+        ln9(F.lit(2) * F.col("n_pos") + 1)
+        - ln9(F.lit(2) * F.col("n_neg") + 1)
+        - ln9(F.col("_pt"))
+        + ln9(F.col("_nt"))
+    )
+    dp = (F.col("n_pos").cast("double") + F.lit(0.5)) / F.col("_pt").cast(
+        "double"
+    )
+    dn = (F.col("n_neg").cast("double") + F.lit(0.5)) / F.col("_nt").cast(
+        "double"
+    )
+    woe6 = F.round(woe, 6)
+    old = [
+        tuple(r)
+        for r in (
+            g.crossJoin(F.broadcast(tot))
+            .select(
+                "bin",
+                "n",
+                "n_pos",
+                "n_neg",
+                woe6.alias("woe"),
+                F.round((dp - dn) * woe6, 6).alias("iv_term"),
+            )
+            .orderBy("bin")
+        ).collect()
+    ]
+    assert new == old and len(new) == n_bins
+
+
 def test_score_drift_psi_detects_shift(spark):
     """PSI over fixed bins: identical distributions score near zero;
     a shifted serve distribution scores high."""
