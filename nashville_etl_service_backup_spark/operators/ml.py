@@ -1354,18 +1354,42 @@ def nb_train(
 
     100 TB shape: two combinable shuffles (class stats; (term, class)
     counts) over the exploded tokens — the model is the only output,
-    documents never move."""
+    documents never move. The two scalars the smoothing needs are
+    MARGINALS of those same model aggregates (round 9, the bigram
+    head-count device): the train doc count is Σ ndc over the class
+    rows and the vocab size is the distinct term count of the (term,
+    class) model — so neither costs another pass over the corpus (the
+    old formulation paid a separate scan for the doc count and a full
+    second distinct-aggregate shuffle of the exploded token stream for
+    the vocab)."""
+    from pyspark.sql.window import Window
+
+    from nashville_etl_service_backup_spark.operators import track_persist
+
     c = F.col(class_col)
-    tot = train_docs.agg(F.count(F.lit(1)).alias("nd"))
     cs = train_docs.groupBy(class_col).agg(
         F.count(F.lit(1)).alias("ndc"),
         F.sum(F.size(tokens_col).cast("long")).alias("ntc"),
     )
+    # Σ ndc over classes ≡ count(*) over train docs (classes partition
+    # the rows) — identical long, read off the |classes|-row aggregate
+    # itself with a global window (a single-partition pass over ≤
+    # |classes| rows) instead of a separate corpus-count branch
+    cs = cs.withColumn("nd", F.sum("ndc").over(Window.partitionBy()))
     trt = train_docs.select(c, F.explode(tokens_col).alias("term"))
-    vocab = trt.agg(F.countDistinct("term").alias("v"))
+    # the (term, class) model is a bounded artifact (≤ V·|classes|
+    # rows) consumed twice — the vocab marginal and the loglik build —
+    # so it persists like the tf-idf postings index; without it each
+    # consumer re-explodes and re-shuffles the token stream
+    tc = track_persist(
+        trt.groupBy("term", class_col).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # distinct terms of the (term, class) model ≡ distinct terms of the
+    # token stream (grouping preserves the key set) — identical long,
+    # over the cached model rows instead of every token occurrence
+    vocab = tc.agg(F.countDistinct("term").alias("v"))
     cls = (
-        cs.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(vocab))
+        cs.crossJoin(F.broadcast(vocab))
         .select(
             class_col,
             F.round(
@@ -1384,7 +1408,6 @@ def nb_train(
             (F.col("ntc") + F.col("v")).alias("denom"),
         )
     )
-    tc = trt.groupBy("term", class_col).agg(F.count(F.lit(1)).alias("cnt"))
     loglik = tc.join(
         F.broadcast(cls.select(class_col, "denom")), class_col
     ).select(

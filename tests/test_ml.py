@@ -358,6 +358,94 @@ def test_nb_partition_invariant(spark):
     assert outs[0] == outs[1]
 
 
+def test_nb_train_marginals_match_stream_formulation(spark):
+    """Round-9 restructure pin: the doc-count window over the class
+    aggregate and the vocab marginal over the (term, class) model must
+    equal the old separate corpus-count scan and full-stream distinct
+    aggregate — so cls and loglik are unchanged to the last bit. Old
+    scalars replayed inline."""
+    from pyspark.sql import functions as F
+
+    from nashville_etl_service_backup_spark.operators.ml import nb_train
+
+    words = ["kilo", "lima", "mike", "november", "oscar", "papa"]
+    rows = [
+        (i, f"c{i % 4}", [words[(i * j) % 6] for j in range(1, (i % 9) + 1)])
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cls string, tk array<string>")
+    cls, ll = nb_train(df, "cls", "tk")
+    got_cls = sorted(tuple(r) for r in cls.collect())
+    got_ll = sorted(tuple(r) for r in ll.collect())
+
+    # old scalars
+    nd_old = df.count()
+    v_old = (
+        df.select(F.explode("tk").alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+        .first()["v"]
+    )
+    # new scalars, replayed the way nb_train derives them
+    cs = df.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("ndc"),
+        F.sum(F.size("tk").cast("long")).alias("ntc"),
+    )
+    nd_new = cs.agg(F.sum("ndc").alias("nd")).first()["nd"]
+    tc = (
+        df.select("cls", F.explode("tk").alias("term"))
+        .groupBy("term", "cls")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    v_new = tc.agg(F.countDistinct("term").alias("v")).first()["v"]
+    assert (nd_new, v_new) == (nd_old, v_old)
+
+    # old cls/loglik end-to-end (pre-restructure formulation)
+    old_cls_rows = sorted(
+        tuple(r)
+        for r in cs.crossJoin(
+            F.broadcast(spark.createDataFrame([(nd_old, v_old)], "nd long, v long"))
+        )
+        .select(
+            "cls",
+            F.round(
+                F.log(F.col("ndc").cast("double") / F.col("nd").cast("double")),
+                6,
+            ).alias("prior"),
+            F.round(
+                F.log(F.lit(1.0) / (F.col("ntc") + F.col("v")).cast("double")),
+                6,
+            ).alias("dflt"),
+            (F.col("ntc") + F.col("v")).alias("denom"),
+        )
+        .collect()
+    )
+    old_ll_rows = sorted(
+        tuple(r)
+        for r in tc.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(r[0], r[3]) for r in old_cls_rows], "cls string, denom long"
+                )
+            ),
+            "cls",
+        )
+        .select(
+            "term",
+            "cls",
+            F.round(
+                F.log(
+                    (F.col("cnt") + F.lit(1)).cast("double")
+                    / F.col("denom").cast("double")
+                ),
+                6,
+            ).alias("ll"),
+        )
+        .collect()
+    )
+    assert got_cls == old_cls_rows
+    assert got_ll == old_ll_rows
+
+
 def test_conformal_gate_marginal_coverage(spark):
     """Split-conformal guarantee: marginal coverage over the test fold
     must be >= 1 - alpha - slack (finite-sample), and the k-th order
