@@ -112,6 +112,58 @@ def _margin(feature_cols: list[str], weights: list[float]) -> Column:
     return F.round(z, Z_SCALE)
 
 
+def _sql_double(x: float) -> str:
+    """Exact double literal for generated SQL: repr() is the shortest
+    round-trip form and string→double CAST parses it back to the
+    identical bits; the cast is constant-folded at optimization time."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _margin_sql(feature_cols: list[str], weights: list[float]) -> str:
+    """Textual twin of _margin(): same left-associated + chain, same
+    ROUND — the SQL parser builds the identical expression tree."""
+    terms = " + ".join(
+        [_sql_double(weights[0])]
+        + [
+            f"{_sql_double(weights[j + 1])} * `{c}`"
+            for j, c in enumerate(feature_cols)
+        ]
+    )
+    return f"ROUND({terms}, {Z_SCALE})"
+
+
+def _sigmoid_sql(zsql: str) -> str:
+    """Textual twin of hard_sigmoid()."""
+    return f"LEAST(GREATEST(0.25D * {zsql} + 0.5D, 0.0D), 1.0D)"
+
+
+class _adaptive_off:
+    """Scope guard: disable AQE for the sequential model-fit barriers.
+
+    Every GD/fit round is scan(cached) → partial agg → Exchange
+    SinglePartition → final agg → tiny collect. That exchange carries
+    O(d) scalars into one partition at ANY scale — AQE has nothing to
+    coalesce, re-balance, or re-join, but it still charges a runtime
+    re-optimization + extra sub-job per barrier (round-10 probe:
+    8-round train 1.66 s → 1.42 s with AQE off, weights identical —
+    BENCH_ISOLATIONS_r10/barrier_profile.json). Scoped so every other
+    query keeps AQE; restore is exception-safe."""
+
+    def __init__(self, df: DataFrame):
+        self._spark = df.sparkSession
+
+    def __enter__(self):
+        self._old = self._spark.conf.get(
+            "spark.sql.adaptive.enabled", "true"
+        )
+        self._spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.adaptive.enabled", self._old)
+        return False
+
+
 def _check_reserved(cols: list[str], reserved: set[str]) -> None:
     """The GD chains stage internal columns (residuals, carried
     weights, gradient sums) alongside the caller's feature/label/fold
@@ -194,71 +246,113 @@ def logreg_train(
         else (iterations if lazy else 1)
     )
     w = [0.0] * (d + 1)
-    for rounds in _chunk_sizes(iterations, depth):
-        w_df: DataFrame | None = None
-        for t in range(rounds):
-            if t == 0:
-                # chunk head: weights are literals — stage the residual
-                # directly, no broadcast frame needed
-                proj = feats.select(
-                    *feature_cols,
-                    (
-                        hard_sigmoid(_margin(feature_cols, w))
-                        - F.col(label_col)
-                    ).alias("_r"),
+    with _adaptive_off(feats):
+        for rounds in _chunk_sizes(iterations, depth):
+            if rounds == 1:
+                # Fast path for the collect-per-round formulation every
+                # bench consumer uses: the round's projection, aggregate
+                # and weight update are built as SQL strings parsed
+                # JVM-side in TWO py4j round trips instead of ~90 Column
+                # calls — the round-10 barrier profile measured the
+                # Python-side expression construction at ~45% of each
+                # barrier (BENCH_ISOLATIONS_r10/barrier_profile.json).
+                # The parsed trees are the exact twins of the Column
+                # path below (same ops, same order, same literals), so
+                # the weight chain stays bit-identical — pinned by
+                # test_logreg_matches_manual_reference (Column-built
+                # per-round replay) and the cross-depth identity tests
+                # (fast depth-1 vs Column lazy chains).
+                resid = (
+                    f"({_sigmoid_sql(_margin_sql(feature_cols, w))}"
+                    f" - `{label_col}`) AS _r"
                 )
-                pw = [F.lit(w[j]) for j in range(d + 1)]
-                carry: list[Column] = []
-            else:
-                z: Column = F.col("_w0")
+                proj = feats.selectExpr(
+                    *[f"`{c}`" for c in feature_cols], resid
+                )
+                aggs = ["COUNT(1) AS n"]
+                aggs.append(
+                    f"SUM(CAST(ROUND(_r, {GRAD_SCALE})"
+                    f" AS DECIMAL(38,12))) AS g0"
+                )
                 for j, c in enumerate(feature_cols):
-                    z = z + F.col(f"_w{j + 1}") * F.col(c)
-                proj = feats.crossJoin(F.broadcast(w_df)).select(
-                    *feature_cols,
-                    (
-                        hard_sigmoid(F.round(z, Z_SCALE))
-                        - F.col(label_col)
-                    ).alias("_r"),
-                    *[F.col(f"_w{j}") for j in range(d + 1)],
-                )
-                pw = [F.col(f"_pw{j}") for j in range(d + 1)]
-                # carry the (constant) previous weights through the agg
-                carry = [
-                    F.min(F.col(f"_w{j}")).alias(f"_pw{j}")
+                    aggs.append(
+                        f"SUM(CAST(ROUND(_r * `{c}`, {GRAD_SCALE})"
+                        f" AS DECIMAL(38,12))) AS g{j + 1}"
+                    )
+                upd = [
+                    f"ROUND({_sql_double(w[j])} - {_sql_double(lr)}"
+                    f" * (CAST(g{j} AS DOUBLE) / CAST(n AS DOUBLE)),"
+                    f" {W_SCALE}) AS _w{j}"
                     for j in range(d + 1)
                 ]
-            r = F.col("_r")
-            aggs = [F.count(F.lit(1)).alias("n")]
-            aggs.append(
-                F.sum(
-                    F.round(r, GRAD_SCALE).cast("decimal(38,12)")
-                ).alias("g0")
-            )
-            for j, c in enumerate(feature_cols):
+                row = proj.selectExpr(*aggs).selectExpr(*upd).first()
+                w = [float(row[f"_w{j}"]) for j in range(d + 1)]
+                continue
+            w_df: DataFrame | None = None
+            for t in range(rounds):
+                if t == 0:
+                    # chunk head: weights are literals — stage the
+                    # residual directly, no broadcast frame needed
+                    proj = feats.select(
+                        *feature_cols,
+                        (
+                            hard_sigmoid(_margin(feature_cols, w))
+                            - F.col(label_col)
+                        ).alias("_r"),
+                    )
+                    pw = [F.lit(w[j]) for j in range(d + 1)]
+                    carry: list[Column] = []
+                else:
+                    z: Column = F.col("_w0")
+                    for j, c in enumerate(feature_cols):
+                        z = z + F.col(f"_w{j + 1}") * F.col(c)
+                    proj = feats.crossJoin(F.broadcast(w_df)).select(
+                        *feature_cols,
+                        (
+                            hard_sigmoid(F.round(z, Z_SCALE))
+                            - F.col(label_col)
+                        ).alias("_r"),
+                        *[F.col(f"_w{j}") for j in range(d + 1)],
+                    )
+                    pw = [F.col(f"_pw{j}") for j in range(d + 1)]
+                    # carry the (constant) previous weights through
+                    # the agg
+                    carry = [
+                        F.min(F.col(f"_w{j}")).alias(f"_pw{j}")
+                        for j in range(d + 1)
+                    ]
+                r = F.col("_r")
+                aggs = [F.count(F.lit(1)).alias("n")]
                 aggs.append(
                     F.sum(
-                        F.round(r * F.col(c), GRAD_SCALE).cast(
-                            "decimal(38,12)"
-                        )
-                    ).alias(f"g{j + 1}")
+                        F.round(r, GRAD_SCALE).cast("decimal(38,12)")
+                    ).alias("g0")
                 )
-            aggs += carry
-            w_df = proj.agg(*aggs).select(
-                *[
-                    F.round(
-                        pw[j]
-                        - F.lit(float(lr))
-                        * (
-                            F.col(f"g{j}").cast("double")
-                            / F.col("n").cast("double")
-                        ),
-                        W_SCALE,
-                    ).alias(f"_w{j}")
-                    for j in range(d + 1)
-                ]
-            )
-        row = w_df.first()
-        w = [float(row[f"_w{j}"]) for j in range(d + 1)]
+                for j, c in enumerate(feature_cols):
+                    aggs.append(
+                        F.sum(
+                            F.round(r * F.col(c), GRAD_SCALE).cast(
+                                "decimal(38,12)"
+                            )
+                        ).alias(f"g{j + 1}")
+                    )
+                aggs += carry
+                w_df = proj.agg(*aggs).select(
+                    *[
+                        F.round(
+                            pw[j]
+                            - F.lit(float(lr))
+                            * (
+                                F.col(f"g{j}").cast("double")
+                                / F.col("n").cast("double")
+                            ),
+                            W_SCALE,
+                        ).alias(f"_w{j}")
+                        for j in range(d + 1)
+                    ]
+                )
+            row = w_df.first()
+            w = [float(row[f"_w{j}"]) for j in range(d + 1)]
     return w
 
 
@@ -326,115 +420,171 @@ def logreg_train_folds(
     )
     ws = [[0.0] * (d + 1) for _ in range(k)]
     ns = [0] * k
-    for rounds in _chunk_sizes(iterations, depth):
-        w_df: DataFrame | None = None
-        for t in range(rounds):
-            if t == 0:
-                # chunk head: weights are literals — no broadcast frame
-                proj = folds.select(
-                    fold.alias("_fold_g"),
-                    *feature_cols,
-                    *[
-                        (
-                            hard_sigmoid(_margin(feature_cols, ws[i]))
-                            - F.col(label_col)
-                        ).alias(f"_r{i}")
-                        for i in range(k)
-                    ],
-                )
-
-                def pw(i: int, j: int) -> Column:
-                    return F.lit(ws[i][j])
-
-                carry: list[Column] = []
-            else:
-                resids = []
-                for i in range(k):
-                    z: Column = F.col(f"_w{i}_0")
-                    for j, c in enumerate(feature_cols):
-                        z = z + F.col(f"_w{i}_{j + 1}") * F.col(c)
-                    resids.append(
-                        (
-                            hard_sigmoid(F.round(z, Z_SCALE))
-                            - F.col(label_col)
-                        ).alias(f"_r{i}")
-                    )
-                proj = folds.crossJoin(F.broadcast(w_df)).select(
-                    fold.alias("_fold_g"),
-                    *feature_cols,
+    with _adaptive_off(folds):
+        for rounds in _chunk_sizes(iterations, depth):
+            if rounds == 1:
+                # SQL-string fast path (see logreg_train): one parsed
+                # selectExpr chain replaces ~k× the Column-building py4j
+                # traffic of the single-model round; trees are exact
+                # twins of the Column path, weights bit-identical
+                # (test_folds_lazy_eager_paths_identical +
+                # test_folds_chain_depths_identical pin fast depth-1
+                # against the Column lazy chains).
+                resids = [
+                    f"({_sigmoid_sql(_margin_sql(feature_cols, ws[i]))}"
+                    f" - `{label_col}`) AS _r{i}"
+                    for i in range(k)
+                ]
+                proj = folds.selectExpr(
+                    f"`{fold_col}` AS _fold_g",
+                    *[f"`{c}`" for c in feature_cols],
                     *resids,
-                    *[
-                        F.col(f"_w{i}_{j}")
-                        for i in range(k)
-                        for j in range(d + 1)
-                    ],
                 )
-
-                def pw(i: int, j: int) -> Column:
-                    return F.col(f"_pw{i}_{j}")
-
-                carry = [
-                    F.min(F.col(f"_w{i}_{j}")).alias(f"_pw{i}_{j}")
+                aggs = []
+                for i in range(k):
+                    guard = f"_fold_g != {i}"
+                    aggs.append(
+                        f"SUM(CAST(CASE WHEN {guard} THEN 1 END"
+                        f" AS BIGINT)) AS n_{i}"
+                    )
+                    aggs.append(
+                        f"SUM(CAST(CASE WHEN {guard} THEN"
+                        f" ROUND(_r{i}, {GRAD_SCALE}) END"
+                        f" AS DECIMAL(38,12))) AS g{i}_0"
+                    )
+                    for j, c in enumerate(feature_cols):
+                        aggs.append(
+                            f"SUM(CAST(CASE WHEN {guard} THEN"
+                            f" ROUND(_r{i} * `{c}`, {GRAD_SCALE}) END"
+                            f" AS DECIMAL(38,12))) AS g{i}_{j + 1}"
+                        )
+                upd = [
+                    f"ROUND({_sql_double(ws[i][j])} - {_sql_double(lr)}"
+                    f" * (CAST(g{i}_{j} AS DOUBLE)"
+                    f" / CAST(n_{i} AS DOUBLE)), {W_SCALE}) AS _w{i}_{j}"
                     for i in range(k)
                     for j in range(d + 1)
+                ] + [f"n_{i} AS _n_{i}" for i in range(k)]
+                row = proj.selectExpr(*aggs).selectExpr(*upd).first()
+                ws = [
+                    [float(row[f"_w{i}_{j}"]) for j in range(d + 1)]
+                    for i in range(k)
                 ]
-            aggs = []
-            for i in range(k):
-                guard = F.col("_fold_g") != i
-                r = F.col(f"_r{i}")
-                aggs.append(
-                    F.sum(F.when(guard, F.lit(1)).cast("long")).alias(
-                        f"n_{i}"
+                ns = [int(row[f"_n_{i}"]) for i in range(k)]
+                continue
+            w_df: DataFrame | None = None
+            for t in range(rounds):
+                if t == 0:
+                    # chunk head: weights are literals — no broadcast
+                    proj = folds.select(
+                        fold.alias("_fold_g"),
+                        *feature_cols,
+                        *[
+                            (
+                                hard_sigmoid(
+                                    _margin(feature_cols, ws[i])
+                                )
+                                - F.col(label_col)
+                            ).alias(f"_r{i}")
+                            for i in range(k)
+                        ],
                     )
-                )
-                aggs.append(
-                    F.sum(
-                        F.when(
-                            guard, F.round(r, GRAD_SCALE)
-                        ).cast("decimal(38,12)")
-                    ).alias(f"g{i}_0")
-                )
-                for j, c in enumerate(feature_cols):
+
+                    def pw(i: int, j: int) -> Column:
+                        return F.lit(ws[i][j])
+
+                    carry: list[Column] = []
+                else:
+                    resids = []
+                    for i in range(k):
+                        z: Column = F.col(f"_w{i}_0")
+                        for j, c in enumerate(feature_cols):
+                            z = z + F.col(f"_w{i}_{j + 1}") * F.col(c)
+                        resids.append(
+                            (
+                                hard_sigmoid(F.round(z, Z_SCALE))
+                                - F.col(label_col)
+                            ).alias(f"_r{i}")
+                        )
+                    proj = folds.crossJoin(F.broadcast(w_df)).select(
+                        fold.alias("_fold_g"),
+                        *feature_cols,
+                        *resids,
+                        *[
+                            F.col(f"_w{i}_{j}")
+                            for i in range(k)
+                            for j in range(d + 1)
+                        ],
+                    )
+
+                    def pw(i: int, j: int) -> Column:
+                        return F.col(f"_pw{i}_{j}")
+
+                    carry = [
+                        F.min(F.col(f"_w{i}_{j}")).alias(f"_pw{i}_{j}")
+                        for i in range(k)
+                        for j in range(d + 1)
+                    ]
+                aggs = []
+                for i in range(k):
+                    guard = F.col("_fold_g") != i
+                    r = F.col(f"_r{i}")
+                    aggs.append(
+                        F.sum(
+                            F.when(guard, F.lit(1)).cast("long")
+                        ).alias(f"n_{i}")
+                    )
                     aggs.append(
                         F.sum(
                             F.when(
-                                guard,
-                                F.round(r * F.col(c), GRAD_SCALE),
+                                guard, F.round(r, GRAD_SCALE)
                             ).cast("decimal(38,12)")
-                        ).alias(f"g{i}_{j + 1}")
+                        ).alias(f"g{i}_0")
                     )
-            aggs += carry
-            # counts are recomputed every round (fold sizes are
-            # constant); carry them only out of the chunk's FINAL
-            # round, underscore-prefixed like the weight columns, so
-            # the inter-round broadcast row stays k·(d+1) wide.
-            final = t == rounds - 1
-            w_df = proj.agg(*aggs).select(
-                *[
-                    F.round(
-                        pw(i, j)
-                        - F.lit(float(lr))
-                        * (
-                            F.col(f"g{i}_{j}").cast("double")
-                            / F.col(f"n_{i}").cast("double")
-                        ),
-                        W_SCALE,
-                    ).alias(f"_w{i}_{j}")
-                    for i in range(k)
-                    for j in range(d + 1)
-                ],
-                *(
-                    [F.col(f"n_{i}").alias(f"_n_{i}") for i in range(k)]
-                    if final
-                    else []
-                ),
-            )
-        upd = w_df.first()
-        ws = [
-            [float(upd[f"_w{i}_{j}"]) for j in range(d + 1)]
-            for i in range(k)
-        ]
-        ns = [int(upd[f"_n_{i}"]) for i in range(k)]
+                    for j, c in enumerate(feature_cols):
+                        aggs.append(
+                            F.sum(
+                                F.when(
+                                    guard,
+                                    F.round(r * F.col(c), GRAD_SCALE),
+                                ).cast("decimal(38,12)")
+                            ).alias(f"g{i}_{j + 1}")
+                        )
+                aggs += carry
+                # counts are recomputed every round (fold sizes are
+                # constant); carry them only out of the chunk's FINAL
+                # round, underscore-prefixed like the weight columns,
+                # so the inter-round broadcast row stays k·(d+1) wide.
+                final = t == rounds - 1
+                w_df = proj.agg(*aggs).select(
+                    *[
+                        F.round(
+                            pw(i, j)
+                            - F.lit(float(lr))
+                            * (
+                                F.col(f"g{i}_{j}").cast("double")
+                                / F.col(f"n_{i}").cast("double")
+                            ),
+                            W_SCALE,
+                        ).alias(f"_w{i}_{j}")
+                        for i in range(k)
+                        for j in range(d + 1)
+                    ],
+                    *(
+                        [
+                            F.col(f"n_{i}").alias(f"_n_{i}")
+                            for i in range(k)
+                        ]
+                        if final
+                        else []
+                    ),
+                )
+            upd = w_df.first()
+            ws = [
+                [float(upd[f"_w{i}_{j}"]) for j in range(d + 1)]
+                for i in range(k)
+            ]
+            ns = [int(upd[f"_n_{i}"]) for i in range(k)]
     return ws, ns
 
 
