@@ -4630,24 +4630,36 @@ def text_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcum = Window.orderBy("s").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = hist.withColumn("cum", F.sum("c").over(wcum))
-    ncal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
-    # k = ceil(0.9*(n+1)) in exact integer arithmetic
-    k = (F.lit(9) * (F.col("n_cal") + 1) + F.lit(9)) / 10
-    kk = ncal.select(
-        "n_cal", F.floor(k).cast("long").alias("k")
+    # n_cal is the marginal of the histogram (Σc ≡ COUNT over cal —
+    # exact integers), read off the SAME single-partition window stage
+    # as the cumulative counts: the calibration fold is scanned once,
+    # not twice, and qhat/k/n_cal ride ONE broadcast row instead of
+    # two (round-10; the dup_spans/WOE marginal device).
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "s",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n_cal"),
     )
+    # k = ceil(0.9*(n+1)) in exact integer arithmetic (the double
+    # division is exact for any realistic n, floor matches the oracle)
+    k = (F.lit(9) * (F.col("n_cal") + 1) + F.lit(9)) / 10
+    cum = cum.withColumn("k", F.floor(k).cast("long"))
+    # n_cal/k are constant across rows, so min() reads them exactly
     qhat = (
-        cum.crossJoin(F.broadcast(kk))
-        .filter(F.col("cum") >= F.col("k"))
-        .agg(F.min("s").alias("qhat"))
+        cum.filter(F.col("cum") >= F.col("k"))
+        .agg(
+            F.min("s").alias("qhat"),
+            F.min("n_cal").alias("n_cal"),
+            F.min("k").alias("k"),
+        )
     )
     test = feats.filter(F.col("_b") == 0).select(
         F.col("y").cast("int").alias("label"),
         F.round(F.lit(1.0) - p, 6).alias("s1"),
         p.alias("s0"),
     )
-    t = test.crossJoin(F.broadcast(qhat)).crossJoin(F.broadcast(kk))
+    t = test.crossJoin(F.broadcast(qhat))
     in0 = (F.col("s0") <= F.col("qhat")).cast("int")
     in1 = (F.col("s1") <= F.col("qhat")).cast("int")
     covered = F.when(F.col("label") == 1, in1).otherwise(in0)
