@@ -518,11 +518,15 @@ def connected_components(
         .repartition("src")
         .persist()
     )
+    # lazy checkpoints (pagerank's device, round 10): the convergence
+    # probe's collect is the round's ONLY action — it materializes the
+    # checkpoint as a side effect, so each round costs one submitted
+    # job instead of two (eager checkpoint + separate sum).
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # labels are monotonically non-increasing, so sum(lbl) strictly
     # decreases until the fixed point — a one-number convergence probe.
@@ -543,7 +547,7 @@ def connected_components(
                     F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
