@@ -3222,8 +3222,19 @@ def text_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_tr").cast("long")).alias("n_train"),
         F.sum((~F.col("is_tr")).cast("long")).alias("n_serve"),
     )
-    tot = g.agg(
-        F.sum("n_train").alias("_ta"), F.sum("n_serve").alias("_tb")
+    # totals as GLOBAL WINDOWS over the ≤10-row bin frame (round 10):
+    # the separate totals aggregate's subtree re-planned the whole
+    # binning pass (column pruning blocks exchange reuse), so the
+    # corpus was aggregated twice; exact long sums, same values.
+    from pyspark.sql.window import Window
+
+    wall = Window.partitionBy()
+    g = g.select(
+        "bin",
+        "n_train",
+        "n_serve",
+        F.sum("n_train").over(wall).alias("_ta"),
+        F.sum("n_serve").over(wall).alias("_tb"),
     )
     ln9 = lambda c: F.round(F.log(c.cast("double")), 9)  # noqa: E731
     lnr = (
@@ -3239,7 +3250,7 @@ def text_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_tb"
     ).cast("double")
     return (
-        g.crossJoin(F.broadcast(tot))
+        g
         .select(
             "bin",
             "n_train",
@@ -4886,20 +4897,30 @@ def text_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = per.withColumn(
         "gap", F.round(F.abs(F.col("avg_score") - F.col("pos_rate")), 6)
     )
-    tot = per.agg(
-        F.round(
-            F.sum(
-                F.round(
-                    F.col("n").cast("double") * F.col("gap"), 6
-                ).cast("decimal(28,6)")
-            ).cast("double")
-            / F.sum("n").cast("double"),
-            6,
-        ).alias("ece")
+    # ece as a GLOBAL WINDOW over the ≤10-row diagram (round 10): the
+    # separate ece aggregate re-planned the whole binning pass under a
+    # broadcast (no exchange reuse across the pruned subtrees), so the
+    # scored frame was aggregated twice; decimal window sums are
+    # order-independent, values identical.
+    from pyspark.sql.window import Window
+
+    wall = Window.partitionBy()
+    ece = F.round(
+        F.sum(
+            F.round(
+                F.col("n").cast("double") * F.col("gap"), 6
+            ).cast("decimal(28,6)")
+        )
+        .over(wall)
+        .cast("double")
+        / F.sum("n").over(wall).cast("double"),
+        6,
     )
     return (
-        per.crossJoin(F.broadcast(tot))
-        .select("bin", "n", "avg_score", "pos_rate", "gap", "ece")
+        per.select(
+            "bin", "n", "avg_score", "pos_rate", "gap",
+            ece.alias("ece"),
+        )
         .orderBy("bin")
     )
 
@@ -5133,8 +5154,19 @@ def text_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("label").alias("n_pos"),
         )
     )
-    tot = per.agg(
-        F.sum("n").alias("n_tot"), F.sum("n_pos").alias("pos_tot")
+    # totals as GLOBAL WINDOWS over the ≤10-row decile table (round
+    # 10): the separate totals aggregate re-planned the scoring +
+    # edge-binning pass under a broadcast (no exchange reuse across
+    # pruned subtrees) — one aggregation pass instead of two; exact
+    # long sums, and the cumulative window below shares the same
+    # single-partition stage.
+    wall = Window.partitionBy()
+    per = per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(wall).alias("n_tot"),
+        F.sum("n_pos").over(wall).alias("pos_tot"),
     )
     w = Window.orderBy(F.desc("decile")).rowsBetween(
         Window.unboundedPreceding, 0
@@ -5143,7 +5175,7 @@ def text_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     np_ = F.col("n_pos").cast("double")
     base = F.col("pos_tot").cast("double") / F.col("n_tot").cast("double")
     return (
-        per.crossJoin(F.broadcast(tot))
+        per
         .select(
             "decile",
             "n",
