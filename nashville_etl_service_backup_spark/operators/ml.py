@@ -1674,7 +1674,11 @@ def feature_woe(
     pass."""
     from nashville_etl_service_backup_spark.operators import track_persist
 
-    feats = track_persist(feats)
+    # persist only the (feature, label) projection (ADVICE r9): caching
+    # the caller's full frame would pin every column, and registering a
+    # caller-owned DataFrame in the release registry could unpersist a
+    # frame the caller persisted for its own reuse
+    feats = track_persist(feats.select(feature_col, label_col))
     qs = [i / n_bins for i in range(1, n_bins)]
     y_long = F.col(label_col).cast("long")
     stats = feats.agg(

@@ -837,8 +837,10 @@ def tfidf_cosine_topk(
     # subtrees execute — the qvec/qn broadcasts otherwise race the
     # cold cache and can each compute the tokenize+tf+df chain
     # (round-9 A/B: within noise at sf0.1, strictly fewer index
-    # builds at scale; BENCH_ISOLATIONS_r09/sparse_cosine_ab.json)
-    w.count()
+    # builds at scale; BENCH_ISOLATIONS_r09/sparse_cosine_ab.json).
+    # noop sink, not count(): no driver action in the serving path
+    # (VERDICT r9 minor #4) and the fill computes every cached column.
+    w.write.format("noop").mode("overwrite").save()
     norms = w.groupBy(id_col).agg(
         F.sum(
             F.round(F.col("_w") * F.col("_w"), 6).cast("decimal(28,6)")

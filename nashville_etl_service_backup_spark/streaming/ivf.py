@@ -60,7 +60,7 @@ def incremental_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: tuple[str, ...] = ("label",),
-    commit_log: bool = False,
+    commit_log: bool = True,
     max_files_per_trigger: int = 1,
 ) -> StreamingQuery:
     """Stream embedding batches into an IVF posting store against a
@@ -114,7 +114,7 @@ def incremental_ivf(
 
 
 def read_ivf_index(
-    spark: SparkSession, index_path: str, commit_log: bool = False
+    spark: SparkSession, index_path: str, commit_log: bool = True
 ) -> DataFrame:
     """The served posting table: union of the per-batch partials.
     ``commit_log=True`` merges only manifest-committed partials (the

@@ -280,7 +280,7 @@ def incremental_rollup(
     window: str = "1 hour",
     ts_col: str = "ts",
     key_col: str = "event_type",
-    commit_log: bool = False,
+    commit_log: bool = True,
 ) -> StreamingQuery:
     """Incrementally-maintained hourly rollup (hypertable-style
     continuous aggregate), idempotent under micro-batch replay.
@@ -367,7 +367,7 @@ def incremental_cms(
     key_col: str = "user_id",
     depth: int = 4,
     width: int = 512,
-    commit_log: bool = False,
+    commit_log: bool = True,
 ) -> StreamingQuery:
     """Incrementally-maintained count-min sketch over a stream: each
     micro-batch builds its own CMS partial (operators.sketch.cms_build)
@@ -406,7 +406,7 @@ def incremental_cms(
 
 
 def read_cms(
-    spark: SparkSession, cms_path: str, commit_log: bool = False
+    spark: SparkSession, cms_path: str, commit_log: bool = True
 ) -> DataFrame:
     """Merge all per-batch CMS partials into one counter table.
     ``commit_log=True`` merges only manifest-committed partials (the
@@ -426,7 +426,7 @@ def incremental_hll(
     hll_path: str,
     checkpoint_path: str,
     key_col: str = "user_id",
-    commit_log: bool = False,
+    commit_log: bool = True,
 ) -> StreamingQuery:
     """Incrementally-maintained HyperLogLog over a stream: each
     micro-batch builds its register partial (operators.sketch.
@@ -464,7 +464,7 @@ def incremental_hll(
 
 
 def read_hll(
-    spark: SparkSession, hll_path: str, commit_log: bool = False
+    spark: SparkSession, hll_path: str, commit_log: bool = True
 ) -> DataFrame:
     """Merge all per-batch HLL register partials (max per bucket).
     ``commit_log=True`` merges only manifest-committed partials."""
@@ -483,7 +483,7 @@ def read_rollup(
     spark: SparkSession,
     rollup_path: str,
     key_col: str = "event_type",
-    commit_log: bool = False,
+    commit_log: bool = True,
 ) -> DataFrame:
     """Serve the continuous aggregate: merge all per-batch partials.
     Missing path is NOT swallowed — a vanished rollup is an error, not a
@@ -519,7 +519,7 @@ def forget_from_rollup(
     key_col: str = "event_type",
     id_col: str = "event_id",
     forget_id: int = -2,
-    commit_log: bool = False,
+    commit_log: bool = True,
 ) -> None:
     """Right-to-be-forgotten RETRACTION for the continuous aggregate —
     the streaming-side leg of the forget cascade (the batch audit is
@@ -589,7 +589,12 @@ def compact_rollup(
     import shutil
 
     root = rollup_path.rstrip("/")
-    merged = read_rollup(spark, rollup_path, key_col=key_col)
+    # this is the PLAIN-layout compactor: read by directory listing
+    # regardless of the package default (flipped to commit_log=True in
+    # round 10)
+    merged = read_rollup(
+        spark, rollup_path, key_col=key_col, commit_log=False
+    )
     tmp = root + "__compact"
     merged.write.mode("overwrite").parquet(tmp)
     # tmp now holds a full materialized copy; inputs are no longer needed
@@ -715,7 +720,7 @@ def incremental_lsh_dedup(
     shingle_n: int = 2,
     num_hashes: int = 4,
     bands: int = 2,
-    commit_log: bool = False,
+    commit_log: bool = True,
 ) -> StreamingQuery:
     """T4 for NEAR-duplicates: a cross-batch MinHash-LSH gate over a
     persistent signature store. Each micro-batch of (doc_id, text) is
@@ -804,7 +809,7 @@ def incremental_lsh_dedup(
 
 
 def read_dedup_audit(
-    spark: SparkSession, audit_path: str, commit_log: bool = False
+    spark: SparkSession, audit_path: str, commit_log: bool = True
 ) -> DataFrame:
     """Per-batch novelty audit, one row per processed micro-batch.
     ``commit_log=True`` reads only manifest-committed batches."""
@@ -828,7 +833,7 @@ def incremental_bloom_gate(
     key_col: str = "doc_id",
     k: int = 4,
     m: int = 4096,
-    commit_log: bool = False,
+    commit_log: bool = True,
 ) -> StreamingQuery:
     """T4's bounded-memory variant: a cross-batch EXACT-KEY novelty
     gate backed by a persistent Bloom filter (operators/sketch.py math)
@@ -916,7 +921,7 @@ def incremental_bloom_gate(
 
 
 def read_bloom_audit(
-    spark: SparkSession, audit_path: str, commit_log: bool = False
+    spark: SparkSession, audit_path: str, commit_log: bool = True
 ) -> DataFrame:
     """Per-batch Bloom-gate audit, one row per processed micro-batch.
     ``commit_log=True`` reads only manifest-committed batches."""

@@ -615,15 +615,21 @@ def test_incremental_bloom_gate(spark, tmp_path, commit_log):
     assert 1 <= b1 <= 4
 
 
-def test_forget_from_rollup_retracts_and_is_idempotent(spark, tmp_path):
+@pytest.mark.parametrize("commit_log", [False, True])
+def test_forget_from_rollup_retracts_and_is_idempotent(
+    spark, tmp_path, commit_log
+):
     """GDPR retraction partial: tombstoned records' contribution is
     subtracted at read-merge time, a fully-erased cell vanishes,
     re-running never double-retracts, and compaction folds the
-    negative partial away physically."""
+    negative partial away physically — in BOTH sink layouts (the test
+    previously rode the package default, which round 10 flipped to the
+    manifest commit log)."""
     from datetime import datetime
 
     from nashville_etl_service_backup_spark.streaming.pipeline import (
         compact_rollup,
+        compact_rollup_committed,
         forget_from_rollup,
         incremental_rollup,
         read_rollup,
@@ -642,7 +648,9 @@ def test_forget_from_rollup_retracts_and_is_idempotent(spark, tmp_path):
         [(i, datetime.fromisoformat(ts), et, v) for i, ts, et, v in rows],
         "event_id long, ts timestamp, event_type string, value double",
     ).coalesce(1).write.mode("append").parquet(src)
-    incremental_rollup(spark, src, roll, ckpt).awaitTermination(120)
+    incremental_rollup(
+        spark, src, roll, ckpt, commit_log=commit_log
+    ).awaitTermination(120)
 
     def state():
         return {
@@ -650,14 +658,16 @@ def test_forget_from_rollup_retracts_and_is_idempotent(spark, tmp_path):
                 r["n"],
                 float(r["total"]),
             )
-            for r in read_rollup(spark, roll).collect()
+            for r in read_rollup(
+                spark, roll, commit_log=commit_log
+            ).collect()
         }
 
     before = state()
     assert sum(n for n, _ in before.values()) == 4
 
     tomb = spark.createDataFrame([(2,), (3,)], ["event_id"])
-    forget_from_rollup(spark, src, roll, tomb)
+    forget_from_rollup(spark, src, roll, tomb, commit_log=commit_log)
     after = state()
     # event 2 retracted from the 10:00 click cell; event 3's cell gone
     assert sum(n for n, _ in after.values()) == 2
@@ -667,11 +677,14 @@ def test_forget_from_rollup_retracts_and_is_idempotent(spark, tmp_path):
     assert abs(sum(t for _, t in after.values()) - 2.0) < 1e-9
 
     # idempotent: same campaign id overwrites the same partial
-    forget_from_rollup(spark, src, roll, tomb)
+    forget_from_rollup(spark, src, roll, tomb, commit_log=commit_log)
     assert state() == after
 
     # compaction folds the retraction physically; served view unchanged
-    compact_rollup(spark, roll)
+    if commit_log:
+        compact_rollup_committed(spark, roll)
+    else:
+        compact_rollup(spark, roll)
     assert state() == after
 
 
