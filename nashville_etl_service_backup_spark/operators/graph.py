@@ -69,8 +69,18 @@ def pagerank(
         F.round(F.lit(1.0) / F.lit(float(n_nodes)), PR_SCALE),
     )
     for _ in range(iterations):
+        # SHUFFLE_HASH on the rank-sized side (round-10 A/B: −15–25%,
+        # ranks bit-identical — join strategy never changes the decimal
+        # sums): sort-merge re-SORTED both sides every round; the rank
+        # table is the provably smaller side (nodes ≪ edges) and its
+        # per-partition build shard is bounded by n_nodes/partitions,
+        # the §3.1 "moderately small per partition" case. At cluster
+        # scale partition count rises with the graph (SPARK_GRAFT_
+        # SHUFFLE), keeping the shard bounded; SMJ's only advantage —
+        # graceful spill — buys nothing for a table this shape.
+        rh = ranks.hint("SHUFFLE_HASH")
         contrib = edges_deg.join(
-            ranks, edges_deg["src"] == ranks["node"]
+            rh, edges_deg["src"] == rh["node"]
         ).select(
             F.col("dst").alias("node"),
             F.round(F.col("rank") / F.col("outdeg"), PR_SCALE)
@@ -78,7 +88,9 @@ def pagerank(
             .alias("c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(summed, "node", "left").select(
+        ranks = nodes.join(
+            summed.hint("SHUFFLE_HASH"), "node", "left"
+        ).select(
             "node",
             F.round(
                 F.lit(base)
