@@ -533,6 +533,12 @@ def connected_components(
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     converged = False
     for _ in range(max_iter):
+        # NOTE (round 10): SHUFFLE_HASH hints on the label-sized sides
+        # (pagerank's per-round device) were probed and REVERTED —
+        # alternating A/B showed no reliable win (the consumers' label
+        # tables are small enough that the planner already picks
+        # broadcast/efficient strategies; forcing a shuffle can only
+        # lose, the BFS lesson). cc_bfs_hint_probe.json.
         nbr = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy("dst")

@@ -184,6 +184,12 @@ def bfs_hops(
     round-sized. `seeds`: a (node) frame at distance 0."""
     dist = seeds.select("node", F.lit(0).alias("dist"))
     for _ in range(rounds):
+        # NOTE (round 10): a SHUFFLE_HASH hint here — pagerank's
+        # per-round device — measured +28% at sf0.1 (2.14 → 2.74 s,
+        # probed and reverted): the planner broadcasts the small
+        # frontier table, so forcing a shuffle joins worse. PageRank's
+        # rank table sits behind a checkpoint (unknown size, planner
+        # falls back to sort-merge), which is why the hint wins there.
         nxt = edges.join(
             dist, edges["src"] == dist["node"]
         ).select(
